@@ -1,0 +1,63 @@
+"""SparkSession factory for the engine.
+
+Local-mode defaults are tuned for the test/bench environment
+(``local[32]``, single JVM); the same settings scale to a real cluster
+because they only touch planner behavior (AQE, broadcast threshold,
+shuffle-partition sizing), not cluster topology.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "quantlab_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults chosen for 100 TB-readiness:
+
+    - AQE on (runtime coalescing, skew-join splitting, dynamic join
+      strategy switch).
+    - ``spark.sql.shuffle.partitions`` sized to the local core count in
+      tests; on a cluster this should be ~2-3x total cores (AQE coalesces
+      down, so slightly-too-many is the safe direction).
+    - UTC session timezone so timestamps compare bit-for-bit with
+      external oracles (DuckDB is UTC-naive).
+    - Arrow enabled for every pandas interchange (toPandas, pandas UDFs).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet columns as long (nanos since epoch);
+        # convert with sources.read_table's ns->ts normalization.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
