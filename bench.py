@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the JVM-side noop sink (full plan
+execution, no driver collect, no Python serialization in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "interval_validity_join",
+    "left_join_coalesce",
+    "dedup_first_non_null",
+    "window_cumprod",
+    "calendar_explode",
+    "hourly_rollup",
+    "topk_per_group",
+]
+
+
+def main() -> None:
+    from quantlab_data_pipeline_spark.queries import SPARK_QUERIES
+    from quantlab_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so per-query timings measure
+    # the plan, not session startup.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in SPARK_QUERIES]
+    # Include any LLM/beyond-parity headline ops if registered.
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

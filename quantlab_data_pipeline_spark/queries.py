@@ -1,0 +1,682 @@
+"""Query registry: every operator class from SURVEY.md §2, expressed
+Spark-first over the driver's TPC-H-ish testdata, each paired with an
+ANSI-SQL DuckDB oracle.
+
+Design notes
+------------
+- Spark side uses the DataFrame API so Catalyst sees a declarative plan
+  (pushdown, pruning, join selection); oracles are plain SQL DuckDB runs
+  on the same parquet files.
+- Every aggregate / computed column is aliased identically on both
+  sides (the driver's compare sorts columns by name before hashing).
+- Float aggregates are ``round``-ed on both sides: Spark and DuckDB sum
+  doubles in different orders, so raw sums differ in the last bits;
+  rounding at 2dp for money-scale values keeps them bit-identical.
+- ``count``/``sum`` of integers are cast to BIGINT in DuckDB (it widens
+  to INT128, which Spark's LongType would never hash-match).
+
+Operator coverage map (SURVEY §2 -> query):
+  S1 scan, P1/P2/P4 filter+project  -> filter_project
+  P3 semi-join IN-list              -> semi_join_in_list
+  P7-P11 derived cols, A* aggs      -> q1_pricing_summary
+  J2 broadcast dim join             -> broadcast_dim_join
+  J3 left join + P12 coalesce       -> left_join_coalesce
+  J4/J6/J7/J8 interval validity     -> interval_validity_join
+  J5 multiway join                  -> q3_shipping_priority, q5_local_supplier
+  A1-A3 ordered first-non-null      -> dedup_first_non_null
+  A4 per-key sum+first              -> dedup_keyed
+  A5 distinct                       -> distinct_segments
+  A7 greatest/least                 -> greatest_least
+  W1 cumulative product             -> window_cumprod
+  W2 lag / pct_change               -> window_lag_pct_change
+  W3 interval->daily explode        -> calendar_explode
+  W4 wide->long unpivot             -> measure_unpivot
+  O1 sort, topk                     -> topk_per_group
+  U1 union-all                      -> union_all_parties
+  F1/F2 regex normalize             -> regex_normalize
+  F4 numeric parse w/ reject        -> json_extract_cast
+  anti join (beyond reference)      -> anti_join_customers
+  rollup (beyond reference)         -> rollup_counts
+  streaming batch-equivalent        -> hourly_rollup
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytical queries
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter -> hash agg with derived columns.
+
+    Covers P2 (date predicate), P8-P11 (derived columns), A-aggs. The
+    filter and the 4-column projection both push to the parquet scan.
+    """
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join -> agg -> top-10 (J5, O-topk)."""
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dim broadcast (J2/J5).
+
+    region/nation/supplier are tiny -> broadcast; orders/lineitem
+    shuffle only on their join keys.
+    """
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Handler-shaped operators (scan -> filter -> project -> sort spine)
+# --------------------------------------------------------------------------
+
+
+def filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P1+P2+P4: the DataHandler read spine on testdata.
+
+    Date-range + equality predicates and a 4-column projection, all of
+    which reach the parquet scan (PushedFilters/ReadSchema).
+    """
+    orders = load_table(spark, sf, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+        & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def semi_join_in_list(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/J1: semi-join filter — orders of BUILDING-segment customers."""
+    orders = load_table(spark, sf, "orders")
+    building = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return orders.join(
+        F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join: customers with no orders since 1999."""
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def broadcast_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: attach dim attributes via broadcast joins (ticker-attach shape)."""
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+def left_join_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """J3+P9+P12: left join + null-default + derived column.
+
+    Mirrors the delist-return adjustment: customers left-joined to an
+    order aggregate; missing aggregates coalesce to 0 before deriving.
+    """
+    cust = load_table(spark, sf, "customer")
+    per_cust = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("total_spend"), F.lit(0.0)) + F.col("c_acctbal"), 2
+        ).alias("lifetime_value"),
+    )
+
+
+def interval_validity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/J6/J7/J8: equi-join + date-interval residual predicate.
+
+    The CCM point-in-time shape: lineitem joins its order only when the
+    ship date falls inside [orderdate, orderdate + 120 days). Spark
+    plans this as an equi-join with a residual range filter — no custom
+    strategy needed.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 120 DAYS")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup / aggregation semantics (A1-A7)
+# --------------------------------------------------------------------------
+
+
+def dedup_first_non_null(spark: SparkSession, sf: str) -> DataFrame:
+    """A1-A3: keyed dedup with *ordered* first semantics.
+
+    The reference's pandas `first non-null` is arrival-order-dependent;
+    Spark's `F.first` is shuffle-order-undefined, so we pin an explicit
+    order with min_by/max_by on the event timestamp (SURVEY §7.3 trap 1).
+    """
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_event_type"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def dedup_keyed(spark: SparkSession, sf: str) -> DataFrame:
+    """A4/A6: drop duplicates on a key, keeping the earliest row id."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n"),
+    )
+
+
+def distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: SQL DISTINCT."""
+    return (
+        load_table(spark, sf, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+def greatest_least(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: row-wise greatest/least (interval-intersection shape)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount").alias("rate_hi"),
+        F.least("l_tax", "l_discount").alias("rate_lo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window / ordered operators (W1-W4)
+# --------------------------------------------------------------------------
+
+
+def window_lag_pct_change(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: per-group pct_change via lag window (returns_daily oracle)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") / prev - 1, 6).alias("pct_change"),
+    ).filter(F.col("pct_change").isNotNull())
+
+
+def window_cumprod(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: cumulative product -> index level (benchmark-level shape).
+
+    Implemented with F.product over an ordered window (Spark >=3.2);
+    values scaled so the product stays in double range.
+    """
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    growth = 1 + F.col("value") / 10000.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.product(growth).over(w) * 100.0, 6).alias("level"),
+    )
+
+
+def calendar_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: interval -> daily explode via sequence+explode.
+
+    The reference's O(rows x days) Python loop becomes a distributed
+    generator (membership-explode shape)."""
+    orders = load_table(spark, sf, "orders")
+    days = F.explode(
+        F.sequence(
+            F.to_date("o_orderdate"),
+            F.date_add(F.to_date("o_orderdate"), 6),
+            F.expr("interval 1 day"),
+        )
+    ).alias("d")
+    return (
+        orders.select(days)
+        .groupBy("d")
+        .agg(F.count("*").alias("n_open_orders"))
+    )
+
+
+def measure_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """W4: wide -> long unpivot (factor-melt shape), then re-aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 customers by balance per nation (row_number window)."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / scalar functions
+# --------------------------------------------------------------------------
+
+
+def union_all_parties(spark: SparkSession, sf: str) -> DataFrame:
+    """U1: union-all of two homogenized frames (concat shape)."""
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("party_id"),
+        F.col("c_name").alias("party_name"),
+        F.lit("customer").alias("party_type"),
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("party_id"),
+        F.col("s_name").alias("party_name"),
+        F.lit("supplier").alias("party_type"),
+    )
+    return cust.unionByName(supp)
+
+
+def regex_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2: CUSIP-normalize shape — strip non-alphanumerics, take 8."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.substring(
+            F.regexp_replace(F.col("p_type").cast("string"), "[^A-Za-z0-9]", ""),
+            1,
+            8,
+        ).alias("type_code"),
+    )
+
+
+def json_extract_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """F4: parse-with-reject — JSON prop to number, nulls dropped."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+    )
+
+
+def rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup aggregation over the region/nation hierarchy."""
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    cust = load_table(spark, sf, "customer")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch equivalent of the streaming tumbling-window aggregation
+    (see streaming/events.py for the readStream version)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "filter_project": filter_project,
+    "semi_join_in_list": semi_join_in_list,
+    "anti_join_customers": anti_join_customers,
+    "broadcast_dim_join": broadcast_dim_join,
+    "left_join_coalesce": left_join_coalesce,
+    "interval_validity_join": interval_validity_join,
+    "dedup_first_non_null": dedup_first_non_null,
+    "dedup_keyed": dedup_keyed,
+    "distinct_segments": distinct_segments,
+    "greatest_least": greatest_least,
+    "window_lag_pct_change": window_lag_pct_change,
+    "window_cumprod": window_cumprod,
+    "calendar_explode": calendar_explode,
+    "measure_unpivot": measure_unpivot,
+    "topk_per_group": topk_per_group,
+    "union_all_parties": union_all_parties,
+    "regex_normalize": regex_normalize,
+    "json_extract_cast": json_extract_cast,
+    "rollup_counts": rollup_counts,
+    "hourly_rollup": hourly_rollup,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)       AS sum_qty,
+               round(sum(l_extendedprice), 2)  AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2)       AS avg_qty,
+               round(avg(l_extendedprice), 2)  AS avg_price,
+               round(avg(l_discount), 4)       AS avg_disc,
+               count(*)                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-03-15'
+          AND l_shipdate  > TIMESTAMP '1999-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "filter_project": """
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <= TIMESTAMP '1997-12-31'
+          AND o_orderstatus = 'O'
+    """,
+    "semi_join_in_list": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+    """,
+    "broadcast_dim_join": """
+        SELECT s_suppkey, s_name, n_name, r_name
+        FROM supplier
+        LEFT JOIN nation ON s_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "left_join_coalesce": """
+        SELECT c_custkey,
+               coalesce(n_orders, 0) AS n_orders,
+               round(coalesce(total_spend, 0.0) + c_acctbal, 2) AS lifetime_value
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(o_totalprice)        AS total_spend
+            FROM orders GROUP BY o_custkey
+        ) per_cust ON c_custkey = o_custkey
+    """,
+    "interval_validity_join": """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+                   AND l_shipdate >= o_orderdate
+                   AND l_shipdate <  o_orderdate + INTERVAL 120 DAY
+        GROUP BY o_orderpriority
+    """,
+    "dedup_first_non_null": """
+        SELECT user_id,
+               arg_min(event_type, ts) AS first_event_type,
+               arg_max(event_type, ts) AS last_event_type,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    "dedup_keyed": """
+        SELECT user_id, event_type,
+               CAST(min(event_id) AS BIGINT) AS first_event_id,
+               count(*) AS n
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    "greatest_least": """
+        SELECT l_orderkey, l_linenumber,
+               greatest(l_tax, l_discount) AS rate_hi,
+               least(l_tax, l_discount)    AS rate_lo
+        FROM lineitem
+    """,
+    "window_lag_pct_change": """
+        SELECT event_id, user_id, pct_change FROM (
+            SELECT event_id, user_id,
+                   round(value / lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts) - 1, 6) AS pct_change
+            FROM events
+        ) t WHERE pct_change IS NOT NULL
+    """,
+    "window_cumprod": """
+        SELECT event_id, user_id,
+               round(product(1 + value / 10000.0) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 100.0, 6) AS level
+        FROM events
+    """,
+    "calendar_explode": """
+        WITH days AS (
+            SELECT unnest(generate_series(
+                CAST(o_orderdate AS DATE),
+                CAST(o_orderdate AS DATE) + INTERVAL 6 DAY,
+                INTERVAL 1 DAY)) AS d
+            FROM orders
+        )
+        SELECT CAST(d AS DATE) AS d, count(*) AS n_open_orders
+        FROM days GROUP BY 1
+    """,
+    "measure_unpivot": """
+        WITH long AS (
+            SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+        FROM long GROUP BY measure
+    """,
+    "topk_per_group": """
+        SELECT c_nationkey, rank, c_custkey, c_acctbal FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rank
+            FROM customer
+        ) t WHERE rank <= 3
+    """,
+    "union_all_parties": """
+        SELECT c_custkey AS party_id, c_name AS party_name,
+               'customer' AS party_type
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_name, 'supplier' FROM supplier
+    """,
+    "regex_normalize": """
+        SELECT p_partkey,
+               substring(regexp_replace(CAST(p_type AS VARCHAR),
+                         '[^A-Za-z0-9]', '', 'g'), 1, 8) AS type_code
+        FROM part
+    """,
+    "json_extract_cast": """
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+        FROM events
+        WHERE TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) IS NOT NULL
+    """,
+    "rollup_counts": """
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "hourly_rollup": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}
