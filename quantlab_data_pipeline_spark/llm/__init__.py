@@ -1,1 +1,41 @@
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from .text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
 
+__all__ = [
+    "brute_force_topk",
+    "cosine",
+    "dot",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "lsh_topk",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "with_fingerprint",
+    "with_language_id",
+    "with_quality_score",
+    "with_text_stats",
+]

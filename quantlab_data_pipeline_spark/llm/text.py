@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All operators are native Catalyst expressions (no Python in the hot
+path) — at 100 TB these run inside whole-stage codegen directly over
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram scoring heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single punctuation.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, ratios."""
+    t = F.col(text_col)
+    words = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    n_words = F.size(words)
+    n_punct = F.regexp_count(t, F.lit("[^A-Za-z0-9\\s]"))
+    stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "n_words": n_words.cast("long"),
+            "avg_word_len": F.round(
+                F.when(
+                    n_words > 0,
+                    (F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)))
+                    / n_words,
+                ),
+                4,
+            ),
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+            "stopword_ratio": F.round(
+                n_stop / F.greatest(n_words, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] + keep flag — the filter stage
+    of a pretraining-data pipeline. Heuristic: enough words, sane word
+    length, not punctuation-soup, some stopwords."""
+    out = with_text_stats(df, text_col)
+    score = (
+        F.when(F.col("n_words") >= 20, F.lit(0.25)).otherwise(
+            F.col("n_words") / 80.0
+        )
+        + F.when(
+            (F.col("avg_word_len") >= 2) & (F.col("avg_word_len") <= 12), 0.25
+        ).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(
+            F.greatest(F.lit(0.0), 0.25 - F.col("punct_ratio"))
+        )
+        + F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.25)).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 6)).withColumn(
+        "keep", F.col("quality_score") >= 0.5
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language classifier.
+
+    CJK codepoints -> zh; otherwise the language whose stopword lexicon
+    hits the most words (ties broken by fixed language order), 'und'
+    (undetermined) when nothing hits.
+    """
+    words = _tokens(F.col(text_col))
+
+    def _score(sw: list[str]) -> Column:
+        arr = F.array([F.lit(x) for x in sw])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: _score(sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    argmax = F.lit("und")
+    # fixed reverse iteration order => earlier language wins ties
+    for lang in reversed(list(STOPWORDS)):
+        argmax = F.when(scores[lang] == best, F.lit(lang)).otherwise(argmax)
+    cjk = F.regexp_count(F.col(text_col), F.lit("[\\u4e00-\\u9fff]")) > 0
+    return df.withColumn(
+        "lang_pred",
+        F.when(cjk, F.lit("zh")).when(best > 0, argmax).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (stable content hash for exact dedup / provenance)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

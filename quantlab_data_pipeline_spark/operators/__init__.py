@@ -1,1 +1,45 @@
+from .dedup import (
+    dedupe_assets_master,
+    dedupe_consensus,
+    dedupe_first_non_null,
+    dedupe_ratings_history,
+    drop_duplicates_ordered,
+)
+from .dividends import attach_close_prices, clean_dividends
+from .factors import (
+    FACTOR_NAME_MAP,
+    cumulative_index,
+    join_momentum,
+    melt_factors,
+    risk_free,
+)
+from .intervals import (
+    explode_membership,
+    interval_overlap_join,
+    point_in_time_join,
+    trading_calendar,
+)
+from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
 
+__all__ = [
+    "FACTOR_NAME_MAP",
+    "attach_close_prices",
+    "attach_tickers",
+    "clean_dividends",
+    "cumulative_index",
+    "dedupe_assets_master",
+    "dedupe_consensus",
+    "dedupe_first_non_null",
+    "dedupe_ratings_history",
+    "delist_adjust",
+    "drop_duplicates_ordered",
+    "explode_membership",
+    "interval_overlap_join",
+    "join_momentum",
+    "melt_factors",
+    "pct_change",
+    "point_in_time_join",
+    "risk_free",
+    "trading_calendar",
+    "with_adj_close",
+]

@@ -680,3 +680,272 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# LLM training-data pipeline operators (BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+from .llm.dedup import (  # noqa: E402
+    exact_dedup as _exact_dedup,
+    minhash_dedup_pairs as _minhash_pairs,
+    ngram_jaccard_pairs as _ngram_pairs,
+    simhash_fingerprints as _simhash,
+    simhash_near_dup_pairs as _simhash_pairs,
+)
+from .llm.similarity import (  # noqa: E402
+    brute_force_topk as _bf_topk,
+    embedding_near_dup_pairs as _emb_pairs,
+    lsh_topk as _lsh_topk,
+)
+from .llm.text import (  # noqa: E402
+    with_fingerprint as _with_fp,
+    with_language_id as _with_lang,
+    with_quality_score as _with_quality,
+    with_text_stats as _with_stats,
+)
+
+
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Text quality features over documents (native expressions)."""
+    docs = load_table(spark, sf, "documents")
+    return _with_stats(docs).select(
+        "doc_id", "n_tokens", "n_words", "avg_word_len",
+        "punct_ratio", "stopword_ratio",
+    )
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score + keep flag."""
+    docs = load_table(spark, sf, "documents")
+    return _with_quality(docs).select("doc_id", "quality_score", "keep")
+
+
+def language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword/CJK heuristic language classification."""
+    docs = load_table(spark, sf, "documents")
+    return _with_lang(docs).select("doc_id", "lang_pred")
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """md5 fingerprint of normalized text."""
+    docs = load_table(spark, sf, "documents")
+    return _with_fp(docs).select("doc_id", "fingerprint")
+
+
+def exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: keeper id + copy count per hash."""
+    docs = load_table(spark, sf, "documents")
+    return _exact_dedup(docs)
+
+
+def ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs with prefix blocking."""
+    docs = load_table(spark, sf, "documents")
+    return _ngram_pairs(docs, block_chars=40, threshold=0.5)
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (signature-estimated Jaccard).
+
+    Not SQL-expressible (xxhash64 signatures) -> rows-only check; the
+    exact-Jaccard twin ``ngram_jaccard_dedup`` is the oracle-checked
+    variant of the same semantics.
+    """
+    docs = load_table(spark, sf, "documents")
+    return _minhash_pairs(docs, threshold=0.5)
+
+
+def simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints)."""
+    docs = load_table(spark, sf, "documents")
+    return _simhash_pairs(_simhash(docs), max_hamming=3)
+
+
+def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _bf_topk(queries_df, emb, k=5)
+
+
+def embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path; rows-only check)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _lsh_topk(queries_df, emb, k=5, bits=12, max_hamming=4)
+
+
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score >= 0.4)."""
+    emb = load_table(spark, sf, "embeddings")
+    return _emb_pairs(emb, threshold=0.4)
+
+
+_STOP_EN = "['the','and','of','to','a','in','is','that']"
+_STOP_DE = "['der','die','und','das','ist','ein','nicht','mit']"
+_STOP_ES = "['el','la','de','que','y','en','un','es']"
+_STOP_FR = "['le','la','et','les','des','un','est','que']"
+_TOKEN_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+SPARK_QUERIES.update(
+    {
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "language_id": language_id,
+        "doc_fingerprint": doc_fingerprint,
+        "exact_dedup_docs": exact_dedup_docs,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "simhash_dedup": simhash_dedup,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_near_dup": embedding_near_dup,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "text_stats": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_TOKEN_PAT}')) AS BIGINT) AS n_tokens,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(words) > 0 THEN
+                       list_sum(list_transform(words, w -> length(w))) / len(words)
+                   END, 4) AS avg_word_len,
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(words, w -> list_contains({_STOP_EN}, w)))
+                         / greatest(len(words), 1), 6) AS stopword_ratio
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       round(CASE WHEN len(words) > 0 THEN
+                           list_sum(list_transform(words, w -> length(w))) / len(words)
+                       END, 4) AS avg_word_len,
+                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(words, w -> list_contains({_STOP_EN}, w)))
+                             / greatest(len(words), 1), 6) AS stopword_ratio
+                FROM t
+            )
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+                     + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+                     + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   , 6) AS quality_score,
+                   round(
+                       (CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+                     + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+                     + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   , 6) >= 0.5 AS keep
+            FROM s
+        """,
+        "language_id": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       len(list_filter(words, w -> list_contains({_STOP_EN}, w))) AS s_en,
+                       len(list_filter(words, w -> list_contains({_STOP_DE}, w))) AS s_de,
+                       len(list_filter(words, w -> list_contains({_STOP_ES}, w))) AS s_es,
+                       len(list_filter(words, w -> list_contains({_STOP_FR}, w))) AS s_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                       WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                       ELSE 'fr'
+                   END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       substring(text, 1, 40) AS block,
+                       (WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words)
+                        SELECT CASE WHEN len(words) >= 3 THEN
+                            list_distinct(list_transform(
+                                generate_series(1, len(words) - 2),
+                                i -> array_to_string(words[i:i+2], ' ')))
+                        ELSE [array_to_string(words, ' ')] END FROM w) AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM base a JOIN base b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        """,
+        "embedding_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS score
+                FROM c, q WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, rank, neighbor_id, score FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+                ) AS INT) AS rank
+                FROM scored
+            ) t WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+        """,
+    }
+)

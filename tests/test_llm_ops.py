@@ -1,0 +1,185 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantlab_data_pipeline_spark.llm import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+from quantlab_data_pipeline_spark.llm.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+    resize_plan,
+    synthetic_media,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+    (4, "completely different content about spark query engines and data"),
+    (5, "der hund und die katze sind nicht mit dem vogel"),  # German
+    (6, "el perro y el gato que es un animal en la casa"),  # Spanish
+    (7, "x"),  # degenerate
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_text_stats(spark, docs):
+    out = {r["doc_id"]: r.asDict() for r in with_text_stats(docs).collect()}
+    assert out[1]["n_words"] == 13
+    assert out[1]["n_chars"] == len(DOCS[0][1])
+    # 'the' appears twice + 'and' once -> 3/13
+    assert out[1]["stopword_ratio"] == pytest.approx(round(3 / 13, 6))
+    assert out[7]["n_words"] == 1
+    assert out[7]["punct_ratio"] == 0.0
+
+
+def test_quality_score_keep_flag(spark, docs):
+    out = {r["doc_id"]: r.asDict() for r in with_quality_score(docs).collect()}
+    assert out[1]["keep"]  # normal sentence passes
+    assert not out[7]["keep"]  # one-char doc fails
+    assert 0.0 <= out[7]["quality_score"] < 0.5
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in with_language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "es"
+    assert out[7] == "und"
+
+
+def test_language_id_cjk(spark):
+    df = spark.createDataFrame([(1, "你好世界")], "doc_id long, text string")
+    assert with_language_id(df).collect()[0]["lang_pred"] == "zh"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in with_fingerprint(df).collect()]
+    assert len(set(fps)) == 1  # all normalize to the same content
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_copies = {r["n_copies"]: r for r in out}
+    assert by_copies[2]["keeper_id"] == 1  # docs 1,2 collapse, keep min id
+    assert sum(r["n_copies"] for r in out) == len(DOCS)
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in
+             minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup candidate survives banding
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dup(spark, docs):
+    fps = simhash_fingerprints(docs)
+    assert fps.count() == len(DOCS)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(fps, max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
+    assert (1, 3) in pairs  # one word changed -> few bits differ
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(q, vecs, k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in out]
+    assert ranked == [(1, 1), (2, 4)]
+    scores = {r["neighbor_id"]: r["score"] for r in out}
+    assert scores[1] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_lsh_topk_contains_best(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = lsh_topk(q, vecs, k=3, bits=8, max_hamming=8).collect()
+    # with generous hamming budget the exact best neighbor must appear
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_embedding_near_dup_pairs(spark, vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(vecs, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs  # opposite direction
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_image_features(media, decoder="fake").collect()
+    assert len(feats) == 10  # every third asset is an image
+    f = feats[0]
+    assert len(f["feature"]) == 8
+    assert 0 <= f["mean_intensity"] <= 255
+    # deterministic: re-running produces identical features
+    again = extract_image_features(media, decoder="fake").collect()
+    assert [r["mean_intensity"] for r in again] == [
+        r["mean_intensity"] for r in feats
+    ]
+
+
+def test_multimodal_pillow_stub(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, decoder="pillow")
+
+
+def test_resize_and_frame_plans(spark):
+    media = synthetic_media(spark, n=12)
+    rp = resize_plan(media, max_side=24).collect()
+    for r in rp:
+        assert max(r["target_width"], r["target_height"]) <= 24 or (
+            max(r["meta"]["width"], r["meta"]["height"]) <= 24
+        )
+    fp = frame_sample_plan(media, every_n=30).collect()
+    vids = [r for r in media.collect() if r["media_type"] == "video"]
+    assert len(fp) == sum(math.ceil(v["meta"]["n_frames"] / 30) for v in vids)

@@ -1,0 +1,226 @@
+"""Transform-library unit tests against small in-memory frames with
+hand-computed / pandas oracles (the coverage the reference lacks —
+SURVEY §5 'rebuild strategy', FIXTURES.md §14 input shapes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantlab_data_pipeline_spark.operators import (
+    clean_dividends,
+    cumulative_index,
+    dedupe_assets_master,
+    dedupe_consensus,
+    delist_adjust,
+    explode_membership,
+    interval_overlap_join,
+    melt_factors,
+    pct_change,
+    point_in_time_join,
+    trading_calendar,
+    with_adj_close,
+)
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def test_adj_close(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 20.0, None)], "asset_id long, close double, cfacpr double"
+    )
+    out = {r["asset_id"]: r["adj_close"] for r in with_adj_close(df).collect()}
+    assert out[1] == 20.0
+    assert out[2] is None  # null-propagating multiply, like pandas NaN
+
+
+def test_delist_adjust_compounding(spark):
+    returns = spark.createDataFrame(
+        [(1, _d("2020-01-02"), 0.10), (1, _d("2020-01-03"), 0.05),
+         (2, _d("2020-01-02"), -0.02)],
+        "asset_id long, date date, ret_1d double",
+    )
+    delists = spark.createDataFrame(
+        [(1, _d("2020-01-03"), -0.5)], "asset_id long, date date, dlret double"
+    )
+    out = {
+        (r["asset_id"], str(r["date"])): r["ret_1d"]
+        for r in delist_adjust(returns, delists).collect()
+    }
+    # oracle: (1+ret)*(1+dlret)-1 (wrds_ingestion.py:461)
+    assert out[(1, "2020-01-03")] == pytest.approx((1 + 0.05) * (1 - 0.5) - 1)
+    # no delist event -> unchanged
+    assert out[(1, "2020-01-02")] == pytest.approx(0.10)
+    assert out[(2, "2020-01-02")] == pytest.approx(-0.02)
+
+
+def test_pct_change_matches_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ticker": ["A"] * 4 + ["B"] * 3,
+            "date": list(pd.date_range("2020-01-01", periods=4))
+            + list(pd.date_range("2020-01-01", periods=3)),
+            "px": [10.0, 11.0, 9.0, 12.0, 100.0, 90.0, 99.0],
+        }
+    )
+    expected = pdf.groupby("ticker")["px"].pct_change()
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        pct_change(sdf, "px", ["ticker"], "date", "r")
+        .orderBy("ticker", "date")
+        .toPandas()
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(
+        out["r"].to_numpy(), expected.to_numpy(), equal_nan=True
+    )
+
+
+def test_dedupe_assets_master_ordered_ticker(spark):
+    rows = [
+        # asset 1: ticker should be the one with the LATEST last_date (NEW),
+        # dates aggregate min/max across all rows, null-safe.
+        (1, "OLD", _d("2000-01-01"), _d("2010-12-31"), None),
+        (1, "NEW", _d("2011-01-01"), _d("2020-12-31"), _d("1999-05-05")),
+        (1, None, _d("1995-01-01"), _d("2021-06-30"), None),
+        (2, "SOLO", _d("2005-01-01"), _d("2006-01-01"), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, ticker string, first_date date, last_date date, ipodate date",
+    )
+    out = {r["asset_id"]: r.asDict() for r in dedupe_assets_master(df).collect()}
+    assert out[1]["ticker"] == "NEW"  # null ticker at later last_date ignored
+    assert out[1]["first_date"] == _d("1995-01-01")
+    assert out[1]["last_date"] == _d("2021-06-30")
+    assert out[1]["ipodate"] == _d("1999-05-05")
+    assert out[2]["ticker"] == "SOLO"
+
+
+def test_dedupe_consensus_first_non_null(spark):
+    df = spark.createDataFrame(
+        [
+            (_d("2020-01-02"), 1, None, 3.0, 1),
+            (_d("2020-01-02"), 1, 2.5, None, 2),
+            (_d("2020-01-02"), 1, 9.9, 9.9, 3),
+        ],
+        "date date, asset_id long, mean_rating double, median_rating double, seq int",
+    )
+    out = dedupe_consensus(df, order="seq").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["mean_rating"] == 2.5  # first non-null in seq order
+    assert row["median_rating"] == 3.0
+
+
+def test_clean_dividends(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _d("2020-02-01"), "1232", 0.5, 10.0),
+            (1, _d("2020-02-01"), None, 0.25, None),
+            (2, _d("2020-02-01"), "1232", 1.0, None),
+        ],
+        "asset_id long, date date, distcd string, divamt double, close double",
+    )
+    out = {r["asset_id"]: r.asDict() for r in clean_dividends(df).collect()}
+    assert out[1]["divamt"] == pytest.approx(0.75)  # sum skipna
+    assert out[1]["distcd"] == "1232"
+    assert out[1]["close"] == 10.0
+    assert out[1]["dividend_yield"] == pytest.approx(0.075)
+    assert out[2]["dividend_yield"] is None  # null close -> null yield
+
+
+def test_point_in_time_join_interval_filter(spark):
+    funda = spark.createDataFrame(
+        [("G1", _d("2010-06-30"), 100.0), ("G1", _d("2020-06-30"), 200.0)],
+        "gvkey string, datadate date, revt double",
+    )
+    links = spark.createDataFrame(
+        [
+            ("G1", 11, _d("2000-01-01"), _d("2015-12-31")),
+            ("G1", 22, _d("2016-01-01"), None),  # open-ended
+        ],
+        "gvkey string, permno long, linkdt date, linkenddt date",
+    )
+    out = point_in_time_join(funda, links, "gvkey", "datadate", "linkdt", "linkenddt")
+    got = {(r["revt"], r["permno"]) for r in out.collect()}
+    assert got == {(100.0, 11), (200.0, 22)}
+
+
+def test_interval_overlap_join_cusip(spark):
+    ibes = spark.createDataFrame(
+        [("TK", "  00088-10.9 ", _d("2019-01-01"), _d("2020-06-30"))],
+        "ticker string, cusip string, sdate date, edate date",
+    )
+    crsp = spark.createDataFrame(
+        [
+            (7, "00088109", _d("2020-01-01"), None),       # overlaps
+            (8, "00088109", _d("2010-01-01"), _d("2012-01-01")),  # stale
+            (9, "99999999", _d("2020-01-01"), None),       # wrong cusip
+        ],
+        "asset_id long, ncusip string, namedt date, nameendt date",
+    )
+    out = interval_overlap_join(
+        ibes, crsp, "cusip", "ncusip", "sdate", "edate", "namedt", "nameendt",
+        window_start="2020-01-01", window_end="2020-12-31",
+    )
+    rows = out.collect()
+    assert [r["asset_id"] for r in rows] == [7]
+    assert rows[0]["valid_start"] == _d("2020-01-01")
+    assert rows[0]["valid_end"] == _d("2020-06-30")
+
+
+def test_trading_calendar_weekdays_only(spark):
+    cal = trading_calendar(spark, "2020-01-01", "2020-01-14").collect()
+    days = {r["date"] for r in cal}
+    assert _d("2020-01-04") not in days  # Saturday
+    assert _d("2020-01-05") not in days  # Sunday
+    assert _d("2020-01-06") in days
+    assert len(days) == 10
+    assert all(r["is_trading_day"] for r in cal)
+
+
+def test_explode_membership(spark):
+    cal = trading_calendar(spark, "2020-01-01", "2020-01-31")
+    intervals = spark.createDataFrame(
+        [(1, _d("2020-01-02"), _d("2020-01-08")), (2, _d("2020-01-30"), None)],
+        "asset_id long, start_date date, end_date date",
+    )
+    out = explode_membership(intervals, cal, clamp_end="2020-01-31").collect()
+    per_asset: dict[int, set] = {}
+    for r in out:
+        per_asset.setdefault(r["asset_id"], set()).add(r["date"])
+    # asset 1: Jan 2,3,6,7,8 (4th/5th are weekend)
+    assert per_asset[1] == {_d(f"2020-01-0{d}") for d in (2, 3, 6, 7, 8)}
+    # asset 2: open-ended clamped to Jan 30, 31
+    assert per_asset[2] == {_d("2020-01-30"), _d("2020-01-31")}
+    assert all(r["in_sp500"] for r in out)
+
+
+def test_melt_factors(spark):
+    wide = spark.createDataFrame(
+        [(_d("2020-01-02"), 1.0, -0.5, None, 0.25)],
+        "date date, mktrf double, smb double, hml double, rf double",
+    )
+    out = {r["factor_name"]: r["ret"] for r in melt_factors(wide).collect()}
+    assert out == {"MKT": pytest.approx(0.01), "SMB": pytest.approx(-0.005)}
+    # null hml dropped; rf not a factor column
+
+
+def test_cumulative_index(spark):
+    df = spark.createDataFrame(
+        [(_d("2020-01-01"), 0.10), (_d("2020-01-02"), -0.50), (_d("2020-01-03"), 1.0)],
+        "date date, ret double",
+    )
+    out = [
+        r["level"]
+        for r in cumulative_index(df).orderBy("date").collect()
+    ]
+    assert out == pytest.approx([110.0, 55.0, 110.0])
