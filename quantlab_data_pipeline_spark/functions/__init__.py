@@ -15,9 +15,10 @@ def normalize_cusip(col: Column | str) -> Column:
 
 def safe_double(col: Column | str) -> Column:
     """Numeric parse with reject (F4): non-numeric -> null (matches the
-    reference's try/float skip of FRED '.' observations)."""
+    reference's try/float skip of FRED '.' observations). ``try_cast``
+    because a plain cast throws under ANSI mode."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 __all__ = ["normalize_cusip", "safe_double"]

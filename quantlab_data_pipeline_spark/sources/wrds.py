@@ -1,0 +1,684 @@
+"""WRDS source adapters (SURVEY §2 S3, §7.1 step 6).
+
+The reference ships 14 SQL strings to a WRDS Postgres server through a
+single driver-side connection and pulls every result fully into driver
+memory (``/root/reference/src/data_pipeline/ingestion/wrds_ingestion.py``,
+queries cited per method below). Here the raw-input surface is an
+abstract :class:`WrdsSource` contract so the ingest DAG is testable
+offline:
+
+- :class:`JdbcWrdsSource` — Spark JDBC reads. Date-range and equality
+  predicates stay in the pushdown ``query`` (server-side filtering, like
+  the reference); big facts (daily prices) read in parallel with
+  ``partitionColumn=date`` so a 1000-executor cluster fans the scan out
+  instead of funneling through one connection. Permno IN-lists are NOT
+  string-spliced into SQL (the reference's ``_sql_list`` at
+  ``wrds_ingestion.py:24-28`` is injection-prone); membership filtering
+  happens Spark-side via a broadcast semi-join.
+- :class:`SyntheticWrdsSource` — deterministic generated raw frames with
+  the exact WRDS column shapes, for offline ingest tests. Covers the
+  reference's edge cases: ticker changes over time, delistings,
+  open-ended link intervals, duplicate consensus rows, CUSIPs with
+  punctuation.
+
+Every method returns a *raw-shaped* Spark DataFrame; all normalization
+(renames, derived columns, dedup) happens downstream in
+:mod:`..ingestion.pipeline` so raw snapshots stay faithful.
+"""
+
+from __future__ import annotations
+
+import abc
+import datetime as _dt
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class WrdsSource(abc.ABC):
+    """Raw-input contract for the ingest DAG.
+
+    Column shapes mirror the WRDS tables the reference queries; see each
+    method's docstring for the source table and reference citation.
+    """
+
+    @abc.abstractmethod
+    def sp500_universe(self, start: str, end: str) -> DataFrame:
+        """crsp.dsp500list -> (permno, start_date, end_date)
+        (wrds_ingestion.py:108-116)."""
+
+    @abc.abstractmethod
+    def stock_names(self, permnos: Sequence[int]) -> DataFrame:
+        """crsp.dsenames -> (asset_id, ticker, first_date, last_date)
+        distinct (wrds_ingestion.py:119-129)."""
+
+    @abc.abstractmethod
+    def ipo_dates(self, permnos: Sequence[int]) -> DataFrame:
+        """ccmxpf_linktable x g_company -> (asset_id, ipodate) distinct
+        (wrds_ingestion.py:132-152). May return an empty frame (the
+        reference degrades when the table is absent)."""
+
+    @abc.abstractmethod
+    def daily_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        """crsp.dsf -> (date, permno, open, high, low, close, cfacpr,
+        ret, shrout, volume) (wrds_ingestion.py:169-189)."""
+
+    @abc.abstractmethod
+    def monthly_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        """crsp.msf -> (date, permno, close, ret, volume, shrout)
+        (wrds_ingestion.py:192-207)."""
+
+    @abc.abstractmethod
+    def delist_events(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        """crsp.StkDelists -> (asset_id, date, dlret)
+        (wrds_ingestion.py:326-437; the reference's delret->dlret rename
+        is part of this contract)."""
+
+    @abc.abstractmethod
+    def dividends(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        """crsp.msedist -> (asset_id, distcd, divamt, facpr, facshr,
+        date) (wrds_ingestion.py:210-227)."""
+
+    @abc.abstractmethod
+    def ccm_links(self, permnos: Sequence[int], end: str) -> DataFrame:
+        """crsp.ccmxpf_linktable -> (gvkey, permno, linkdt, linkenddt),
+        linktype LU/LC, linkprim P/C (wrds_ingestion.py:483-493)."""
+
+    @abc.abstractmethod
+    def fundamentals(self, gvkeys: Sequence[str], start: str, end: str) -> DataFrame:
+        """comp.funda -> (gvkey, datadate, revt, sale, ni, at, ceq,
+        dltt, pstk, oancf, capx, xrd), INDL/STD/D/C filters
+        (wrds_ingestion.py:495-513)."""
+
+    @abc.abstractmethod
+    def ibes_ids(self, end: str) -> DataFrame:
+        """tr_ibes.id -> (ticker, cusip, cname, start_date, end_date)
+        (wrds_ingestion.py:558-585); null end_date = open coverage."""
+
+    @abc.abstractmethod
+    def crsp_cusip_names(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        """crsp.dsenames -> (asset_id, ncusip, start_date, end_date),
+        ncusip not null (wrds_ingestion.py:586-604)."""
+
+    @abc.abstractmethod
+    def consensus(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        """tr_ibes.recdsum -> (statpers, ticker, oftic, cusip, cname,
+        buypct, holdpct, sellpct, meanrec, medrec, stdev, numup,
+        numdown, numrec, usfirm) (wrds_ingestion.py:683-726)."""
+
+    @abc.abstractmethod
+    def ratings_detail(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        """tr_ibes.recddet -> analyst-level detail with (ticker,
+        anndats, analys, ireccd, ereccd, itext, statpers)
+        (wrds_ingestion.py:793-860)."""
+
+    @abc.abstractmethod
+    def ff_factors(self, start: str, end: str) -> DataFrame:
+        """ff_all.fivefactors_daily -> (date, mktrf, smb, hml, rmw,
+        cma, rf), percent units (wrds_ingestion.py:895-922)."""
+
+    @abc.abstractmethod
+    def ff_momentum(self, start: str, end: str) -> DataFrame:
+        """ff_all.factors_daily -> (date, umd), percent units
+        (wrds_ingestion.py:912-916)."""
+
+    @abc.abstractmethod
+    def benchmark(self, start: str, end: str) -> DataFrame:
+        """crsp.dsp500 -> (date, ret) value-weighted S&P 500 return
+        (wrds_ingestion.py:984-1001)."""
+
+    def source_tag(self) -> str:
+        """Provenance tag recorded in data_sources.yml."""
+        return type(self).__name__
+
+
+# --------------------------------------------------------------------- JDBC
+
+
+def _semi_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """Membership filter without SQL string-splicing: tiny lists become
+    an IN predicate (pushed to the JDBC scan by Catalyst); larger ones a
+    broadcast left-semi join."""
+    vals = list(values)
+    if len(vals) <= 1000:
+        return df.filter(F.col(col).isin(vals))
+    spark = df.sparkSession
+    ids = spark.createDataFrame([(v,) for v in vals], [col])
+    return df.join(F.broadcast(ids), col, "left_semi")
+
+
+class JdbcWrdsSource(WrdsSource):
+    """WRDS over Spark JDBC.
+
+    Each method reads with a pushdown ``query`` carrying the date-range
+    and equality predicates server-side (the reference does the same in
+    its SQL strings); permno/ticker membership is applied Spark-side via
+    :func:`_semi_filter`. The daily-price fact — the only input that is
+    big at the 100 TB design point — reads in parallel partitioned on
+    ``date`` so the scan fans out across executors.
+
+    Untested against a live server in this environment (no network /
+    credentials); the class exists so the DAG's source boundary is real
+    and swappable, per the reference's DataHandler design contract.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str = "jdbc:postgresql://wrds-pgdata.wharton.upenn.edu:9737/wrds",
+        user: str | None = None,
+        password: str | None = None,
+        fetch_partitions: int = 32,
+    ):
+        self.spark = spark
+        self.url = url
+        self.user = user
+        self.password = password
+        self.fetch_partitions = fetch_partitions
+
+    def _read(self, query: str, partition_on_date: tuple[str, str] | None = None) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", query)
+            .option("fetchsize", 10_000)
+        )
+        if self.user:
+            reader = reader.option("user", self.user).option("password", self.password or "")
+        if partition_on_date:
+            lo, hi = partition_on_date
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", f"({query}) q")
+                .option("partitionColumn", "date")
+                .option("lowerBound", lo)
+                .option("upperBound", hi)
+                .option("numPartitions", self.fetch_partitions)
+                .option("fetchsize", 10_000)
+            )
+            if self.user:
+                reader = reader.option("user", self.user).option("password", self.password or "")
+        return reader.load()
+
+    def sp500_universe(self, start: str, end: str) -> DataFrame:
+        q = (
+            "select permno, start as start_date, ending as end_date "
+            f"from crsp.dsp500list where start <= '{end}' and ending >= '{start}'"
+        )
+        return self._read(q)
+
+    def stock_names(self, permnos: Sequence[int]) -> DataFrame:
+        q = (
+            "select distinct permno as asset_id, ticker, namedt as first_date, "
+            "nameendt as last_date from crsp.dsenames"
+        )
+        return _semi_filter(self._read(q), "asset_id", permnos)
+
+    def ipo_dates(self, permnos: Sequence[int]) -> DataFrame:
+        q = (
+            "select distinct l.lpermno as asset_id, g.ipodate "
+            "from crsp.ccmxpf_linktable l join comp_global_daily.g_company g "
+            "on l.gvkey = g.gvkey "
+            "where l.linktype in ('LU','LC') and l.linkprim in ('P','C')"
+        )
+        return _semi_filter(self._read(q), "asset_id", permnos)
+
+    def daily_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        q = (
+            "select d.date, d.permno, d.openprc as open, d.askhi as high, "
+            "d.bidlo as low, d.prc as close, d.cfacpr, d.ret, d.shrout, "
+            f"d.vol as volume from crsp.dsf d where d.date between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q, partition_on_date=(start, end)), "permno", permnos)
+
+    def monthly_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        q = (
+            "select m.date, m.permno, m.prc as close, m.ret, m.vol as volume, "
+            f"m.shrout from crsp.msf m where m.date between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q), "permno", permnos)
+
+    def delist_events(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        q = (
+            "select permno as asset_id, delistingdt as date, delret "
+            f"from crsp.StkDelists where delistingdt between '{start}' and '{end}'"
+        )
+        df = _semi_filter(self._read(q), "asset_id", permnos)
+        return df.withColumnRenamed("delret", "dlret")
+
+    def dividends(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        q = (
+            "select permno as asset_id, distcd, divamt, facpr, facshr, "
+            f"paydt as date from crsp.msedist where paydt between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q), "asset_id", permnos)
+
+    def ccm_links(self, permnos: Sequence[int], end: str) -> DataFrame:
+        q = (
+            "select gvkey, lpermno as permno, linkdt, linkenddt "
+            "from crsp.ccmxpf_linktable "
+            "where linktype in ('LU','LC') and linkprim in ('P','C') "
+            f"and (linkdt <= '{end}' or linkdt is null)"
+        )
+        return _semi_filter(self._read(q), "permno", permnos)
+
+    def fundamentals(self, gvkeys: Sequence[str], start: str, end: str) -> DataFrame:
+        q = (
+            "select gvkey, datadate, revt, sale, ni, at, ceq, dltt, pstk, "
+            "oancf, capx, xrd from comp.funda "
+            "where indfmt='INDL' and datafmt='STD' and popsrc='D' and consol='C' "
+            f"and datadate between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q), "gvkey", gvkeys)
+
+    def ibes_ids(self, end: str) -> DataFrame:
+        q = (
+            "select ticker, cusip, cname, sdates as start_date, "
+            f"cast(null as date) as end_date from tr_ibes.id where sdates <= '{end}'"
+        )
+        return self._read(q)
+
+    def crsp_cusip_names(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        q = (
+            "select permno as asset_id, ncusip, namedt as start_date, "
+            "nameendt as end_date from crsp.dsenames "
+            f"where ncusip is not null and namedt <= '{end}' "
+            f"and (nameendt is null or nameendt >= '{start}')"
+        )
+        return _semi_filter(self._read(q), "asset_id", permnos)
+
+    def consensus(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        q = (
+            "select statpers, ticker, oftic, cusip, cname, buypct, holdpct, "
+            "sellpct, meanrec, medrec, stdev, numup, numdown, numrec, usfirm "
+            f"from tr_ibes.recdsum where statpers between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q), "ticker", tickers)
+
+    def ratings_detail(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        q = (
+            "select ticker, anndats, statpers, analys, ireccd, ereccd, itext "
+            f"from tr_ibes.recddet where anndats between '{start}' and '{end}'"
+        )
+        return _semi_filter(self._read(q), "ticker", tickers)
+
+    def ff_factors(self, start: str, end: str) -> DataFrame:
+        q = (
+            "select date, mktrf, smb, hml, rmw, cma, rf "
+            f"from ff_all.fivefactors_daily where date between '{start}' and '{end}'"
+        )
+        return self._read(q)
+
+    def ff_momentum(self, start: str, end: str) -> DataFrame:
+        q = f"select date, umd from ff_all.factors_daily where date between '{start}' and '{end}'"
+        return self._read(q)
+
+    def benchmark(self, start: str, end: str) -> DataFrame:
+        q = f"select date, vwretd as ret from crsp.dsp500 where date between '{start}' and '{end}'"
+        return self._read(q)
+
+    def source_tag(self) -> str:
+        return "wrds"
+
+
+# ---------------------------------------------------------------- synthetic
+
+
+_SYN_TICKERS = [
+    "ALPH", "BRVO", "CHRL", "DLTA", "ECHO", "FXTT", "GOLF", "HTEL",
+    "INDI", "JLET", "KILO", "LIMA", "MIKE", "NOVB", "OSCR", "PAPA",
+]
+
+
+class SyntheticWrdsSource(WrdsSource):
+    """Deterministic offline stand-in for WRDS, for ingest tests.
+
+    ``n_assets`` assets with business-day price paths over the requested
+    window. Structural edge cases baked in:
+
+    - asset 0 changes ticker mid-history (two dsenames rows)
+    - the last asset delists two-thirds through the window (dlret=-0.15)
+    - every asset has a CCM link; asset 1's link closes mid-window and a
+      second link opens (point-in-time join must split its history)
+    - CUSIPs carry punctuation (exercises normalize_cusip)
+    - consensus has duplicate (statpers, ticker) rows with complementary
+      nulls (exercises first-non-null dedup)
+    - quarterly fundamentals miss xrd for odd assets (null padding)
+    """
+
+    def __init__(self, spark: SparkSession, n_assets: int = 8, seed: int = 7):
+        if n_assets > len(_SYN_TICKERS):
+            raise ValueError(f"n_assets must be <= {len(_SYN_TICKERS)}")
+        self.spark = spark
+        self.n_assets = n_assets
+        self.seed = seed
+
+    # -- driver-side generation helpers (tiny data; determinism > scale) --
+
+    def _rng(self, salt: int) -> np.random.RandomState:
+        return np.random.RandomState(self.seed * 1000 + salt)
+
+    @staticmethod
+    def _bdays(start: str, end: str) -> pd.DatetimeIndex:
+        return pd.bdate_range(start=start, end=end)
+
+    def _permnos(self) -> list[int]:
+        return [10001 + i for i in range(self.n_assets)]
+
+    def _delist_date(self, start: str, end: str) -> pd.Timestamp:
+        days = self._bdays(start, end)
+        return days[(len(days) * 2) // 3]
+
+    def _df(self, pdf: pd.DataFrame, schema: str) -> DataFrame:
+        return self.spark.createDataFrame(pdf, schema=schema)
+
+    def sp500_universe(self, start: str, end: str) -> DataFrame:
+        rows = []
+        days = self._bdays(start, end)
+        delist = self._delist_date(start, end)
+        for i, p in enumerate(self._permnos()):
+            s = days[0] if i % 3 else days[min(i * 2, len(days) - 1)]
+            e = delist if i == self.n_assets - 1 else days[-1]
+            rows.append((p, s.date(), e.date()))
+        pdf = pd.DataFrame(rows, columns=["permno", "start_date", "end_date"])
+        return self._df(pdf, "permno long, start_date date, end_date date")
+
+    def stock_names(self, permnos: Sequence[int]) -> DataFrame:
+        days = self._bdays("1990-01-01", "2030-01-01")
+        rows = []
+        for i, p in enumerate(self._permnos()):
+            if p not in set(permnos):
+                continue
+            tk = _SYN_TICKERS[i]
+            if i == 0:
+                # ticker change: OLD0 until 2015, then the current one
+                rows.append((p, "OLD0", days[0].date(), _dt.date(2015, 6, 30)))
+                rows.append((p, tk, _dt.date(2015, 7, 1), days[-1].date()))
+            else:
+                rows.append((p, tk, days[0].date(), days[-1].date()))
+        pdf = pd.DataFrame(rows, columns=["asset_id", "ticker", "first_date", "last_date"])
+        return self._df(pdf, "asset_id long, ticker string, first_date date, last_date date")
+
+    def ipo_dates(self, permnos: Sequence[int]) -> DataFrame:
+        rows = [
+            (p, _dt.date(1995 + i, 3, 15))
+            for i, p in enumerate(self._permnos())
+            if p in set(permnos) and i % 2 == 0  # only evens have IPO data
+        ]
+        pdf = pd.DataFrame(rows, columns=["asset_id", "ipodate"])
+        return self._df(pdf, "asset_id long, ipodate date")
+
+    def daily_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        days = self._bdays(start, end)
+        delist = self._delist_date(start, end)
+        frames = []
+        for i, p in enumerate(self._permnos()):
+            if p not in set(permnos):
+                continue
+            rng = self._rng(salt=i)
+            d = days[days <= delist] if i == self.n_assets - 1 else days
+            n = len(d)
+            ret = rng.normal(0.0005, 0.02, n)
+            close = 50.0 * (1 + i) * np.cumprod(1 + ret)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "date": d.date,
+                        "permno": p,
+                        "open": close * (1 - rng.uniform(0, 0.01, n)),
+                        "high": close * (1 + rng.uniform(0, 0.02, n)),
+                        "low": close * (1 - rng.uniform(0, 0.02, n)),
+                        "close": close,
+                        "cfacpr": np.where(d < pd.Timestamp("2020-02-15"), 2.0, 1.0)
+                        if i == 1
+                        else np.ones(n),
+                        "ret": ret,
+                        "shrout": float(1000 * (i + 1)),
+                        "volume": rng.randint(10_000, 1_000_000, n).astype(float),
+                    }
+                )
+            )
+        pdf = pd.concat(frames, ignore_index=True)
+        return self._df(
+            pdf,
+            "date date, permno long, open double, high double, low double, "
+            "close double, cfacpr double, ret double, shrout double, volume double",
+        )
+
+    def monthly_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        daily = self.daily_prices(permnos, start, end).toPandas()
+        daily["date"] = pd.to_datetime(daily["date"])
+        g = daily.groupby([daily["date"].dt.to_period("M"), "permno"])
+        pdf = pd.DataFrame(
+            {
+                "date": g["date"].max().values,
+                "permno": [k[1] for k in g.groups],
+                "close": g["close"].last().values,
+                "ret": (g["close"].last() / g["close"].first() - 1).values,
+                "volume": g["volume"].sum().values,
+                "shrout": g["shrout"].last().values,
+            }
+        )
+        pdf["date"] = pd.to_datetime(pdf["date"]).dt.date
+        return self._df(
+            pdf,
+            "date date, permno long, close double, ret double, volume double, shrout double",
+        )
+
+    def delist_events(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        p = self._permnos()[-1]
+        rows = [(p, self._delist_date(start, end).date(), -0.15)] if p in set(permnos) else []
+        pdf = pd.DataFrame(rows, columns=["asset_id", "date", "dlret"])
+        return self._df(pdf, "asset_id long, date date, dlret double")
+
+    def dividends(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        days = self._bdays(start, end)
+        rows = []
+        for i, p in enumerate(self._permnos()):
+            if p not in set(permnos) or i % 2:
+                continue  # evens pay dividends
+            for q in range(0, len(days), 63):  # ~quarterly
+                d = days[q].date()
+                rows.append((p, "1232", 0.25 + 0.05 * i, None, None, d))
+                if i == 0:
+                    # same-day second distribution with complementary nulls
+                    rows.append((p, None, 0.10, 1.0, None, d))
+        pdf = pd.DataFrame(
+            rows, columns=["asset_id", "distcd", "divamt", "facpr", "facshr", "date"]
+        )
+        return self._df(
+            pdf,
+            "asset_id long, distcd string, divamt double, facpr double, "
+            "facshr double, date date",
+        )
+
+    def ccm_links(self, permnos: Sequence[int], end: str) -> DataFrame:
+        rows = []
+        for i, p in enumerate(self._permnos()):
+            if p not in set(permnos):
+                continue
+            gv = f"{100000 + i:06d}"
+            if i == 1:
+                rows.append((gv, p, _dt.date(1990, 1, 1), _dt.date(2020, 2, 29)))
+                rows.append((f"{200000 + i:06d}", p, _dt.date(2020, 3, 1), None))
+            else:
+                rows.append((gv, p, _dt.date(1990, 1, 1), None))
+        pdf = pd.DataFrame(rows, columns=["gvkey", "permno", "linkdt", "linkenddt"])
+        return self._df(pdf, "gvkey string, permno long, linkdt date, linkenddt date")
+
+    def fundamentals(self, gvkeys: Sequence[str], start: str, end: str) -> DataFrame:
+        qtr_ends = pd.date_range(start=start, end=end, freq="QE")
+        gvset = set(gvkeys)
+        rows = []
+        all_links = self.ccm_links(self._permnos(), end).toPandas()
+        for _, link in all_links.iterrows():
+            gv = link["gvkey"]
+            if gv not in gvset:
+                continue
+            i = int(link["permno"]) - 10001
+            rng = self._rng(salt=500 + i)
+            for qe in qtr_ends:
+                base = 1000.0 * (i + 1)
+                rows.append(
+                    {
+                        "gvkey": gv,
+                        "datadate": qe.date(),
+                        "revt": base * rng.uniform(0.9, 1.1),
+                        "sale": base * rng.uniform(0.9, 1.1),
+                        "ni": base * 0.1 * rng.uniform(0.5, 1.5),
+                        "at": base * 5,
+                        "ceq": base * 2,
+                        "dltt": base * 1.5,
+                        "pstk": 0.0,
+                        "oancf": base * 0.2,
+                        "capx": base * 0.05,
+                        "xrd": None if i % 2 else base * 0.08,
+                    }
+                )
+        pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "gvkey", "datadate", "revt", "sale", "ni", "at", "ceq",
+                "dltt", "pstk", "oancf", "capx", "xrd",
+            ],
+        )
+        return self._df(
+            pdf,
+            "gvkey string, datadate date, revt double, sale double, ni double, "
+            "at double, ceq double, dltt double, pstk double, oancf double, "
+            "capx double, xrd double",
+        )
+
+    def _cusip(self, i: int) -> str:
+        return f"{37833100 + i:08d}"
+
+    def ibes_ids(self, end: str) -> DataFrame:
+        rows = []
+        for i in range(self.n_assets):
+            raw = self._cusip(i)
+            # punctuated CUSIP exercises normalize_cusip
+            cusip = f"{raw[:3]}-{raw[3:6]}.{raw[6:]}" if i % 2 else raw
+            rows.append(
+                (f"IB{i}", cusip, f"Company {i}", _dt.date(2000, 1, 1), None)
+            )
+        pdf = pd.DataFrame(
+            rows, columns=["ticker", "cusip", "cname", "start_date", "end_date"]
+        )
+        return self._df(
+            pdf,
+            "ticker string, cusip string, cname string, start_date date, end_date date",
+        )
+
+    def crsp_cusip_names(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        rows = [
+            (p, self._cusip(i), _dt.date(2000, 1, 1), None)
+            for i, p in enumerate(self._permnos())
+            if p in set(permnos)
+        ]
+        pdf = pd.DataFrame(rows, columns=["asset_id", "ncusip", "start_date", "end_date"])
+        return self._df(
+            pdf, "asset_id long, ncusip string, start_date date, end_date date"
+        )
+
+    def consensus(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        months = pd.date_range(start=start, end=end, freq="ME")
+        tset = set(tickers)
+        rows = []
+        for i in range(self.n_assets):
+            tk = f"IB{i}"
+            if tk not in tset:
+                continue
+            rng = self._rng(salt=700 + i)
+            for m in months:
+                mean = float(rng.uniform(1.5, 4.5))
+                base = dict(
+                    statpers=m.date(), ticker=tk, oftic=_SYN_TICKERS[i],
+                    cusip=self._cusip(i), cname=f"Company {i}",
+                    buypct=40.0, holdpct=40.0, sellpct=20.0,
+                    meanrec=round(mean, 2), medrec=round(mean), stdev=0.5,
+                    numup=int(rng.randint(0, 4)), numdown=int(rng.randint(0, 4)),
+                    numrec=int(rng.randint(3, 20)), usfirm=1,
+                )
+                rows.append(base)
+                if i == 0:
+                    # duplicate snapshot with complementary nulls:
+                    # first-non-null dedup must stitch the two together
+                    dup = dict(base)
+                    dup["meanrec"] = None
+                    dup["cname"] = None
+                    rows.append(dup)
+        pdf = pd.DataFrame(rows)
+        return self._df(
+            pdf,
+            "statpers date, ticker string, oftic string, cusip string, "
+            "cname string, buypct double, holdpct double, sellpct double, "
+            "meanrec double, medrec double, stdev double, numup long, "
+            "numdown long, numrec long, usfirm long",
+        )
+
+    def ratings_detail(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        months = pd.date_range(start=start, end=end, freq="ME")
+        tset = set(tickers)
+        text = {1: "Strong Buy", 2: "Buy", 3: "Hold", 4: "Underperform", 5: "Sell"}
+        rows = []
+        for i in range(self.n_assets):
+            tk = f"IB{i}"
+            if tk not in tset:
+                continue
+            rng = self._rng(salt=900 + i)
+            for m in months:
+                for a in range(1 + i % 3):
+                    rec = int(rng.randint(1, 6))
+                    rows.append(
+                        (tk, m.date(), m.date(), 5000 + a, float(rec), "M", text[rec])
+                    )
+        pdf = pd.DataFrame(
+            rows,
+            columns=["ticker", "anndats", "statpers", "analys", "ireccd", "ereccd", "itext"],
+        )
+        return self._df(
+            pdf,
+            "ticker string, anndats date, statpers date, analys long, "
+            "ireccd double, ereccd string, itext string",
+        )
+
+    def ff_factors(self, start: str, end: str) -> DataFrame:
+        days = self._bdays(start, end)
+        rng = self._rng(salt=1300)
+        n = len(days)
+        pdf = pd.DataFrame(
+            {
+                "date": days.date,
+                "mktrf": rng.normal(0.05, 1.0, n),
+                "smb": rng.normal(0.0, 0.5, n),
+                "hml": rng.normal(0.0, 0.5, n),
+                "rmw": rng.normal(0.0, 0.4, n),
+                "cma": rng.normal(0.0, 0.4, n),
+                "rf": np.full(n, 0.01),
+            }
+        )
+        return self._df(
+            pdf,
+            "date date, mktrf double, smb double, hml double, rmw double, "
+            "cma double, rf double",
+        )
+
+    def ff_momentum(self, start: str, end: str) -> DataFrame:
+        days = self._bdays(start, end)
+        rng = self._rng(salt=1400)
+        pdf = pd.DataFrame({"date": days.date, "umd": rng.normal(0.0, 0.6, len(days))})
+        return self._df(pdf, "date date, umd double")
+
+    def benchmark(self, start: str, end: str) -> DataFrame:
+        days = self._bdays(start, end)
+        rng = self._rng(salt=1500)
+        pdf = pd.DataFrame({"date": days.date, "ret": rng.normal(0.0004, 0.011, len(days))})
+        return self._df(pdf, "date date, ret double")
+
+    def source_tag(self) -> str:
+        return "synthetic"

@@ -1,0 +1,214 @@
+"""End-to-end ingest test the reference never had (its ingestion path
+is untested, SURVEY §5): run the full 17-step DAG against the
+deterministic synthetic source, then read every output back through
+``LocalParquetDataHandler`` and check derived values against
+independent recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from quantlab_data_pipeline_spark.ingestion.pipeline import ingest
+from quantlab_data_pipeline_spark.schemas import SCHEMAS
+from quantlab_data_pipeline_spark.sources.fred import synthetic_fred_fetcher
+from quantlab_data_pipeline_spark.sources.wrds import SyntheticWrdsSource
+from quantlab_data_pipeline_spark.storage.parquet import LocalParquetDataHandler
+
+START, END = "2020-01-01", "2020-06-30"
+
+
+@pytest.fixture(scope="module")
+def data_root(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ingest_root")
+    ingest(
+        root, START, END, save_raw=True,
+        source=SyntheticWrdsSource(spark, n_assets=6),
+        fred_fetcher=synthetic_fred_fetcher(), spark=spark,
+    )
+    return root / "quantlab_data_pipeline"
+
+
+@pytest.fixture(scope="module")
+def handler(data_root, spark):
+    return LocalParquetDataHandler(data_root, spark=spark)
+
+
+def test_all_outputs_exist_with_registered_schemas(data_root, spark):
+    for table, schema in SCHEMAS.items():
+        sub = "data_meta" if table in {"assets_master", "universe_sp500", "trading_calendar"} else "data_processed"
+        path = data_root / sub / f"{table}.parquet"
+        assert path.exists(), f"missing {table}"
+        df = spark.read.parquet(str(path))
+        assert df.count() > 0, f"{table} is empty"
+        assert df.columns == schema.names, (
+            f"{table} columns {df.columns} != registered {schema.names}"
+        )
+
+
+def test_manifests_written(data_root):
+    meta = data_root / "data_meta"
+    sources = yaml.safe_load((meta / "data_sources.yml").read_text())
+    assert sources["params"]["source"] == "synthetic"
+    assert "prices_daily" in sources["datasets"]
+    manifest = pd.read_csv(meta / "field_manifest.csv")
+    assert {"dataset", "type", "source", "path", "column"} <= set(manifest.columns)
+    got_cols = set(
+        manifest[manifest["dataset"] == "prices_daily"]["column"]
+    )
+    assert got_cols == set(SCHEMAS["prices_daily"].names)
+    # raw snapshots are in the manifest too (save_raw=True)
+    assert (manifest["type"] == "raw").any()
+    assert (data_root / "reference" / "field_manifest.csv").exists()
+
+
+def test_adj_close_derivation(handler):
+    px = handler.get_prices(["BRVO"], start_date=START, end_date=END)
+    assert len(px) > 0
+    np.testing.assert_allclose(px["adj_close"], px["close"] * px["cfacpr"])
+    # BRVO has cfacpr=2 before 2020-02-15 (synthetic split)
+    early = px[px["date"] < "2020-02-15"]
+    assert (early["cfacpr"] == 2.0).all()
+
+
+def test_delist_compounding(handler, data_root, spark):
+    """The last asset delists with dlret=-0.15: on the delist date
+    ret_1d must be (1+ret)*(1-0.15)-1, elsewhere ret_1d == ret."""
+    raw = spark.read.parquet(str(data_root / "data_raw" / "dlret_daily_raw.parquet")).toPandas()
+    assert len(raw) == 1
+    delist_date, dlret = raw.loc[0, "date"], raw.loc[0, "dlret"]
+    asset = int(raw.loc[0, "asset_id"])
+
+    prices = spark.read.parquet(
+        str(data_root / "data_processed" / "prices_daily.parquet")
+    ).toPandas()
+    returns = spark.read.parquet(
+        str(data_root / "data_processed" / "returns_daily.parquet")
+    ).toPandas()
+    merged = returns[returns["asset_id"] == asset].merge(
+        prices[prices["asset_id"] == asset][["date", "ret"]], on="date"
+    )
+    on_day = merged[merged["date"] == delist_date]
+    off_day = merged[merged["date"] != delist_date]
+    assert len(on_day) == 1
+    expected = (1 + on_day["ret"].iloc[0]) * (1 + dlret) - 1
+    assert abs(on_day["ret_1d"].iloc[0] - expected) < 1e-12
+    np.testing.assert_allclose(off_day["ret_1d"], off_day["ret"])
+
+
+def test_membership_explode_clamped(handler):
+    uni = handler.get_universe(date="2020-03-02")
+    assert len(uni) > 0
+    assert uni["in_universe"].all()
+    # no membership row outside the ingest window or on weekends
+    full = handler.get_universe()
+    dts = pd.to_datetime(full["date"])
+    assert dts.min() >= pd.Timestamp(START)
+    assert dts.max() <= pd.Timestamp(END)
+    assert (dts.dt.dayofweek < 5).all()
+
+
+def test_delisted_asset_leaves_universe(handler, data_root, spark):
+    raw = spark.read.parquet(str(data_root / "data_raw" / "dlret_daily_raw.parquet")).toPandas()
+    asset, delist_date = int(raw.loc[0, "asset_id"]), raw.loc[0, "date"]
+    full = handler.get_universe()
+    mine = full[full["asset_id"] == asset]
+    assert pd.to_datetime(mine["date"]).max() == pd.Timestamp(delist_date)
+
+
+def test_fundamentals_point_in_time_link(handler):
+    """Asset 10002's CCM link switches gvkey on 2020-03-01; quarters on
+    both sides must still map to the same permno, exactly once."""
+    f = handler.get_fundamentals(["BRVO"], start_date=START, end_date=END)
+    assert len(f) == 2  # 2020-03-31 and 2020-06-30 quarter ends
+    assert f["report_date"].is_unique
+    assert "revenue" in f.columns and "net_income" in f.columns
+
+
+def test_consensus_first_non_null_dedup(handler):
+    """IB0's duplicate consensus snapshots carry complementary nulls;
+    after dedup each (date, asset_id) appears once with both fields."""
+    c = handler.get_analyst_consensus(["ALPH"], start_date=START, end_date=END)
+    assert len(c) > 0
+    assert not c.duplicated(subset=["date", "asset_id"]).any()
+    assert c["mean_rating"].notna().all()
+    assert c["company_name"].notna().all()
+
+
+def test_ratings_history_keys(handler):
+    h = handler.get_analyst_ratings_history(["CHRL"], start_date=START, end_date=END)
+    assert len(h) > 0
+    assert not h.duplicated(subset=["date", "asset_id", "analyst_id"]).any()
+    assert set(h["rating"].dropna()) <= {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
+def test_factor_scaling_single_division(handler, data_root, spark):
+    """Factors are percent/100 exactly once — including MOM, where the
+    reference divides twice (documented deviation)."""
+    raw = spark.read.parquet(str(data_root / "data_raw" / "style_factors_raw.parquet")).toPandas()
+    factors = handler.get_style_factor_returns()
+    mom = factors[factors["factor_name"] == "MOM"].set_index("date")["ret"]
+    raw_mom = raw.set_index(pd.to_datetime(raw["date"]))["umd"]
+    joined = pd.DataFrame({"got": mom, "raw": raw_mom}).dropna()
+    assert len(joined) > 0
+    np.testing.assert_allclose(joined["got"], joined["raw"] / 100.0)
+    names = set(factors["factor_name"])
+    assert names == {"MKT", "SMB", "HML", "RMW", "CMA", "MOM"}
+
+
+def test_benchmark_cumprod_level(handler):
+    b = handler.get_benchmark_returns("^GSPC")
+    assert len(b) > 0
+    expected = (1 + b.sort_values("date")["ret"]).cumprod() * 100
+    np.testing.assert_allclose(b.sort_values("date")["level"], expected)
+
+
+def test_macro_numeric_reject(handler):
+    m = handler.get_macro()
+    assert len(m) > 0
+    assert m["value"].notna().all()  # "." observations dropped
+    assert set(m["series_name"]) == {"CPIAUCSL", "UNRATE", "INDPRO"}
+
+
+def test_dividends_same_day_aggregation(handler, data_root, spark):
+    """ALPH pays two distributions on the same day: divamt sums, distcd
+    keeps the first non-null, yield = total/close."""
+    div = spark.read.parquet(
+        str(data_root / "data_processed" / "dividends_monthly.parquet")
+    ).toPandas()
+    a = div[div["asset_id"] == 10001]
+    assert len(a) > 0
+    assert not a.duplicated(subset=["asset_id", "date"]).any()
+    np.testing.assert_allclose(a["divamt"], 0.35)  # 0.25 + 0.10
+    assert (a["distcd"] == "1232").all()
+    priced = a[a["close"].notna()]
+    if len(priced):
+        np.testing.assert_allclose(
+            priced["dividend_yield"], priced["divamt"] / priced["close"]
+        )
+
+
+def test_assets_master_ticker_change(handler, data_root, spark):
+    """Asset 10001 had ticker OLD0 then ALPH; dedup must pick the
+    latest by last_date."""
+    am = spark.read.parquet(str(data_root / "data_meta" / "assets_master.parquet")).toPandas()
+    row = am[am["asset_id"] == 10001]
+    assert len(row) == 1
+    assert row["ticker"].iloc[0] == "ALPH"
+    # first_date spans the OLD0 era
+    assert pd.Timestamp(row["first_date"].iloc[0]) < pd.Timestamp("2015-07-01")
+    # ipodate only for even assets; 10001 (i=0) has one
+    assert pd.notna(row["ipodate"].iloc[0])
+
+
+def test_monthly_returns_shape(handler, data_root, spark):
+    rm = spark.read.parquet(
+        str(data_root / "data_processed" / "returns_monthly.parquet")
+    ).toPandas()
+    assert list(rm.columns) == [
+        "date", "asset_id", "ret", "price", "volume", "shrout", "ret_1m"
+    ]
+    assert len(rm) > 0
