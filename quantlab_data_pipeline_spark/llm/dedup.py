@@ -18,6 +18,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Spread a narrow scan across the cluster before heavy per-row work.
+
+    A small parquet input arrives as 1-2 partitions, serializing the
+    expensive expression stages behind it. If the partition count is
+    below ``min_ratio`` x defaultParallelism, round-robin repartition —
+    one cheap shuffle of raw rows buys full-width execution. At real
+    scale the input already has enough splits and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -53,22 +70,31 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` seeded
-    hash functions, the min xxhash64 over the shingle set."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s)
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    """MinHash signature per document.
+
+    Each shingle string is hashed ONCE (xxhash64); the ``num_hashes``
+    signature slots re-hash that 8-byte value with a per-slot seed —
+    fixed-width hashing instead of running the string hash 64x, with
+    the same collision behavior (and no ANSI overflow, unlike a
+    multiply-mix universal family).
+    """
+    base = F.transform(F.col("__shingles"), lambda s: F.xxhash64(s))
+
+    def slot(i: int) -> Column:
+        # Single-arg lambda only: a two-arg transform lambda receives
+        # (element, array_index) and would shadow the slot seed.
+        return F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(F.lit(i), h)))
+
+    slots = [slot(i) for i in range(num_hashes)]
     return (
         df.withColumn("__shingles", word_shingles(text_col, shingle_k))
         .filter(F.size("__shingles") > 0)
-        .select(F.col(id_col), sig.alias("signature"), F.col("__shingles").alias("shingles"))
+        .withColumn("__h", base)
+        .select(
+            F.col(id_col),
+            F.array(*slots).alias("signature"),
+            F.col("__shingles").alias("shingles"),
+        )
     )
 
 
@@ -115,18 +141,52 @@ def lsh_candidate_pairs(
     )
 
 
+def choose_bands(num_hashes: int, threshold: float) -> int:
+    """Band count whose LSH S-curve midpoint (1/b)^(1/r) sits closest
+    to the target Jaccard threshold (b*r = num_hashes). A low threshold
+    needs narrow bands (high recall, more candidates); a high one wide
+    bands (fewer candidates)."""
+    best_b, best_err = num_hashes, float("inf")
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        midpoint = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        err = abs(midpoint - threshold)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded LSH
-    candidates -> signature-estimated Jaccard >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    candidates -> signature-estimated Jaccard >= threshold.
+
+    ``bands`` defaults to the S-curve-matched structure for the
+    threshold (:func:`choose_bands`) so recall tracks the requested
+    similarity instead of a fixed 16-band layout.
+
+    Signatures are persisted: three downstream branches (band buckets,
+    pair side a, pair side b) would otherwise each recompute the
+    shingle+64-hash stage — the most expensive part of the pipeline.
+    """
+    if bands is None:
+        bands = choose_bands(num_hashes, threshold)
+    sigs = (
+        minhash_signatures(
+            ensure_parallelism(df), id_col, text_col, num_hashes, shingle_k
+        )
+        .select(id_col, "signature")  # shingles are dead weight here
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
@@ -166,11 +226,11 @@ def ngram_jaccard_pairs(
     key); exact Jaccard on distinct shingle sets decides. SQL-oracle-
     expressible, unlike the MinHash estimate.
     """
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, block_chars).alias("block"),
         word_shingles(text_col, shingle_k).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides reuse it
     a = base.select(
         F.col(id_col).alias("id_a"), "block", F.col("sh").alias("sh_a")
     )
@@ -202,7 +262,7 @@ def simhash_fingerprints(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         )
     )
-    tok = df.select(F.col(id_col), words.alias("tok")).withColumn(
+    tok = ensure_parallelism(df).select(F.col(id_col), words.alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )
     bit_sums = [
@@ -238,6 +298,9 @@ def simhash_near_dup_pairs(
     (band_idx, band_value) — bucketed, never all-pairs.
     """
     width = 64 // bands
+    # Both self-join sides reuse the fingerprints; without persist the
+    # explode+64-bit-sum aggregation upstream runs twice.
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     mask = F.lit((1 << width) - 1).cast("long")
     band = F.explode(
         F.array(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 
 def dot(a: str | Column, b: str | Column) -> Column:
     """Double-precision dot product of two float-array columns."""
@@ -38,6 +40,18 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_vec(a: str | Column) -> Column:
+    """Vector scaled to unit L2 length (null-safe for the zero vector).
+
+    Normalizing each row ONCE turns every pairwise cosine in an
+    O(n x m) join into a single dot product — the norms would otherwise
+    be recomputed per pair, tripling the flops of the scoring loop.
+    """
+    col = F.col(a) if isinstance(a, str) else a
+    n = F.nullif(l2_norm(col), F.lit(0.0))
+    return F.transform(col, lambda v: v.cast("double") / n)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -53,15 +67,15 @@ def brute_force_topk(
     results are deterministic across engines.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), unit_vec(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), unit_vec(vec_col).alias("c_vec")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), 6))
+        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -119,12 +133,12 @@ def lsh_topk(
     sig = bit_signature(vec_col, bits)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        unit_vec(vec_col).alias("q_vec"),
         sig.alias("q_sig"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit_vec(vec_col).alias("c_vec"),
         sig.alias("c_sig"),
     )
     ham = F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
@@ -133,7 +147,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), 6))
+        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -149,13 +163,22 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, self-join)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    """Embedding-cosine near-duplicate pairs (exact, self-join).
+
+    Unit-normalize once per row so the O(n^2/2) scoring loop is a pure
+    dot product, stream the repartitioned side against a broadcast of
+    the other (the corpus side fits a broadcast up to ~1M x 64 floats;
+    beyond that, swap this for the LSH-bucketed candidate pairs in
+    :func:`lsh_topk` / :mod:`.dedup`)."""
+    norm = df.select(F.col(id_col).alias("id"), unit_vec(vec_col).alias("v"))
+    a = ensure_parallelism(norm).select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = norm.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine("v_a", "v_b"), 6))
+        .withColumn("score", F.round(dot("v_a", "v_b"), 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

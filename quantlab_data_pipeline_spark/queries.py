@@ -300,7 +300,9 @@ def window_lag_pct_change(spark: SparkSession, sf: str) -> DataFrame:
     """W2: per-group pct_change via lag window (returns_daily oracle)."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    prev = F.lag("value").over(w)
+    # nullif guards the zero denominator (ANSI mode throws on x/0);
+    # the resulting null rows drop below, same as the oracle's NULLIF.
+    prev = F.nullif(F.lag("value").over(w), F.lit(0.0))
     return ev.select(
         "event_id",
         "user_id",
@@ -598,8 +600,8 @@ ORACLE_SQL: dict[str, str] = {
     "window_lag_pct_change": """
         SELECT event_id, user_id, pct_change FROM (
             SELECT event_id, user_id,
-                   round(value / lag(value) OVER (
-                       PARTITION BY user_id ORDER BY ts) - 1, 6) AS pct_change
+                   round(value / NULLIF(lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts), 0) - 1, 6) AS pct_change
             FROM events
         ) t WHERE pct_change IS NOT NULL
     """,
