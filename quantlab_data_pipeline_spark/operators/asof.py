@@ -1,0 +1,74 @@
+"""As-of (backward) join — the time-series operator every quant stack
+needs and the reference approximates with validity-window joins
+(SURVEY §2 J7/J8 are as-of-shaped: value applies until superseded).
+
+Implemented as the union + ordered-window pattern, NOT a range join:
+
+1. tag right rows 0 and left rows 1, union on the key columns + event
+   time;
+2. one shuffle partitions by key and sorts by (ts, side) — a right row
+   at the same timestamp sorts before the left row, so "as of" is
+   backward-inclusive;
+3. ``last(payload, ignorenulls=True)`` over the running window carries
+   the most recent right payload forward;
+4. keep only left rows.
+
+Cost: ONE shuffle of |left| + |right| rows and no join blowup — a
+range-condition join would force a per-key cross product filtered
+after the fact, which is quadratic in events-per-key. This shape holds
+at 100 TB: the shuffle is keyed, AQE handles skewed keys, and the
+window is a single ordered pass per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row (by event
+    time, backward-inclusive) with the same key columns ``on``.
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    everything except keys and timestamp). Output = all left columns +
+    ``<prefix><right_ts>`` + ``<prefix><col>`` for each payload column,
+    null when no right row precedes the left row.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in {*on, right_ts}]
+
+    payload = F.struct(
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "__asof", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_cols = [*left.columns]
+    asof_fields = [f"{prefix}{right_ts}", *[f"{prefix}{c}" for c in right_cols]]
+    return filled.filter(F.col("__side") == 1).select(
+        *out_cols, *[F.col("__asof")[f].alias(f) for f in asof_fields]
+    )

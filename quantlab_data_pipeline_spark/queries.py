@@ -448,6 +448,87 @@ def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the streaming session_window (gaps-and-islands):
+    a session closes after 30 idle minutes. One shuffle (partition by
+    user), two ordered window passes — no self-join."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_session = (gap.isNull() | (gap > 1800)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("__new", new_session)
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click event gets the user's most recent
+    prior-or-equal purchase (union + ordered-window — one shuffle, no
+    range-join blowup; operators/asof.py)."""
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return as_of_join(clicks, purchases, on=["user_id"])
+
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing, oracle-checked half: documents as
+    opaque binary payloads with typed metadata (byte length, sha256,
+    deterministic dimensions) — all native expressions over binary."""
+    docs = load_table(spark, sf, "documents")
+    content = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.octet_length(content).alias("byte_len"),
+        F.sha2(content, 256).alias("sha256"),
+        (16 + F.pmod("doc_id", F.lit(5)) * 8).cast("int").alias("width"),
+        (16 + F.pmod("doc_id", F.lit(3)) * 8).cast("int").alias("height"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode path (rows-only check): binary payloads ride
+    mapInPandas through the stubbed Arrow-batched decode kernel
+    (llm/multimodal.py) — the genuinely-Python stage a codec needs."""
+    from .llm.multimodal import extract_image_features
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            (16 + F.pmod("doc_id", F.lit(5)) * 8).cast("int").alias("width"),
+            (16 + F.pmod("doc_id", F.lit(3)) * 8).cast("int").alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("synthetic").alias("format"),
+        ).alias("meta"),
+    )
+    feats = extract_image_features(media, decoder="fake")
+    return feats.select(
+        "asset_id", "width", "height", F.round("mean_intensity", 4).alias("mean_intensity")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -476,6 +557,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "json_extract_cast": json_extract_cast,
     "rollup_counts": rollup_counts,
     "hourly_rollup": hourly_rollup,
+    "sessionize_batch": sessionize_batch,
+    "asof_join_events": asof_join_events,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -680,6 +765,48 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "sessionize_batch": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "asof_join_events": """
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS asof_ts, p.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS sha256,
+               CAST(16 + (doc_id % 5) * 8 AS INT) AS width,
+               CAST(16 + (doc_id % 3) * 8 AS INT) AS height
+        FROM documents
     """,
 }
 

@@ -224,3 +224,27 @@ def test_cumulative_index(spark):
         for r in cumulative_index(df).orderBy("date").collect()
     ]
     assert out == pytest.approx([110.0, 55.0, 110.0])
+
+
+def test_as_of_join(spark):
+    from quantlab_data_pipeline_spark.operators.asof import as_of_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 4, 50.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 6), ("A", 20), ("B", 3), ("C", 7)],
+        "sym string, ts long",
+    )
+    out = {
+        (r["sym"], r["ts"]): (r["asof_ts"], r["asof_px"])
+        for r in as_of_join(trades, quotes, on=["sym"]).collect()
+    }
+    assert len(out) == 6
+    assert out[("A", 0)] == (None, None)       # nothing before
+    assert out[("A", 1)] == (1, 10.0)          # backward-INCLUSIVE tie
+    assert out[("A", 6)] == (5, 11.0)          # most recent prior
+    assert out[("A", 20)] == (9, 12.0)         # carries forward
+    assert out[("B", 3)] == (None, None)       # B's quote is later
+    assert out[("C", 7)] == (None, None)       # key absent from right
