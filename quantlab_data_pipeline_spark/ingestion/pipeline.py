@@ -91,10 +91,13 @@ def _configure_logging(root: Path) -> Path:
     return log_path
 
 
-def _write(df: DataFrame, path: Path) -> None:
+def _write(df: DataFrame, path: Path, partition_cols: list[str] | None = None) -> None:
     """Parquet sink (S2): overwrite, then log the row count from parquet
     footer metadata (a metadata-only count job, not a rescan)."""
-    df.write.mode("overwrite").parquet(str(path))
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(str(path))
     n = df.sparkSession.read.parquet(str(path)).count()
     logger.info("Wrote %s rows to %s", n, path)
 
@@ -371,6 +374,7 @@ def ingest(
     source: WrdsSource | None = None,
     fred_fetcher: Fetcher | None = None,
     spark: SparkSession | None = None,
+    partition_by_year: bool = False,
 ) -> Path:
     """Run the 17-step batch ETL and write all canonical outputs under
     the resolved data root. Returns the resolved root.
@@ -379,6 +383,13 @@ def ingest(
     credentials + network); inject :class:`~..sources.wrds.
     SyntheticWrdsSource` for offline runs. ``fred_fetcher`` likewise
     defaults to the live FRED API.
+
+    ``partition_by_year=True`` writes the two big facts (prices_daily,
+    returns_daily) partitioned on a derived ``year`` column — the
+    100 TB layout: a 25-year history splits into ~25 prunable
+    partitions, and the handler's date filters prune at the directory
+    level before any file is opened. The flat layout stays the default
+    for byte-layout parity with the reference.
     """
     spark = spark or get_spark()
     source = source or JdbcWrdsSource(spark)
@@ -490,8 +501,16 @@ def ingest(
     end_step(step)
 
     step = start_step("Write processed datasets")
-    _write(_canon(prices, "prices_daily"), processed / "prices_daily.parquet")
-    _write(_canon(returns, "returns_daily"), processed / "returns_daily.parquet")
+    if partition_by_year:
+        year_cols = ["year"]
+        prices_out = _canon(prices, "prices_daily").withColumn("year", F.year("date"))
+        returns_out = _canon(returns, "returns_daily").withColumn("year", F.year("date"))
+    else:
+        year_cols = None
+        prices_out = _canon(prices, "prices_daily")
+        returns_out = _canon(returns, "returns_daily")
+    _write(prices_out, processed / "prices_daily.parquet", partition_cols=year_cols)
+    _write(returns_out, processed / "returns_daily.parquet", partition_cols=year_cols)
     _write(_canon(membership, "sp500_membership"), processed / "sp500_membership.parquet")
     _write(_canon(fundamentals, "fundamentals_quarterly"), processed / "fundamentals_quarterly.parquet")
     _write(_canon(consensus, "analyst_consensus"), processed / "analyst_consensus.parquet")

@@ -135,10 +135,18 @@ class LocalParquetDataHandler(DataHandler):
     ) -> DataFrame:
         if col not in df.columns:
             return df
+        # Year-partitioned layout (ingest partition_by_year=True): add
+        # the equivalent predicate on the partition column so Catalyst
+        # prunes whole year directories before opening any file.
+        partitioned = "year" in df.columns
         if start_date:
             df = df.filter(F.col(col) >= F.to_timestamp(F.lit(str(start_date))))
+            if partitioned:
+                df = df.filter(F.col("year") >= int(str(start_date)[:4]))
         if end_date:
             df = df.filter(F.col(col) <= F.to_timestamp(F.lit(str(end_date))))
+            if partitioned:
+                df = df.filter(F.col("year") <= int(str(end_date)[:4]))
         return df
 
     @staticmethod
@@ -174,6 +182,8 @@ class LocalParquetDataHandler(DataHandler):
         ids = self._tickers_to_asset_ids(tickers) if tickers else None
         df = self._filter_assets(df, ids)
         df = self._filter_dates(df, start_date, end_date, col=date_col)
+        if "year" in df.columns:
+            df = df.drop("year")  # layout detail, not part of the dataset
         if fields is not None and mandatory is not None:
             df = self._filter_fields(df, fields, mandatory)
         return df

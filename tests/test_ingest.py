@@ -212,3 +212,32 @@ def test_monthly_returns_shape(handler, data_root, spark):
         "date", "asset_id", "ret", "price", "volume", "shrout", "ret_1m"
     ]
     assert len(rm) > 0
+
+
+def test_partitioned_layout_prunes_and_matches(spark, tmp_path_factory, data_root):
+    """partition_by_year=True: same handler answers, year-partitioned
+    files on disk, and date filters prune partitions at the scan."""
+    root = tmp_path_factory.mktemp("ingest_part")
+    ingest(
+        root, START, END, save_raw=False,
+        source=SyntheticWrdsSource(spark, n_assets=6),
+        fred_fetcher=synthetic_fred_fetcher(), spark=spark,
+        partition_by_year=True,
+    )
+    part_root = root / "quantlab_data_pipeline"
+    prices_dir = part_root / "data_processed" / "prices_daily.parquet"
+    assert (prices_dir / "year=2020").exists()
+
+    flat = LocalParquetDataHandler(data_root, spark=spark)
+    part = LocalParquetDataHandler(part_root, spark=spark)
+    a = flat.get_prices(["ALPH"], start_date="2020-02-01", end_date="2020-04-30")
+    b = part.get_prices(["ALPH"], start_date="2020-02-01", end_date="2020-04-30")
+    assert list(a.columns) == list(b.columns)  # no year column leaks
+    pd.testing.assert_frame_equal(a, b)
+
+    # the partition predicate reaches the scan (PartitionFilters)
+    plan = part.get_prices_df(
+        ["ALPH"], start_date="2020-02-01", end_date="2020-04-30"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "year" in plan.split("PartitionFilters")[1][:200]
