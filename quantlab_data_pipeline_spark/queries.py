@@ -37,7 +37,11 @@ Operator coverage map (SURVEY §2 -> query):
   F4 numeric parse w/ reject        -> json_extract_cast
   anti join (beyond reference)      -> anti_join_customers
   rollup (beyond reference)         -> rollup_counts
-  streaming batch-equivalent        -> hourly_rollup
+  streaming batch-equivalent        -> hourly_rollup, sessionize_batch
+  as-of join (beyond reference)     -> asof_join_events
+  multimodal binary columns         -> multimodal_meta, multimodal_features
+  LLM-pipeline ops                  -> text_*, language_id, doc_fingerprint,
+                                       *_dedup, embedding_*
 """
 
 from __future__ import annotations
