@@ -157,6 +157,117 @@ def lsh_topk(
     )
 
 
+# ------------------------------------------------------------------- IVF
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    sample: int = 2048,
+) -> list[list[float]]:
+    """Coarse IVF centroids via a few Lloyd iterations.
+
+    The sample collects to the driver (k-means on a few thousand
+    vectors is a driver-scale problem even when the corpus is 100 TB);
+    assignments during *indexing* stay distributed. Deterministic: the
+    seed sample is the first ``sample`` rows by id order, and initial
+    centers are evenly-spaced sample rows.
+    """
+    import numpy as np
+
+    id_col = corpus.columns[0]
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), unit_vec(vec_col).alias("v"))
+        .orderBy("i")  # deterministic sample: TakeOrdered top-N, not a full sort
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    k = min(k, len(X))
+    centers = X[np.linspace(0, len(X) - 1, k).astype(int)]
+    for _ in range(iters):
+        sims = X @ centers.T  # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    centers[j] = c / n
+    return centers.tolist()
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each (unit-normalized) vector to its ``n_assign`` nearest
+    centroids: broadcast the tiny centroid table against the corpus and
+    keep the top rows per vector — the standard distributed IVF build
+    (corpus never shuffles on anything but its own id)."""
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col), unit_vec(vec_col).alias("__uv")
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim", dot("__uv", "centroid")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_assign)
+        .select(id_col, "centroid_id", F.col("__uv").alias("unit_vec"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in coarse-centroid
+    lists; each query probes only its ``nprobe`` nearest lists and
+    exact-ranks the candidates. Replaces the O(|corpus| x |queries|)
+    cross product with an equi-join on centroid_id — the join prunes
+    (n_lists - nprobe)/n_lists of the corpus per query at scale."""
+    if centroids is None:
+        centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
+    indexed = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id",
+        F.col("unit_vec").alias("c_vec"),
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id",
+        F.col("unit_vec").alias("q_vec"),
+    )
+    scored = (
+        probes.join(indexed, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1033,6 +1033,16 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return _emb_pairs(emb, threshold=0.4)
 
 
+def embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-5: coarse-centroid lists + nprobe search
+    (rows-only check; the exact twin is embedding_cosine_topk)."""
+    from .llm.similarity import ivf_topk as _ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _ivf(queries_df, emb, k=5, n_lists=16, nprobe=4)
+
+
 _STOP_EN = "['the','and','of','to','a','in','is','that']"
 _STOP_DE = "['der','die','und','das','ist','ein','nicht','mit']"
 _STOP_ES = "['el','la','de','que','y','en','un','es']"
@@ -1051,6 +1061,7 @@ SPARK_QUERIES.update(
         "simhash_dedup": simhash_dedup,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_near_dup": embedding_near_dup,
     }
 )

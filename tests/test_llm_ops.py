@@ -183,3 +183,44 @@ def test_resize_and_frame_plans(spark):
     fp = frame_sample_plan(media, every_n=30).collect()
     vids = [r for r in media.collect() if r["media_type"] == "video"]
     assert len(fp) == sum(math.ceil(v["meta"]["n_frames"] / 30) for v in vids)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with enough probes must recover most of the exact top-k on
+    the real embeddings table (recall@5 >= 0.6 with nprobe=4/16)."""
+    from quantlab_data_pipeline_spark.llm.similarity import brute_force_topk, ivf_topk
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, emb, k=5).collect()
+    }
+    # Probing every list = exhaustive search: must equal the exact top-k
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(qs, emb, k=5, n_lists=16, nprobe=16).collect()
+    }
+    assert full == exact
+
+    # Partial probe trades recall for the (n_lists-nprobe)/n_lists prune;
+    # random 64-dim embeddings are the worst case, so the bound is loose.
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(qs, emb, k=5, n_lists=16, nprobe=4).collect()
+    }
+    assert len(approx) == 25  # 5 queries x top-5
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from quantlab_data_pipeline_spark.llm.similarity import train_centroids
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = train_centroids(emb, k=8)
+    c2 = train_centroids(emb, k=8)
+    assert c1 == c2

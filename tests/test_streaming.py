@@ -44,3 +44,53 @@ def test_sessionize_runs(spark):
     assert len(out) > 0
     assert (out["session_end"] > out["session_start"]).all()
     assert (out["n_events"] >= 1).all()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streamed dedup must admit exactly the batch keeper set: first
+    doc per fingerprint passes, later copies are dropped."""
+    import os
+    from pyspark.sql import types as T
+    from quantlab_data_pipeline_spark.llm.dedup import exact_dedup
+    from quantlab_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+
+    docs_schema = "doc_id long, text string"
+    # two micro-batch files: dups within and across files
+    batch1 = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")]
+    batch2 = [(4, "delta"), (5, "epsilon zeta"), (6, "ALPHA   beta gamma")]
+    d = tmp_path / "stream_src"
+    os.makedirs(d)
+    spark.createDataFrame(batch1, docs_schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, docs_schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    # one top-level dir with both files as separate micro-batches
+    src = (
+        spark.readStream.schema(
+            T.StructType.fromDDL(docs_schema)
+        ).option("maxFilesPerTrigger", 1).parquet(str(d / "*.parquet"))
+    )
+    out = streaming_exact_dedup(src)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+
+    batch = exact_dedup(
+        spark.createDataFrame(batch1 + batch2, docs_schema)
+    ).toPandas()
+    assert set(got["doc_id"]) == set(batch["keeper_id"])
+    assert got["is_first"].all()
+    # doc 6 normalizes to doc 1's content -> dropped
+    assert 6 not in set(got["doc_id"])
+    assert set(got["doc_id"]) == {1, 3, 5}
