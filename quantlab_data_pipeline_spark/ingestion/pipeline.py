@@ -91,9 +91,21 @@ def _configure_logging(root: Path) -> Path:
     return log_path
 
 
-def _write(df: DataFrame, path: Path, partition_cols: list[str] | None = None) -> None:
+def _write(
+    df: DataFrame,
+    path: Path,
+    partition_cols: list[str] | None = None,
+    single_file: bool = False,
+) -> None:
     """Parquet sink (S2): overwrite, then log the row count from parquet
-    footer metadata (a metadata-only count job, not a rescan)."""
+    footer metadata (a metadata-only count job, not a rescan).
+
+    ``single_file`` is set for tables that stay small at ANY scale
+    (per-day or per-asset dims): 32 shuffle-partition shards of a
+    200-row dim is small-file pollution for downstream scans. Facts
+    keep their natural parallelism."""
+    if single_file:
+        df = df.coalesce(1)
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -515,16 +527,16 @@ def ingest(
     _write(_canon(fundamentals, "fundamentals_quarterly"), processed / "fundamentals_quarterly.parquet")
     _write(_canon(consensus, "analyst_consensus"), processed / "analyst_consensus.parquet")
     _write(_canon(ratings, "analyst_ratings_history"), processed / "analyst_ratings_history.parquet")
-    _write(_canon(macro, "macro_timeseries"), processed / "macro_timeseries.parquet")
-    _write(_canon(rf, "risk_free"), processed / "risk_free.parquet")
-    _write(_canon(factors, "style_factor_returns"), processed / "style_factor_returns.parquet")
-    _write(_canon(benchmark, "benchmarks"), processed / "benchmarks.parquet")
+    _write(_canon(macro, "macro_timeseries"), processed / "macro_timeseries.parquet", single_file=True)
+    _write(_canon(rf, "risk_free"), processed / "risk_free.parquet", single_file=True)
+    _write(_canon(factors, "style_factor_returns"), processed / "style_factor_returns.parquet", single_file=True)
+    _write(_canon(benchmark, "benchmarks"), processed / "benchmarks.parquet", single_file=True)
     _write(_canon(returns_monthly, "returns_monthly"), processed / "returns_monthly.parquet")
     _write(_canon(dividends, "dividends_monthly"), processed / "dividends_monthly.parquet")
     end_step(step)
 
     step = start_step("Write metadata and manifests")
-    _write(_canon(assets_master, "assets_master"), meta / "assets_master.parquet")
+    _write(_canon(assets_master, "assets_master"), meta / "assets_master.parquet", single_file=True)
     _write(
         _canon(
             membership.withColumnRenamed("in_sp500", "in_universe"),
@@ -532,7 +544,7 @@ def ingest(
         ),
         meta / "universe_sp500.parquet",
     )
-    _write(_canon(calendar, "trading_calendar"), meta / "trading_calendar.parquet")
+    _write(_canon(calendar, "trading_calendar"), meta / "trading_calendar.parquet", single_file=True)
 
     provenance = {
         "ingested_at_utc": datetime.now(timezone.utc).isoformat(),

@@ -248,3 +248,32 @@ def test_as_of_join(spark):
     assert out[("A", 20)] == (9, 12.0)         # carries forward
     assert out[("B", 3)] == (None, None)       # B's quote is later
     assert out[("C", 7)] == (None, None)       # key absent from right
+
+
+def test_salted_join_equals_plain_join(spark):
+    from quantlab_data_pipeline_spark.operators.skew import salted_join
+
+    # hot key: 'X' carries 500 of 520 rows
+    left = spark.createDataFrame(
+        [("X", i) for i in range(500)] + [(f"k{i}", i) for i in range(20)],
+        "key string, payload int",
+    )
+    right = spark.createDataFrame(
+        [("X", 1.5)] + [(f"k{i}", float(i)) for i in range(10)],
+        "key string, weight double",
+    )
+    plain = {
+        (r["key"], r["payload"], r["weight"])
+        for r in left.join(right, ["key"]).collect()
+    }
+    salted = {
+        (r["key"], r["payload"], r["weight"])
+        for r in salted_join(left, right, on=["key"], salt_n=4).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 510  # 500 hot + 10 matched cold keys
+
+    # left-join semantics survive too
+    plain_l = left.join(right, ["key"], "left").count()
+    salted_l = salted_join(left, right, on=["key"], how="left", salt_n=4).count()
+    assert plain_l == salted_l
