@@ -23,14 +23,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
+    "q7_volume_shipping",
+    "q17_small_quantity",
     "interval_validity_join",
+    "asof_join_events",
     "left_join_coalesce",
     "dedup_first_non_null",
     "window_cumprod",
+    "sessionize_batch",
     "calendar_explode",
     "hourly_rollup",
     "topk_per_group",
+    "text_quality",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_topk",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Property-based checks (hypothesis): Spark operators vs independent
+pandas oracles on randomly generated frames. The reference has no
+property testing (SURVEY §5); these pin the operator semantics the
+example-based tests can't sweep — tie handling, empty groups, all-null
+columns, missing keys.
+
+Examples are capped low: each example runs Spark jobs, so the value is
+in the generator's edge-case bias (empty frames, duplicate timestamps,
+single-key data), not in volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.sampled_from(["A", "B", "C"])
+ts_vals = st.integers(min_value=0, max_value=30)
+
+
+@st.composite
+def asof_frames(draw):
+    n_left = draw(st.integers(0, 12))
+    n_right = draw(st.integers(0, 12))
+    left = [(draw(keys), draw(ts_vals), i) for i in range(n_left)]
+    right = [(draw(keys), draw(ts_vals), float(i)) for i in range(n_right)]
+    return left, right
+
+
+@given(asof_frames())
+@SETTINGS
+def test_as_of_join_matches_pandas_merge_asof(spark, frames):
+    from quantlab_data_pipeline_spark.operators.asof import as_of_join
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(
+        left_rows, "key string, ts long, row_id long"
+    ) if left_rows else spark.createDataFrame([], "key string, ts long, row_id long")
+    right = spark.createDataFrame(
+        right_rows, "key string, ts long, px double"
+    ) if right_rows else spark.createDataFrame([], "key string, ts long, px double")
+
+    got = (
+        as_of_join(left, right, on=["key"])
+        .toPandas()
+        .sort_values(["key", "ts", "row_id"])
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(left_rows, columns=["key", "ts", "row_id"])
+    rp = pd.DataFrame(right_rows, columns=["key", "ts", "px"])
+    if len(lp) == 0:
+        assert len(got) == 0
+        return
+    if len(rp) == 0:
+        # merge_asof can't type an empty right frame; expected = all null
+        exp = lp.sort_values(["key", "ts", "row_id"]).reset_index(drop=True)
+        exp["asof_ts"] = pd.Series([None] * len(exp), dtype="float")
+        exp["asof_px"] = pd.Series([None] * len(exp), dtype="float")
+    else:
+        # pandas merge_asof: backward-inclusive, same semantics; on ties
+        # in right ts it takes the LAST right row, which matches our
+        # window (later rows overwrite in `last` over the running frame).
+        rp_sorted = rp.sort_values(["ts"]).reset_index(drop=True)
+        exp = pd.merge_asof(
+            lp.sort_values("ts").reset_index(drop=True),
+            rp_sorted.rename(columns={"ts": "asof_ts", "px": "asof_px"}),
+            left_on="ts",
+            right_on="asof_ts",
+            by="key",
+            direction="backward",
+        ).sort_values(["key", "ts", "row_id"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for col in ["key", "ts", "row_id"]:
+        assert (got[col] == exp[col]).all()
+    pd.testing.assert_series_equal(
+        got["asof_px"], exp["asof_px"], check_names=False, check_dtype=False
+    )
+    pd.testing.assert_series_equal(
+        got["asof_ts"].astype("float"), exp["asof_ts"].astype("float"),
+        check_names=False, check_dtype=False,
+    )
+
+
+@st.composite
+def delist_frames(draw):
+    n = draw(st.integers(0, 10))
+    rets = [
+        (draw(st.sampled_from([1, 2, 3])), draw(st.integers(0, 5)),
+         draw(st.floats(-0.5, 0.5, allow_nan=False)))
+        for _ in range(n)
+    ]
+    m = draw(st.integers(0, 4))
+    # unique (asset, day) delist events
+    seen = set()
+    dl = []
+    for _ in range(m):
+        a, d = draw(st.sampled_from([1, 2, 3])), draw(st.integers(0, 5))
+        if (a, d) not in seen:
+            seen.add((a, d))
+            dl.append((a, d, draw(st.floats(-0.9, 0.1, allow_nan=False))))
+    return rets, dl
+
+
+@given(delist_frames())
+@SETTINGS
+def test_delist_adjust_matches_pandas(spark, frames):
+    from quantlab_data_pipeline_spark.operators.returns import delist_adjust
+
+    rets, dl = frames
+    returns = spark.createDataFrame(
+        rets, "asset_id long, date long, ret_1d double"
+    ) if rets else spark.createDataFrame([], "asset_id long, date long, ret_1d double")
+    delists = spark.createDataFrame(
+        dl, "asset_id long, date long, dlret double"
+    ) if dl else spark.createDataFrame([], "asset_id long, date long, dlret double")
+
+    got = (
+        delist_adjust(returns, delists, ret_col="ret_1d")
+        .toPandas()
+        .sort_values(["asset_id", "date", "ret_1d"])
+        .reset_index(drop=True)
+    )
+
+    rp = pd.DataFrame(rets, columns=["asset_id", "date", "ret_1d"])
+    dp = pd.DataFrame(dl, columns=["asset_id", "date", "dlret"])
+    if len(rp) == 0:
+        assert len(got) == 0
+        return
+    exp = rp.merge(dp, on=["asset_id", "date"], how="left")
+    exp["dlret"] = exp["dlret"].fillna(0.0)
+    exp["ret_1d"] = (1 + exp["ret_1d"]) * (1 + exp["dlret"]) - 1
+    exp = exp.drop(columns=["dlret"]).sort_values(
+        ["asset_id", "date", "ret_1d"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got["ret_1d"], exp["ret_1d"], check_names=False, check_exact=False
+    )
+
+
+@st.composite
+def dedup_frames(draw):
+    n = draw(st.integers(1, 15))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from([10, 20])),          # key
+                i,                                          # order (unique)
+                draw(st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))),
+                draw(st.one_of(st.none(), st.floats(0, 9, allow_nan=False))),
+            )
+        )
+    return rows
+
+
+@given(dedup_frames())
+@SETTINGS
+def test_dedupe_first_non_null_matches_pandas(spark, rows):
+    from quantlab_data_pipeline_spark.operators.dedup import dedupe_first_non_null
+
+    df = spark.createDataFrame(rows, "key long, ord long, s string, v double")
+    got = {
+        r["key"]: (r["s"], r["v"])
+        for r in dedupe_first_non_null(df, keys=["key"], order="ord").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["key", "ord", "s", "v"]).sort_values("ord")
+    for key, g in pdf.groupby("key"):
+        s = next((x for x in g["s"] if x is not None), None)
+        v = next((x for x in g["v"] if x is not None and x == x), None)
+        gs, gv = got[key]
+        assert gs == s
+        assert (gv is None and v is None) or abs(gv - v) < 1e-12
