@@ -49,9 +49,20 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + parquet footers once so per-query timings measure
-    # the plan, not session startup.
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # Warm the JVM, parquet footers, AND the codegen/shuffle paths once
+    # so per-query timings measure the plan, not first-use compilation
+    # (an agg+join exercise compiles the hash-agg and broadcast-join
+    # codepaths the headline queries reuse).
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     names = [n for n in HEADLINE if n in SPARK_QUERIES]
     # Include any LLM/beyond-parity headline ops if registered.
