@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # zstd: ~30% smaller than snappy at comparable scan speed — at
+        # the 100 TB design point that is tens of TB of storage and
+        # shuffle-read bandwidth.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Read TIMESTAMP(NANOS) parquet columns as long (nanos since epoch);
         # convert with sources.read_table's ns->ts normalization.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
