@@ -34,12 +34,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # The driver may hand us a session without our defaults; the
-            # events table needs nanos-as-long to be readable at all.
-            try:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            except Exception:
-                pass
+            # The driver may hand us a session without our defaults:
+            # nanos-as-long makes the events table readable at all, and
+            # a UTC session timezone keeps timestamp values bit-identical
+            # with the (timezone-naive) DuckDB oracle. Both are
+            # runtime-settable SQL confs.
+            for k, v in (
+                ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                ("spark.sql.session.timeZone", "UTC"),
+            ):
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
             return fn(spark, sf_dir)
 
         return run

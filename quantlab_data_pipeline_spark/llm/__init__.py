@@ -12,7 +12,9 @@ from .similarity import (
     cosine,
     dot,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
+    train_centroids,
 )
 from .text import (
     with_fingerprint,
@@ -27,8 +29,10 @@ __all__ = [
     "dot",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "ivf_topk",
     "lsh_candidate_pairs",
     "lsh_topk",
+    "train_centroids",
     "minhash_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
