@@ -530,6 +530,28 @@ def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (Expand operator -> single shuffle)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def revenue_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per customer segment (ordered
+    aggregate — one shuffle on the segment key)."""
+    cust = load_table(spark, sf, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("c_acctbal", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the streaming session_window (gaps-and-islands):
     a session closes after 30 idle minutes. One shuffle (partition by
@@ -641,6 +663,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "regex_normalize": regex_normalize,
     "json_extract_cast": json_extract_cast,
     "rollup_counts": rollup_counts,
+    "cube_counts": cube_counts,
+    "revenue_percentiles": revenue_percentiles,
     "hourly_rollup": hourly_rollup,
     "sessionize_batch": sessionize_batch,
     "asof_join_events": asof_join_events,
@@ -887,6 +911,22 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "cube_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "revenue_percentiles": """
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4)  AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4)  AS p90,
+               round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
     """,
     "sessionize_batch": """
         WITH flagged AS (

@@ -90,6 +90,46 @@ def sessionize(
     )
 
 
+def clicks_with_recent_purchase(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self-join: each click pairs with the same user's
+    purchases from the preceding ``lookback``.
+
+    Both branches carry watermarks and the join has an explicit event-
+    time range constraint — that bounds the join state Spark must keep
+    (purchases older than click watermark + lookback are evicted).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming query to completion against a memory sink
     (file-source streams are finite, so processAllAvailable terminates).

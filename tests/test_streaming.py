@@ -94,3 +94,52 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     # doc 6 normalizes to doc 1's content -> dropped
     assert 6 not in set(got["doc_id"])
     assert set(got["doc_id"]) == {1, 3, 5}
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Clicks joined to same-user purchases in the prior hour: the
+    watermarked stream-stream join must produce the batch join's rows
+    (append mode; file stream is finite so state fully drains)."""
+    from quantlab_data_pipeline_spark.streaming.events import (
+        clicks_with_recent_purchase,
+    )
+
+    stream = stream_events(spark, SF)
+    out = clicks_with_recent_purchase(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("click_purchase")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM click_purchase").toPandas()
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") <= F.col("click_ts"))
+            & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+        .toPandas()
+    )
+    key = ["click_id", "purchase_ts"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert (g["click_id"].to_numpy() == b["click_id"].to_numpy()).all()
+    assert (g["purchase_value"].to_numpy() == b["purchase_value"].to_numpy()).all()
