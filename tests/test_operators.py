@@ -277,3 +277,47 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, ["key"], "left").count()
     salted_l = salted_join(left, right, on=["key"], how="left", salt_n=4).count()
     assert plain_l == salted_l
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: with broadcast disabled
+    (bucketing matters when BOTH sides are too big to broadcast), the
+    sort-merge join must read co-located buckets and plan no Exchange —
+    the shuffle happened once, at write time."""
+    import shutil
+    from quantlab_data_pipeline_spark.storage.bucketing import (
+        bucketed_join_ready,
+        read_table,
+        write_bucketed,
+    )
+
+    for t in ("bk_left", "bk_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    left = spark.range(0, 10_000).withColumnRenamed("id", "k").withColumn(
+        "a", F.col("k") * 2
+    )
+    right = spark.range(0, 5_000).withColumnRenamed("id", "k").withColumn(
+        "b", F.col("k") + 1
+    )
+    write_bucketed(left, "bk_left", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bk_right", ["k"], n_buckets=8, sort_cols=["k"])
+    assert bucketed_join_ready(spark, "bk_left", "bk_right")
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "bk_left").join(read_table(spark, "bk_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert "Bucketed: true" in plan
+        assert joined.count() == 5_000
+
+        # same join WITHOUT bucketing shuffles both sides
+        plain_plan = left.join(right, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE bk_left")
+        spark.sql("DROP TABLE bk_right")
