@@ -111,3 +111,27 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (stable content hash for exact dedup / provenance)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# Patterns restricted to syntax that behaves identically under Java
+# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+URL_PATTERN = "https?://[^\\s]+"
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pretraining-intake cleanup: count and mask URLs and email
+    addresses. Masking (not deletion) keeps token positions stable for
+    downstream span-level tooling."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_urls": F.regexp_count(t, F.lit(URL_PATTERN)).cast("long"),
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long"),
+            "clean_text": F.regexp_replace(
+                F.regexp_replace(t, URL_PATTERN, "<URL>"),
+                EMAIL_PATTERN,
+                "<EMAIL>",
+            ),
+        }
+    )

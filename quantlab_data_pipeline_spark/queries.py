@@ -1024,6 +1024,16 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return _with_fp(docs).select("doc_id", "fingerprint")
 
 
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """URL/email counting + masking over documents (intake cleanup)."""
+    from .llm.text import with_pii_scrub
+
+    docs = load_table(spark, sf, "documents")
+    return with_pii_scrub(docs).select(
+        "doc_id", "n_urls", "n_emails", F.md5("clean_text").alias("clean_hash")
+    )
+
+
 def exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup by content hash: keeper id + copy count per hash."""
     docs = load_table(spark, sf, "documents")
@@ -1095,6 +1105,7 @@ SPARK_QUERIES.update(
         "text_quality": text_quality,
         "language_id": language_id,
         "doc_fingerprint": doc_fingerprint,
+        "pii_scrub": pii_scrub,
         "exact_dedup_docs": exact_dedup_docs,
         "ngram_jaccard_dedup": ngram_jaccard_dedup,
         "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -1185,6 +1196,17 @@ ORACLE_SQL.update(
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "pii_scrub": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   md5(regexp_replace(
+                        regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'
+                   )) AS clean_hash
             FROM documents
         """,
         "exact_dedup_docs": """

@@ -224,3 +224,21 @@ def test_ivf_deterministic(spark):
     c1 = train_centroids(emb, k=8)
     c2 = train_centroids(emb, k=8)
     assert c1 == c2
+
+
+def test_pii_scrub(spark):
+    from quantlab_data_pipeline_spark.llm.text import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://example.com/x?y=1 and mail a.b+c@test.org now"),
+            (2, "no pii here"),
+            (3, "two urls http://a.io http://b.io and x@y.co"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_urls"] == 1 and out[1]["n_emails"] == 1
+    assert out[1]["clean_text"] == "see <URL> and mail <EMAIL> now"
+    assert out[2]["n_urls"] == 0 and out[2]["clean_text"] == "no pii here"
+    assert out[3]["n_urls"] == 2 and out[3]["n_emails"] == 1
