@@ -447,6 +447,23 @@ def measure_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Long -> wide pivot (the inverse of W4's unpivot): one column per
+    event type. The value list is pinned so the plan is a single pass
+    (no distinct-scan to discover columns)."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 customers by balance per nation (row_number window)."""
     cust = load_table(spark, sf, "customer")
@@ -658,6 +675,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "window_cumprod": window_cumprod,
     "calendar_explode": calendar_explode,
     "measure_unpivot": measure_unpivot,
+    "pivot_event_counts": pivot_event_counts,
     "topk_per_group": topk_per_group,
     "union_all_parties": union_all_parties,
     "regex_normalize": regex_normalize,
@@ -867,6 +885,16 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT measure, count(*) AS n, round(sum(value), 2) AS total
         FROM long GROUP BY measure
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS n_click,
+               count(*) FILTER (event_type = 'view')     AS n_view,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup')   AS n_signup,
+               count(*) FILTER (event_type = 'error')    AS n_error
+        FROM events
+        GROUP BY user_id
     """,
     "topk_per_group": """
         SELECT c_nationkey, rank, c_custkey, c_acctbal FROM (

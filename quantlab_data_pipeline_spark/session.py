@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start shuffles wide and let AQE coalesce down: a fixed
+        # core-count partitioning spills once per-partition data
+        # outgrows memory (scripts/scaling_probe.py shows a 64x fact
+        # join going 19.5s -> 2.9s with wider shuffles). The high
+        # initial number costs nothing on small data because AQE
+        # merges tiny partitions after each stage.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(cpus) * 8),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
