@@ -534,6 +534,30 @@ def rollup_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def distinct_users_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct users per event type (shuffles the full key set)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct count (rows-only: sketch estimates are
+    engine-specific; the exact twin above is the oracle-checked pair).
+
+    At 100 TB this is the scale path: the sketch is fixed-size per
+    group, so the shuffle carries kilobytes instead of the full key
+    set. rsd=0.01 -> ~1% relative error.
+    """
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Batch equivalent of the streaming tumbling-window aggregation
     (see streaming/events.py for the readStream version)."""
@@ -683,6 +707,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "rollup_counts": rollup_counts,
     "cube_counts": cube_counts,
     "revenue_percentiles": revenue_percentiles,
+    "distinct_users_exact": distinct_users_exact,
+    "distinct_users_sketch": distinct_users_sketch,
     "hourly_rollup": hourly_rollup,
     "sessionize_batch": sessionize_batch,
     "asof_join_events": asof_join_events,
@@ -932,6 +958,13 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "distinct_users_exact": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
     """,
     "hourly_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

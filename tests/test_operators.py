@@ -321,3 +321,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE bk_left")
         spark.sql("DROP TABLE bk_right")
+
+
+def test_sketch_distinct_tracks_exact(spark):
+    """HLL++ estimate at rsd=0.01 must land within 3% of the exact
+    distinct count on the real events table."""
+    from quantlab_data_pipeline_spark.queries import (
+        distinct_users_exact,
+        distinct_users_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r["n_users"]
+             for r in distinct_users_exact(spark, sf).collect()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in distinct_users_sketch(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.03, (k, exact[k], approx[k])
