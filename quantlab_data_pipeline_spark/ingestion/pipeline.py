@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -112,6 +113,25 @@ def _write(
     writer.parquet(str(path))
     n = df.sparkSession.read.parquet(str(path)).count()
     logger.info("Wrote %s rows to %s", n, path)
+
+
+def _write_many(jobs: list[tuple], max_parallel: int = 4) -> None:
+    """Run independent write actions concurrently: Spark's scheduler
+    interleaves jobs submitted from different threads, so N small
+    writes overlap instead of paying N sequential job latencies (and on
+    a cluster, writes that individually under-utilize executors share
+    them). Exceptions propagate from the pool."""
+
+    def one(job: tuple) -> None:
+        df, path, kw = job
+        _write(df, path, **kw)
+
+    if max_parallel <= 1 or len(jobs) <= 1:
+        for j in jobs:
+            one(j)
+        return
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        list(ex.map(one, jobs))
 
 
 def _canon(df: DataFrame, table: str) -> DataFrame:
@@ -496,20 +516,22 @@ def ingest(
 
     step = start_step("Write raw snapshots" if save_raw else "Skip raw snapshots")
     if save_raw:
-        _write(prices, raw_dir / "prices_raw.parquet")
-        _write(universe, raw_dir / "sp500_membership_raw.parquet")
-        _write(assets_master, raw_dir / "assets_master_raw.parquet")
-        _write(fundamentals, raw_dir / "fundamentals_raw.parquet")
-        _write(idxref, raw_dir / "ibes_idxref_raw.parquet")
-        _write(consensus, raw_dir / "analyst_consensus_raw.parquet")
-        _write(ratings, raw_dir / "analyst_ratings_history_raw.parquet")
-        _write(ff_raw, raw_dir / "style_factors_raw.parquet")
-        _write(macro, raw_dir / "macro_raw.parquet")
-        _write(benchmark, raw_dir / "benchmark_raw.parquet")
-        _write(prices_monthly, raw_dir / "prices_monthly_raw.parquet")
-        _write(dlret_daily, raw_dir / "dlret_daily_raw.parquet")
-        _write(dlret_monthly, raw_dir / "dlret_monthly_raw.parquet")
-        _write(dividends, raw_dir / "dividends_monthly_raw.parquet")
+        _write_many([
+            (prices, raw_dir / "prices_raw.parquet", {}),
+            (universe, raw_dir / "sp500_membership_raw.parquet", {}),
+            (assets_master, raw_dir / "assets_master_raw.parquet", {}),
+            (fundamentals, raw_dir / "fundamentals_raw.parquet", {}),
+            (idxref, raw_dir / "ibes_idxref_raw.parquet", {}),
+            (consensus, raw_dir / "analyst_consensus_raw.parquet", {}),
+            (ratings, raw_dir / "analyst_ratings_history_raw.parquet", {}),
+            (ff_raw, raw_dir / "style_factors_raw.parquet", {}),
+            (macro, raw_dir / "macro_raw.parquet", {}),
+            (benchmark, raw_dir / "benchmark_raw.parquet", {}),
+            (prices_monthly, raw_dir / "prices_monthly_raw.parquet", {}),
+            (dlret_daily, raw_dir / "dlret_daily_raw.parquet", {}),
+            (dlret_monthly, raw_dir / "dlret_monthly_raw.parquet", {}),
+            (dividends, raw_dir / "dividends_monthly_raw.parquet", {}),
+        ])
     end_step(step)
 
     step = start_step("Write processed datasets")
@@ -521,18 +543,20 @@ def ingest(
         year_cols = None
         prices_out = _canon(prices, "prices_daily")
         returns_out = _canon(returns, "returns_daily")
-    _write(prices_out, processed / "prices_daily.parquet", partition_cols=year_cols)
-    _write(returns_out, processed / "returns_daily.parquet", partition_cols=year_cols)
-    _write(_canon(membership, "sp500_membership"), processed / "sp500_membership.parquet")
-    _write(_canon(fundamentals, "fundamentals_quarterly"), processed / "fundamentals_quarterly.parquet")
-    _write(_canon(consensus, "analyst_consensus"), processed / "analyst_consensus.parquet")
-    _write(_canon(ratings, "analyst_ratings_history"), processed / "analyst_ratings_history.parquet")
-    _write(_canon(macro, "macro_timeseries"), processed / "macro_timeseries.parquet", single_file=True)
-    _write(_canon(rf, "risk_free"), processed / "risk_free.parquet", single_file=True)
-    _write(_canon(factors, "style_factor_returns"), processed / "style_factor_returns.parquet", single_file=True)
-    _write(_canon(benchmark, "benchmarks"), processed / "benchmarks.parquet", single_file=True)
-    _write(_canon(returns_monthly, "returns_monthly"), processed / "returns_monthly.parquet")
-    _write(_canon(dividends, "dividends_monthly"), processed / "dividends_monthly.parquet")
+    _write_many([
+        (prices_out, processed / "prices_daily.parquet", {"partition_cols": year_cols}),
+        (returns_out, processed / "returns_daily.parquet", {"partition_cols": year_cols}),
+        (_canon(membership, "sp500_membership"), processed / "sp500_membership.parquet", {}),
+        (_canon(fundamentals, "fundamentals_quarterly"), processed / "fundamentals_quarterly.parquet", {}),
+        (_canon(consensus, "analyst_consensus"), processed / "analyst_consensus.parquet", {}),
+        (_canon(ratings, "analyst_ratings_history"), processed / "analyst_ratings_history.parquet", {}),
+        (_canon(macro, "macro_timeseries"), processed / "macro_timeseries.parquet", {"single_file": True}),
+        (_canon(rf, "risk_free"), processed / "risk_free.parquet", {"single_file": True}),
+        (_canon(factors, "style_factor_returns"), processed / "style_factor_returns.parquet", {"single_file": True}),
+        (_canon(benchmark, "benchmarks"), processed / "benchmarks.parquet", {"single_file": True}),
+        (_canon(returns_monthly, "returns_monthly"), processed / "returns_monthly.parquet", {}),
+        (_canon(dividends, "dividends_monthly"), processed / "dividends_monthly.parquet", {}),
+    ])
     end_step(step)
 
     step = start_step("Write metadata and manifests")
