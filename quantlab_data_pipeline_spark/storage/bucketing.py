@@ -46,3 +46,26 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
     precondition for a shuffle-free join)."""
     cat = spark.catalog
     return cat.tableExists(left) and cat.tableExists(right)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-cluster a dataset on ``cluster_cols`` before writing:
+    ``repartitionByRange`` gives each output file a narrow, disjoint
+    value range, and the in-file sort tightens parquet rowgroup min/max
+    stats. A date-range query then skips whole files/rowgroups from
+    footer statistics alone — the complement to directory-level
+    partition pruning, without the directory explosion of partitioning
+    on a fine-grained key.
+    """
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -339,3 +339,43 @@ def test_sketch_distinct_tracks_exact(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.03, (k, exact[k], approx[k])
+
+
+def test_range_clustered_write_narrows_file_stats(spark, tmp_path):
+    """Range-clustered files must each cover a narrow disjoint key
+    range (footer min/max), where an unclustered write's files all span
+    the full range — the property that powers rowgroup skipping."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    from quantlab_data_pipeline_spark.storage.bucketing import write_range_clustered
+
+    df = (
+        spark.range(0, 100_000)
+        .withColumnRenamed("id", "seq")
+        .withColumn("k", F.pmod(F.xxhash64("seq"), F.lit(100_000)))  # shuffled order
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_range_clustered(df, clustered, ["k"], n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+
+    def spans(path):
+        out = []
+        for f in Path(path).glob("part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    full = 100_000
+    clustered_spans = spans(clustered)
+    plain_spans = spans(plain)
+    # every clustered file covers a small slice; every plain file ~everything
+    assert max(clustered_spans) < full * 0.35, clustered_spans
+    assert min(plain_spans) > full * 0.9, plain_spans
+
+    # and the filtered scan reads fewer files' worth of data
+    got = spark.read.parquet(clustered).filter(F.col("k") < 1000).count()
+    exp = df.filter(F.col("k") < 1000).count()
+    assert got == exp
