@@ -241,3 +241,40 @@ def test_partitioned_layout_prunes_and_matches(spark, tmp_path_factory, data_roo
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_validation_clean_on_ingest_output(data_root, spark):
+    from quantlab_data_pipeline_spark.validation import validate_outputs
+
+    failures = validate_outputs(data_root, spark, start=START, end=END)
+    assert failures == [], failures
+
+
+def test_validation_catches_violations(spark, tmp_path):
+    import pandas as pd
+    from quantlab_data_pipeline_spark.validation import (
+        ValidationError,
+        validate_table,
+        validate_outputs,
+    )
+
+    # duplicate key + null key + bad return + out-of-window date
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "date": pd.to_datetime(
+                    ["2020-01-02", "2020-01-02", "2021-06-01", "2020-01-03"]
+                ),
+                "asset_id": [1, 1, 2, None],
+                "ticker": ["A", "A", "B", "C"],
+                "ret_1d": [0.01, 0.01, -1.5, 0.02],
+            }
+        )
+    )
+    fails = validate_table(bad, "returns_daily", start="2020-01-01", end="2020-12-31")
+    checks = {f["check"] for f in fails}
+    assert {"unique_key", "non_null_key", "date_window", "return_domain"} <= checks
+
+    # missing dataset + raise_on_failure path
+    with pytest.raises(ValidationError):
+        validate_outputs(tmp_path, spark, raise_on_failure=True)
