@@ -658,24 +658,37 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--synthetic", action="store_true",
         help="Use the deterministic offline source instead of WRDS/FRED.",
     )
+    parser.add_argument(
+        "--validate", action="store_true",
+        help="Run post-ingest data-quality validation and fail on violations.",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    spark = get_spark()
     if args.synthetic:
         from ..sources.fred import synthetic_fred_fetcher
         from ..sources.wrds import SyntheticWrdsSource
 
-        spark = get_spark()
-        ingest(
+        root = ingest(
             args.root, args.start, args.end, save_raw=args.save_raw,
             source=SyntheticWrdsSource(spark),
             fred_fetcher=synthetic_fred_fetcher(), spark=spark,
         )
     else:
-        ingest(args.root, args.start, args.end, save_raw=args.save_raw)
+        root = ingest(
+            args.root, args.start, args.end, save_raw=args.save_raw, spark=spark
+        )
+    if args.validate:
+        from ..validation import validate_outputs
+
+        validate_outputs(
+            root, spark, start=args.start, end=args.end, raise_on_failure=True
+        )
+        logger.info("Validation clean: all datasets pass quality checks.")
 
 
 if __name__ == "__main__":
