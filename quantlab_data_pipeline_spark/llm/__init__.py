@@ -19,6 +19,7 @@ from .similarity import (
 from .text import (
     with_fingerprint,
     with_language_id,
+    with_pii_scrub,
     with_quality_score,
     with_text_stats,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "with_fingerprint",
     "with_language_id",
+    "with_pii_scrub",
     "with_quality_score",
     "with_text_stats",
 ]

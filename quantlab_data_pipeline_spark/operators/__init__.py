@@ -19,10 +19,14 @@ from .intervals import (
     point_in_time_join,
     trading_calendar,
 )
+from .asof import as_of_join
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
+from .skew import salted_join
 
 __all__ = [
     "FACTOR_NAME_MAP",
+    "as_of_join",
+    "salted_join",
     "attach_close_prices",
     "attach_tickers",
     "clean_dividends",

@@ -50,11 +50,14 @@ def as_of_join(
         F.col(right_ts).alias(f"{prefix}{right_ts}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
     )
-    r = right.select(
-        *on,
-        F.col(right_ts).alias("__ts"),
-        payload.alias("__payload"),
-        F.lit(0).alias("__side"),
+    # Pin tie semantics: if several right rows share (keys, ts), the
+    # lexicographically largest payload tuple wins. Without this the
+    # window's `last` over equal sort keys is shuffle-order-dependent.
+    r = (
+        right.select(*on, F.col(right_ts).alias("__ts"), payload.alias("__p"))
+        .groupBy(*on, "__ts")
+        .agg(F.max("__p").alias("__payload"))
+        .withColumn("__side", F.lit(0))
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
 

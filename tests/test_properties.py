@@ -65,9 +65,11 @@ def test_as_of_join_matches_pandas_merge_asof(spark, frames):
         exp["asof_ts"] = pd.Series([None] * len(exp), dtype="float")
         exp["asof_px"] = pd.Series([None] * len(exp), dtype="float")
     else:
-        # pandas merge_asof: backward-inclusive, same semantics; on ties
-        # in right ts it takes the LAST right row, which matches our
-        # window (later rows overwrite in `last` over the running frame).
+        # Mirror the operator's pinned tie semantics: among right rows
+        # sharing (key, ts) the largest payload tuple wins (pandas
+        # merge_asof alone is unstable-sort-dependent on such ties).
+        rp = rp.groupby(["key", "ts"], as_index=False)["px"].max()
+        # pandas merge_asof: backward-inclusive, same semantics.
         rp_sorted = rp.sort_values(["ts"]).reset_index(drop=True)
         exp = pd.merge_asof(
             lp.sort_values("ts").reset_index(drop=True),
