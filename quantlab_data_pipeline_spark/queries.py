@@ -412,6 +412,27 @@ def window_cumprod(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame (not row-count): trailing 30-day spend
+    per customer as of each order. rangeBetween over epoch seconds —
+    the frame is defined by time distance, so irregular order spacing
+    is handled correctly (a rowsBetween frame would not be)."""
+    orders = load_table(spark, sf, "orders")
+    day = 86400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * day, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
 def calendar_explode(spark: SparkSession, sf: str) -> DataFrame:
     """W3: interval -> daily explode via sequence+explode.
 
@@ -697,6 +718,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "greatest_least": greatest_least,
     "window_lag_pct_change": window_lag_pct_change,
     "window_cumprod": window_cumprod,
+    "window_range_frame": window_range_frame,
     "calendar_explode": calendar_explode,
     "measure_unpivot": measure_unpivot,
     "pivot_event_counts": pivot_event_counts,
@@ -887,6 +909,16 @@ ORACLE_SQL: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) * 100.0, 6) AS level
         FROM events
+    """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+               count(*) OVER w AS n_orders_30d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+        )
     """,
     "calendar_explode": """
         WITH days AS (

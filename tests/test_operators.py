@@ -379,3 +379,20 @@ def test_range_clustered_write_narrows_file_stats(spark, tmp_path):
     got = spark.read.parquet(clustered).filter(F.col("k") < 1000).count()
     exp = df.filter(F.col("k") < 1000).count()
     assert got == exp
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """approx_percentile (KLL-style sketch) within 2% of exact
+    interpolated percentiles on the real customer balances."""
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer")
+    row = cust.agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("exact50"),
+        F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)).alias("approx50"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("exact95"),
+        F.percentile_approx("c_acctbal", F.lit(0.95), F.lit(10000)).alias("approx95"),
+    ).collect()[0]
+    spread = cust.agg(F.max("c_acctbal") - F.min("c_acctbal")).collect()[0][0]
+    assert abs(row["approx50"] - row["exact50"]) / spread <= 0.02
+    assert abs(row["approx95"] - row["exact95"]) / spread <= 0.02
