@@ -503,6 +503,32 @@ def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def dense_rank_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-aware ranking: dense_rank over rounded balances per segment
+    (row_number's tie-broken cousin; rounded so real ties exist)."""
+    cust = load_table(spark, sf, "customer")
+    bal_k = F.round(F.col("c_acctbal") / 1000.0, 0)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc(bal_k))
+    return (
+        cust.withColumn("bal_k", bal_k)
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("c_mktsegment", "rnk")
+        .agg(F.count("*").alias("n_at_rank"), F.max("bal_k").alias("bal_k"))
+    )
+
+
+def json_struct_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json with an explicit schema (the JSON parser path, vs
+    json_extract_cast's path extraction) -> typed struct field."""
+    ev = load_table(spark, sf, "events")
+    parsed = F.from_json("props", "k bigint")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("k"))
+        .filter(F.col("k").isNotNull())
+    )
+
+
 def union_all_parties(spark: SparkSession, sf: str) -> DataFrame:
     """U1: union-all of two homogenized frames (concat shape)."""
     cust = load_table(spark, sf, "customer").select(
@@ -723,6 +749,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "measure_unpivot": measure_unpivot,
     "pivot_event_counts": pivot_event_counts,
     "topk_per_group": topk_per_group,
+    "dense_rank_balances": dense_rank_balances,
+    "json_struct_parse": json_struct_parse,
     "union_all_parties": union_all_parties,
     "regex_normalize": regex_normalize,
     "json_extract_cast": json_extract_cast,
@@ -962,6 +990,27 @@ ORACLE_SQL: dict[str, str] = {
                        ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rank
             FROM customer
         ) t WHERE rank <= 3
+    """,
+    "dense_rank_balances": """
+        SELECT c_mktsegment, rnk,
+               count(*) AS n_at_rank,
+               max(bal_k) AS bal_k
+        FROM (
+            SELECT c_mktsegment,
+                   round(c_acctbal / 1000.0, 0) AS bal_k,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY round(c_acctbal / 1000.0, 0) DESC
+                   ) AS INT) AS rnk
+            FROM customer
+        ) t WHERE rnk <= 3
+        GROUP BY c_mktsegment, rnk
+    """,
+    "json_struct_parse": """
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+        FROM events
+        WHERE TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) IS NOT NULL
     """,
     "union_all_parties": """
         SELECT c_custkey AS party_id, c_name AS party_name,
