@@ -183,3 +183,53 @@ def test_dedupe_first_non_null_matches_pandas(spark, rows):
         gs, gv = got[key]
         assert gs == s
         assert (gv is None and v is None) or abs(gv - v) < 1e-12
+
+
+@st.composite
+def pit_frames(draw):
+    n_facts = draw(st.integers(0, 10))
+    facts = [
+        (draw(st.sampled_from(["g1", "g2"])), draw(st.integers(0, 20)), i)
+        for i in range(n_facts)
+    ]
+    n_links = draw(st.integers(0, 6))
+    links = []
+    for j in range(n_links):
+        start = draw(st.integers(0, 20))
+        end = draw(st.one_of(st.none(), st.integers(0, 20)))
+        links.append((draw(st.sampled_from(["g1", "g2"])), start, end, 100 + j))
+    return facts, links
+
+
+@given(pit_frames())
+@SETTINGS
+def test_point_in_time_join_matches_scan(spark, frames):
+    """J4 semantics vs a brute-force scan: a fact row pairs with every
+    link of its key whose [valid_from, valid_to] interval contains the
+    as-of value (null valid_to = open-ended)."""
+    from quantlab_data_pipeline_spark.operators.intervals import point_in_time_join
+
+    facts_rows, link_rows = frames
+    facts = spark.createDataFrame(
+        facts_rows, "gvkey string, asof long, fact_id long"
+    ) if facts_rows else spark.createDataFrame([], "gvkey string, asof long, fact_id long")
+    links = spark.createDataFrame(
+        link_rows, "gvkey string, valid_from long, valid_to long, link_id long"
+    ) if link_rows else spark.createDataFrame(
+        [], "gvkey string, valid_from long, valid_to long, link_id long"
+    )
+
+    got = {
+        (r["fact_id"], r["link_id"])
+        for r in point_in_time_join(
+            facts, links, key="gvkey", as_of_col="asof",
+            valid_from="valid_from", valid_to="valid_to",
+        ).collect()
+    }
+    exp = {
+        (f[2], l[3])
+        for f in facts_rows
+        for l in link_rows
+        if f[0] == l[0] and f[1] >= l[1] and (l[2] is None or f[1] <= l[2])
+    }
+    assert got == exp
