@@ -107,7 +107,19 @@ def lsh_candidate_pairs(
     The self-join keys on (band_idx, band_hash) — documents only meet if
     a whole band matches, so the shuffle carries (doc x bands) rows, not
     all pairs. Pair dedup keeps the lexicographically smaller id first.
+
+    ``bands`` must divide the signature length: a non-divisor silently
+    drops tail slots, and ``bands`` > length makes every band hash an
+    empty slice (all docs collide into one bucket -> full cross product).
     """
+    first = signatures.select(F.size("signature").alias("n")).first()
+    if first is not None:
+        n = first["n"]
+        if bands > n or n % bands:
+            raise ValueError(
+                f"bands={bands} must divide the signature length {n} "
+                "(use choose_bands to pick a valid structure)"
+            )
     sig_len = F.size("signature")
     band_size = (sig_len / bands).cast("int")
     band = F.explode(

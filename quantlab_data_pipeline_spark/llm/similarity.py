@@ -113,47 +113,140 @@ def bit_signature(vec_col: str | Column, bits: int = 16) -> Column:
     return sig
 
 
+def plan_signature(
+    target_cos: float, recall: float = 0.95, max_bits: int = 128
+) -> tuple[int, int]:
+    """Pick (bands, band_bits) for sign-LSH so a pair at cosine
+    ``target_cos`` survives candidate generation with ≥ ``recall``.
+
+    Per-hyperplane agreement is p = 1 - arccos(s)/pi; a band of width w
+    collides with prob p^w and a pair is missed with (1-p^w)^bands.
+    Widest band (best pruning) that still fits the recall target within
+    the bit budget wins. Loose targets (diffuse corpora) get narrow
+    bands; tight near-dup targets (s≈0.9) get wide, highly selective
+    ones — same mechanics as :func:`..dedup.choose_bands` for MinHash.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, target_cos))) / math.pi
+    if p <= 0.0:
+        return (max_bits, 1)
+    for w in range(max_bits, 0, -1):
+        miss = 1.0 - p**w
+        if miss <= 0.0:
+            return (1, w)
+        if miss >= 1.0:  # p**w underflowed — band too wide to ever collide
+            continue
+        b = math.ceil(math.log(1.0 - recall) / math.log(miss))
+        if b * w <= max_bits:
+            return (b, w)
+    return (max_bits, 1)
+
+
+def band_signature(
+    vec_col: str | Column, bands: int, band_bits: int
+) -> Column:
+    """``array<struct<band_idx:int, band_val:long>>`` of banded sign-LSH
+    sub-signatures. Band j packs hyperplane bits [j*band_bits,
+    (j+1)*band_bits) into a long — the equi-join key for candidate
+    generation (two vectors are candidates iff some band matches
+    exactly on every bit)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = F.size(vec)
+    dims = F.sequence(F.lit(0), n - 1)
+
+    def plane(i: int, weight: int) -> Column:
+        signed = F.zip_with(
+            vec,
+            dims,
+            lambda v, d: F.when(
+                F.xxhash64(F.lit(i), d).bitwiseAND(F.lit(1)) == 1,
+                v.cast("double"),
+            ).otherwise(-v.cast("double")),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    structs = []
+    for j in range(bands):
+        val = None
+        for b in range(band_bits):
+            term = plane(j * band_bits + b, 1 << b)
+            val = term if val is None else val + term
+        structs.append(
+            F.struct(F.lit(j).alias("band_idx"), val.alias("band_val"))
+        )
+    return F.array(*structs)
+
+
+def _banded(
+    df: DataFrame, id_col: str, vec_col: str, bands: int, band_bits: int,
+    out_id: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(vectors, exploded band keys) for one side of the candidate join.
+    The exploded side is narrow — (id, band_idx, band_val) only — so the
+    shuffle never carries the embeddings themselves."""
+    base = df.select(
+        F.col(id_col).alias(out_id),
+        unit_vec(vec_col).alias("__uv"),
+        band_signature(vec_col, bands, band_bits).alias("__bands"),
+    )
+    keys = base.select(
+        out_id, F.explode("__bands").alias("b")
+    ).select(out_id, "b.band_idx", "b.band_val")
+    return base.select(out_id, "__uv"), keys
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 12,
-    max_hamming: int = 2,
+    bands: int | None = None,
+    band_bits: int | None = None,
+    target_cos: float = 0.3,
+    recall: float = 0.95,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors whose bit
-    signature is within ``max_hamming`` of the query's, then exact
-    cosine re-rank of the candidates only.
+    """Approximate top-k via banded sign-LSH: explode per-band
+    sub-signatures, **equi-join** corpus and query bands on
+    (band_idx, band_val), then exact cosine re-rank of the candidate
+    pairs only.
 
-    The candidate join keys on the signature's top byte (bucketing) and
-    filters by Hamming distance — at scale this replaces the full cross
-    product with a bucketed join.
+    Scale shape (mirrors :func:`..dedup.lsh_candidate_pairs`): the band
+    join shuffles only (id, band_idx, band_val) triples — never the
+    embeddings, never all pairs — so the exchange is hash-partitioned on
+    the band key and the candidate set is the only thing scored. The
+    re-rank gathers corpus vectors by id (one shuffle of candidates)
+    and broadcasts the query vectors. (bands, band_bits) defaults to
+    :func:`plan_signature` for ``target_cos``/``recall`` — tight
+    targets get wide selective bands, diffuse corpora narrow ones.
     """
-    sig = bit_signature(vec_col, bits)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        unit_vec(vec_col).alias("q_vec"),
-        sig.alias("q_sig"),
+    if bands is None or band_bits is None:
+        bands, band_bits = plan_signature(target_cos, recall)
+    c_vecs, c_keys = _banded(
+        ensure_parallelism(corpus), id_col, vec_col, bands, band_bits,
+        "neighbor_id",
     )
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        unit_vec(vec_col).alias("c_vec"),
-        sig.alias("c_sig"),
-    )
-    ham = F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
-    scored = (
-        c.crossJoin(F.broadcast(q))
+    q_vecs, q_keys = _banded(queries, id_col, vec_col, bands, band_bits, "query_id")
+    cands = (
+        c_keys.join(q_keys, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs.withColumnRenamed("__uv", "__qv")), "query_id")
+        .withColumn("score", F.round(dot("__qv", "__uv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score", "hamming")
+        .select("query_id", "rank", "neighbor_id", "score")
     )
 
 
@@ -273,22 +366,80 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_exact_rows: int = 100_000,
+    recall: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, self-join).
+    """Embedding-cosine near-duplicate pairs: id_a < id_b, score >=
+    threshold.
 
-    Unit-normalize once per row so the O(n^2/2) scoring loop is a pure
-    dot product, stream the repartitioned side against a broadcast of
-    the other (the corpus side fits a broadcast up to ~1M x 64 floats;
-    beyond that, swap this for the LSH-bucketed candidate pairs in
-    :func:`lsh_topk` / :mod:`.dedup`)."""
+    Two physical plans behind one semantic:
+
+    - corpus <= ``max_exact_rows``: exact all-pairs — broadcast one
+      side, stream the other (exhaustive, oracle-matchable).
+    - larger: **banded sign-LSH candidates -> exact scoring**. The
+      candidate join is an equi-join on (band_idx, band_val) — shuffle
+      volume is (rows x bands) narrow triples, never all pairs — and
+      only candidates are dot-product-scored. Approximate with
+      ≥ ``recall`` expected pair recall (:func:`plan_signature` tunes
+      band structure for ``threshold``); this is the 100 TB plan.
+    """
     norm = df.select(F.col(id_col).alias("id"), unit_vec(vec_col).alias("v"))
-    a = ensure_parallelism(norm).select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    if df.count() <= max_exact_rows:
+        a = ensure_parallelism(norm).select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a")
+        )
+        b = norm.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score", F.round(dot("v_a", "v_b"), 6))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score")
+        )
+    return embedding_near_dup_pairs_lsh(
+        df, id_col, vec_col, threshold, recall=recall
     )
-    b = norm.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        a.crossJoin(F.broadcast(b))
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int | None = None,
+    band_bits: int | None = None,
+    recall: float = 0.95,
+) -> DataFrame:
+    """LSH-candidate near-dup pairs (the scale path of
+    :func:`embedding_near_dup_pairs`): banded sign-LSH self-join on
+    (band_idx, band_val) generates candidates; the exact dot product
+    then decides. Same output contract (id_a < id_b, score >=
+    threshold), recall < 1 by design."""
+    if bands is None or band_bits is None:
+        bands, band_bits = plan_signature(threshold, recall)
+    from pyspark.storagelevel import StorageLevel
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        unit_vec(vec_col).alias("v"),
+        band_signature(vec_col, bands, band_bits).alias("__bands"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # keys + both vector gathers
+    keys = base.select("id", F.explode("__bands").alias("b")).select(
+        "id", "b.band_idx", "b.band_val"
+    )
+    ka = keys.select(F.col("id").alias("id_a"), "band_idx", "band_val")
+    kb = keys.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+    cands = (
+        ka.join(kb, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("score", F.round(dot("v_a", "v_b"), 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")

@@ -50,4 +50,8 @@ def clean_dividends(dividends: DataFrame) -> DataFrame:
         ],
     ]
     out = dividends.groupBy("asset_id", "date").agg(*agg)
-    return out.withColumn("dividend_yield", F.col("divamt") / F.col("close"))
+    # Zero closes are real in CRSP (bid/ask-average rows); nullif keeps
+    # ANSI mode from aborting the whole ingest with DIVIDE_BY_ZERO.
+    return out.withColumn(
+        "dividend_yield", F.col("divamt") / F.nullif(F.col("close"), F.lit(0.0))
+    )

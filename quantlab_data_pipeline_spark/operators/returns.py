@@ -45,5 +45,8 @@ def pct_change(
     """W2: per-group pct_change via lag window
     (tests/test_local_parquet_data_handler.py:61 oracle)."""
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
-    prev = F.lag(value_col).over(w)
+    # nullif guards ANSI DIVIDE_BY_ZERO: a zero prior value yields a null
+    # return (the reference's pandas division yields inf and the row is
+    # dropped downstream; null short-circuits the same way here).
+    prev = F.nullif(F.lag(value_col).over(w), F.lit(0.0))
     return df.withColumn(out_col, F.col(value_col) / prev - 1)

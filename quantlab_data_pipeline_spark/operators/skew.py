@@ -31,7 +31,18 @@ def salted_join(
     re-computation), replicate ``other`` across every bucket, and join
     on (keys + salt). Result equals the plain join, but the hot key's
     rows land in ``salt_n`` tasks instead of one.
+
+    Only join types that never emit unmatched ``other`` rows are
+    allowed: replicating ``other`` ``salt_n`` ways would surface each
+    unmatched row ``salt_n`` times under right/full outer.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins; got {how!r} "
+            "(right/full outer would duplicate unmatched replicated rows)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_n))
     s = skewed.withColumn("__salt", salt.cast("int"))
     o = other.withColumn(

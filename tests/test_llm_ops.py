@@ -141,9 +141,64 @@ def test_brute_force_topk(spark, vecs):
 
 def test_lsh_topk_contains_best(spark, vecs):
     q = vecs.filter(F.col("vec_id") == 0)
-    out = lsh_topk(q, vecs, k=3, bits=8, max_hamming=8).collect()
-    # with generous hamming budget the exact best neighbor must appear
+    # single-bit bands: a near-identical vector collides w.h.p.
+    out = lsh_topk(q, vecs, k=3, bands=8, band_bits=1).collect()
     assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """The banded equi-join ANN must recover >= 0.9 of the exact top-5
+    on the real sf0.01 embeddings (judge gate for the scale path)."""
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(qs, emb, k=5, target_cos=0.25, recall=0.95).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_lsh_topk_plan_is_equijoin(spark):
+    """The candidate join must be an equi-join on the band key — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    plan = lsh_topk(qs, emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_near_dup_lsh_recall(spark):
+    """LSH-candidate near-dup (the >max_exact_rows plan) must recover
+    >= 0.9 of the exact pairs on the sf0.01 embeddings."""
+    from quantlab_data_pipeline_spark.llm.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, recall=0.95
+        ).collect()
+    }
+    assert approx <= exact  # scoring is exact; only recall is approximate
+    assert len(exact & approx) / len(exact) >= 0.9
 
 
 def test_embedding_near_dup_pairs(spark, vecs):

@@ -396,3 +396,56 @@ def test_approx_percentile_tracks_exact(spark):
     spread = cust.agg(F.max("c_acctbal") - F.min("c_acctbal")).collect()[0][0]
     assert abs(row["approx50"] - row["exact50"]) / spread <= 0.02
     assert abs(row["approx95"] - row["exact95"]) / spread <= 0.02
+
+
+def test_pct_change_zero_prior_yields_null_not_ansi_error(spark):
+    """A zero prior value must produce a null return, not an ANSI
+    DIVIDE_BY_ZERO that aborts the job (VERDICT r1 #3)."""
+    df = spark.createDataFrame(
+        [(1, _d("2020-01-01"), 0.0), (1, _d("2020-01-02"), 5.0)],
+        "asset_id long, date date, close double",
+    )
+    rows = {r["date"]: r["ret_1d"]
+            for r in pct_change(df, "close", ["asset_id"]).collect()}
+    assert rows[_d("2020-01-01")] is None  # no prior row
+    assert rows[_d("2020-01-02")] is None  # prior close == 0
+
+
+def test_dividend_yield_zero_close_yields_null_not_ansi_error(spark):
+    """Zero closes are real in CRSP bid/ask-average rows; the yield must
+    null out instead of killing the 17-step ingest (VERDICT r1 #3)."""
+    df = spark.createDataFrame(
+        [(1, _d("2020-01-01"), 0.5, 1232, 0.0)],
+        "asset_id long, date date, divamt double, distcd int, close double",
+    )
+    out = clean_dividends(df).collect()
+    assert len(out) == 1
+    assert out[0]["dividend_yield"] is None
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from quantlab_data_pipeline_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, va string")
+    b = spark.createDataFrame([(1, "y"), (2, "z")], "k long, vb string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, b, ["k"], how="full_outer")
+    # left joins remain supported and correct
+    got = {tuple(r) for r in salted_join(a, b, ["k"], how="left").collect()}
+    assert got == {(1, "x", "y")}
+
+
+def test_lsh_candidate_pairs_rejects_bad_band_count(spark):
+    from quantlab_data_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, num_hashes=64)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, bands=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, bands=128)  # wider than the signature
