@@ -56,6 +56,7 @@ from ..operators import (
 )
 from ..operators.dividends import attach_close_prices
 from ..operators.factors import join_momentum
+from ..operators.intervals import derive_ibes_coverage
 from ..schemas import FIELD_MAP, SCHEMAS
 from ..session import get_spark
 from ..sources.fred import Fetcher, fetch_macro, http_fred_fetcher
@@ -184,8 +185,13 @@ def build_idxref(
     source: WrdsSource, permnos: list[int], start: str, end: str
 ) -> DataFrame:
     """Step 5 (J6 + F1): IBES<->CRSP entity resolution on normalized
-    CUSIP-8 with interval intersection."""
-    ibes = source.ibes_ids(end).select(
+    CUSIP-8 with interval intersection.
+
+    Raw tr_ibes.id snapshots first become validity windows
+    (derive_ibes_coverage) so a recycled IBES ticker resolves to each
+    company only within its own window — the reference's open-ended
+    assumption maps it to both companies for all dates."""
+    ibes = derive_ibes_coverage(source.ibes_ids(end)).select(
         "ticker", "cusip", "cname",
         F.col("start_date").alias("start_date_ibes"),
         F.col("end_date").alias("end_date_ibes"),

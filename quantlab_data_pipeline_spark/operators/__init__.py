@@ -14,6 +14,7 @@ from .factors import (
     risk_free,
 )
 from .intervals import (
+    derive_ibes_coverage,
     explode_membership,
     interval_overlap_join,
     point_in_time_join,
@@ -38,6 +39,7 @@ __all__ = [
     "delist_adjust",
     "drop_duplicates_ordered",
     "explode_membership",
+    "derive_ibes_coverage",
     "interval_overlap_join",
     "join_momentum",
     "melt_factors",

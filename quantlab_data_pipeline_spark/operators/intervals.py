@@ -9,7 +9,7 @@ the range condition filters within matched groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalize_cusip
@@ -73,6 +73,57 @@ def interval_overlap_join(
             & (F.col("valid_start") <= F.lit(window_end).cast("date"))
         )
         .drop("__cusip8")
+    )
+
+
+def derive_ibes_coverage(
+    ids: DataFrame,
+    ticker_col: str = "ticker",
+    cusip_col: str = "cusip",
+    cname_col: str = "cname",
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+) -> DataFrame:
+    """Derive per-id validity windows from raw ``tr_ibes.id`` snapshots.
+
+    The id file carries one row per (ticker, sdates) snapshot; a
+    ticker->CUSIP mapping holds from its snapshot date until the
+    ticker's next snapshot. The reference leaves every snapshot
+    open-ended ("end date assumed open", wrds_ingestion.py:566-585), so
+    a recycled ticker maps to *both* companies for all dates. Here:
+
+    1. collapse consecutive same-CUSIP snapshots into islands
+       (change-flag running sum over a per-ticker window),
+    2. end each island the day before the next island starts; the
+       ticker's last island stays open (null end_date).
+
+    Two window passes + one aggregation, all partitioned on the ticker —
+    at WRDS scale (~10^6 id rows) this is a single small shuffle.
+    """
+    w = Window.partitionBy(ticker_col).orderBy(start_col)
+    changed = (
+        ~F.col(cusip_col).eqNullSafe(F.lag(cusip_col).over(w))
+    ).cast("int")
+    islands = (
+        ids.withColumn("__chg", changed)
+        .withColumn(
+            "__island",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(ticker_col, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.min(cusip_col).alias(cusip_col),  # constant within an island
+            F.max_by(cname_col, start_col).alias(cname_col),  # latest name
+        )
+    )
+    w2 = Window.partitionBy(ticker_col).orderBy(start_col)
+    return islands.select(
+        ticker_col,
+        cusip_col,
+        cname_col,
+        start_col,
+        F.date_sub(F.lead(start_col).over(w2), 1).alias(end_col),
     )
 
 

@@ -96,8 +96,13 @@ class WrdsSource(abc.ABC):
 
     @abc.abstractmethod
     def ibes_ids(self, end: str) -> DataFrame:
-        """tr_ibes.id -> (ticker, cusip, cname, start_date, end_date)
-        (wrds_ingestion.py:558-585); null end_date = open coverage."""
+        """RAW tr_ibes.id snapshot rows -> (ticker, cusip, cname,
+        start_date, end_date) with end_date null
+        (wrds_ingestion.py:558-585). The pipeline derives validity
+        windows from consecutive snapshots per ticker
+        (operators.intervals.derive_ibes_coverage) — tighter than the
+        reference's open-ended assumption, which mis-maps recycled
+        tickers to every company they ever named."""
 
     @abc.abstractmethod
     def crsp_cusip_names(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
@@ -351,12 +356,22 @@ class SyntheticWrdsSource(WrdsSource):
     - quarterly fundamentals miss xrd for odd assets (null padding)
     """
 
-    def __init__(self, spark: SparkSession, n_assets: int = 8, seed: int = 7):
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_assets: int = 8,
+        seed: int = 7,
+        recycled_ticker: bool = False,
+    ):
         if n_assets > len(_SYN_TICKERS):
             raise ValueError(f"n_assets must be <= {len(_SYN_TICKERS)}")
         self.spark = spark
         self.n_assets = n_assets
         self.seed = seed
+        # When set, tr_ibes.id carries ticker "IBR" snapshotted first on
+        # asset 0's CUSIP and later on asset 1's — a recycled IBES ticker
+        # whose coverage must split into disjoint validity windows.
+        self.recycled_ticker = recycled_ticker
 
     # -- driver-side generation helpers (tiny data; determinism > scale) --
 
@@ -566,6 +581,15 @@ class SyntheticWrdsSource(WrdsSource):
             rows.append(
                 (f"IB{i}", cusip, f"Company {i}", _dt.date(2000, 1, 1), None)
             )
+        if self.recycled_ticker:
+            # Raw snapshot rows (end_date null, like tr_ibes.id): "IBR"
+            # points at asset 0's CUSIP, is re-snapshotted unchanged
+            # (must collapse, not split), then recycled to asset 1's.
+            rows += [
+                ("IBR", self._cusip(0), "Old Corp", _dt.date(2012, 1, 2), None),
+                ("IBR", self._cusip(0), "Old Corp", _dt.date(2013, 7, 1), None),
+                ("IBR", self._cusip(1), "New Corp", _dt.date(2015, 6, 1), None),
+            ]
         pdf = pd.DataFrame(
             rows, columns=["ticker", "cusip", "cname", "start_date", "end_date"]
         )

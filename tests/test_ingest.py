@@ -278,3 +278,31 @@ def test_validation_catches_violations(spark, tmp_path):
     # missing dataset + raise_on_failure path
     with pytest.raises(ValidationError):
         validate_outputs(tmp_path, spark, raise_on_failure=True)
+
+
+def test_recycled_ibes_ticker_splits_into_disjoint_windows(spark):
+    """A recycled IBES ticker (same ticker, different CUSIP over time)
+    must resolve to each permno only within its own validity window —
+    the reference's open-ended coverage maps it to both companies for
+    all dates (VERDICT r1 #4)."""
+    import datetime as dt
+
+    from quantlab_data_pipeline_spark.ingestion.pipeline import build_idxref
+
+    src = SyntheticWrdsSource(spark, n_assets=6, recycled_ticker=True)
+    permnos = [10001 + i for i in range(6)]
+    idx = build_idxref(src, permnos, "2012-01-01", "2020-12-31")
+    ibr = sorted(
+        ((r["asset_id"], r["start_date"], r["end_date"])
+         for r in idx.filter("ticker = 'IBR'").collect()),
+        key=lambda t: t[1],
+    )
+    assert len(ibr) == 2
+    (a1, s1, e1), (a2, s2, e2) = ibr
+    assert (a1, a2) == (10001, 10002)  # two different permnos
+    assert s1 == dt.date(2012, 1, 2)
+    assert e1 == dt.date(2015, 5, 31)  # closed the day before recycling
+    assert s2 == dt.date(2015, 6, 1)
+    assert e1 < s2  # disjoint windows
+    # regular tickers keep one open-ended row each
+    assert idx.filter("ticker = 'IB0'").count() == 1

@@ -449,3 +449,33 @@ def test_lsh_candidate_pairs_rejects_bad_band_count(spark):
         lsh_candidate_pairs(sigs, bands=7)  # 64 % 7 != 0
     with pytest.raises(ValueError, match="must divide"):
         lsh_candidate_pairs(sigs, bands=128)  # wider than the signature
+
+
+def test_derive_ibes_coverage_collapses_and_splits(spark):
+    """Consecutive same-CUSIP snapshots collapse into one island; a
+    CUSIP change ends the prior window the day before the new snapshot;
+    the last island stays open (null end)."""
+    from quantlab_data_pipeline_spark.operators import derive_ibes_coverage
+
+    ids = spark.createDataFrame(
+        [
+            ("AAA", "11111111", "Old Co", _d("2000-01-01"), None),
+            ("AAA", "11111111", "Old Co Renamed", _d("2005-01-01"), None),
+            ("AAA", "22222222", "New Co", _d("2010-01-01"), None),
+            ("BBB", "33333333", "Solo Co", _d("2001-01-01"), None),
+        ],
+        "ticker string, cusip string, cname string, start_date date, end_date date",
+    )
+    out = {
+        (r["ticker"], r["cusip"]): r
+        for r in derive_ibes_coverage(ids).collect()
+    }
+    assert len(out) == 3  # the same-CUSIP re-snapshot collapsed
+    a1 = out[("AAA", "11111111")]
+    assert a1["start_date"] == _d("2000-01-01")
+    assert a1["end_date"] == _d("2009-12-31")
+    assert a1["cname"] == "Old Co Renamed"  # latest snapshot's name wins
+    a2 = out[("AAA", "22222222")]
+    assert a2["start_date"] == _d("2010-01-01")
+    assert a2["end_date"] is None  # last island open
+    assert out[("BBB", "33333333")]["end_date"] is None
