@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 from pathlib import Path
 
 import yaml
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_END, DEFAULT_START, default_data_root, resolve_data_root
@@ -99,21 +99,24 @@ def _write(
     partition_cols: list[str] | None = None,
     single_file: bool = False,
 ) -> None:
-    """Parquet sink (S2): overwrite, then log the row count from parquet
-    footer metadata (a metadata-only count job, not a rescan).
+    """Parquet sink (S2): overwrite, logging the row count observed by
+    the write job itself (``df.observe`` piggybacks a count on the
+    write action — zero extra jobs, unlike a post-write re-read, which
+    cost 29 scheduled count jobs per save_raw ingest in round 1).
 
     ``single_file`` is set for tables that stay small at ANY scale
     (per-day or per-asset dims): 32 shuffle-partition shards of a
     200-row dim is small-file pollution for downstream scans. Facts
     keep their natural parallelism."""
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if single_file:
         df = df.coalesce(1)
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(path))
-    n = df.sparkSession.read.parquet(str(path)).count()
-    logger.info("Wrote %s rows to %s", n, path)
+    logger.info("Wrote %s rows to %s", obs.get["rows"], path)
 
 
 def _write_many(jobs: list[tuple], max_parallel: int = 4) -> None:

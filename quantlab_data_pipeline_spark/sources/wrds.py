@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import abc
 import datetime as _dt
+import logging
+import re
 from collections.abc import Sequence
 
 import numpy as np
@@ -37,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 
 class WrdsSource(abc.ABC):
@@ -144,6 +148,21 @@ class WrdsSource(abc.ABC):
 # --------------------------------------------------------------------- JDBC
 
 
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _sql_date(value: str) -> str:
+    """Validate a date literal before it is interpolated into WRDS SQL.
+
+    The reference splices dates into f-strings unchecked; here anything
+    that is not a strict YYYY-MM-DD fails fast instead of reaching the
+    server (the IN-list splicing, the worse injection vector, is already
+    replaced by :func:`_semi_filter`)."""
+    if not _DATE_RE.match(value):
+        raise ValueError(f"not a YYYY-MM-DD date literal: {value!r}")
+    return value
+
+
 def _semi_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
     """Membership filter without SQL string-splicing: tiny lists become
     an IN predicate (pushed to the JDBC scan by Catalyst); larger ones a
@@ -210,7 +229,44 @@ class JdbcWrdsSource(WrdsSource):
                 reader = reader.option("user", self.user).option("password", self.password or "")
         return reader.load()
 
+    def _probe_read(
+        self,
+        candidates: Sequence[str],
+        fallback_schema: str | None,
+        label: str,
+        partition_on_date: tuple[str, str] | None = None,
+    ) -> DataFrame:
+        """Try candidate queries in order; first readable one wins.
+
+        Mirrors the reference's degrade behavior: optional WRDS tables
+        vary by subscription, so each read is capability-checked
+        (wrds_ingestion.py:147-152,222-227,372-380,429-437,810-840).
+        JDBC resolves the schema eagerly at ``load()``, so a missing
+        table/column surfaces here, not mid-job. If every candidate
+        fails: return an empty frame with the declared schema when
+        ``fallback_schema`` is given (the branch degrades to an empty
+        output, like the reference), else re-raise the last error
+        (mandatory input — e.g. the benchmark, wrds_ingestion.py:1001).
+        """
+        attempted: list[str] = []
+        last_exc: Exception | None = None
+        for q in candidates:
+            try:
+                df = self._read(q, partition_on_date=partition_on_date)
+                if attempted:
+                    _log.warning("%s: fell back after %s", label, attempted)
+                return df
+            except Exception as exc:  # noqa: BLE001 — degrade on any read error
+                attempted.append(f"{q.split('from')[1].split()[0]} ({exc})"
+                                 if "from" in q else str(exc))
+                last_exc = exc
+        if fallback_schema is None:
+            raise RuntimeError(f"{label}: all candidates failed: {attempted}") from last_exc
+        _log.warning("%s unavailable (%s); branch degrades to empty.", label, attempted)
+        return self.spark.createDataFrame([], fallback_schema)
+
     def sp500_universe(self, start: str, end: str) -> DataFrame:
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select permno, start as start_date, ending as end_date "
             f"from crsp.dsp500list where start <= '{end}' and ending >= '{start}'"
@@ -225,15 +281,19 @@ class JdbcWrdsSource(WrdsSource):
         return _semi_filter(self._read(q), "asset_id", permnos)
 
     def ipo_dates(self, permnos: Sequence[int]) -> DataFrame:
+        # Optional table — degrade to empty, skipping IPO enrichment
+        # (wrds_ingestion.py:147-152).
         q = (
             "select distinct l.lpermno as asset_id, g.ipodate "
             "from crsp.ccmxpf_linktable l join comp_global_daily.g_company g "
             "on l.gvkey = g.gvkey "
             "where l.linktype in ('LU','LC') and l.linkprim in ('P','C')"
         )
-        return _semi_filter(self._read(q), "asset_id", permnos)
+        df = self._probe_read([q], "asset_id long, ipodate date", "ipo_dates")
+        return _semi_filter(df, "asset_id", permnos)
 
     def daily_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select d.date, d.permno, d.openprc as open, d.askhi as high, "
             "d.bidlo as low, d.prc as close, d.cfacpr, d.ret, d.shrout, "
@@ -242,6 +302,7 @@ class JdbcWrdsSource(WrdsSource):
         return _semi_filter(self._read(q, partition_on_date=(start, end)), "permno", permnos)
 
     def monthly_prices(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select m.date, m.permno, m.prc as close, m.ret, m.vol as volume, "
             f"m.shrout from crsp.msf m where m.date between '{start}' and '{end}'"
@@ -249,21 +310,43 @@ class JdbcWrdsSource(WrdsSource):
         return _semi_filter(self._read(q), "permno", permnos)
 
     def delist_events(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
-        q = (
-            "select permno as asset_id, delistingdt as date, delret "
-            f"from crsp.StkDelists where delistingdt between '{start}' and '{end}'"
+        # Table-name probing like the reference's daily/monthly delist
+        # loaders (wrds_ingestion.py:326-437): the CIZ-format StkDelists
+        # first, then the legacy dse/mse delist tables (whose column is
+        # already ``dlret``; StkDelists calls it ``delret``). All absent
+        # -> empty frame, skipping delist adjustment.
+        start, end = _sql_date(start), _sql_date(end)
+        candidates = [
+            "select permno as asset_id, delistingdt as date, delret as dlret "
+            f"from crsp.StkDelists where delistingdt between '{start}' and '{end}'",
+            "select permno as asset_id, dlstdt as date, dlret "
+            f"from crsp.dsedelist where dlstdt between '{start}' and '{end}'",
+            "select permno as asset_id, dlstdt as date, dlret "
+            f"from crsp.msedelist where dlstdt between '{start}' and '{end}'",
+        ]
+        df = self._probe_read(
+            candidates, "asset_id long, date date, dlret double", "delist_events"
         )
-        df = _semi_filter(self._read(q), "asset_id", permnos)
-        return df.withColumnRenamed("delret", "dlret")
+        return _semi_filter(df, "asset_id", permnos)
 
     def dividends(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        # Optional — degrade to empty, skipping listed dividends
+        # (wrds_ingestion.py:222-227).
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select permno as asset_id, distcd, divamt, facpr, facshr, "
             f"paydt as date from crsp.msedist where paydt between '{start}' and '{end}'"
         )
-        return _semi_filter(self._read(q), "asset_id", permnos)
+        df = self._probe_read(
+            [q],
+            "asset_id long, distcd int, divamt double, facpr double, "
+            "facshr double, date date",
+            "dividends",
+        )
+        return _semi_filter(df, "asset_id", permnos)
 
     def ccm_links(self, permnos: Sequence[int], end: str) -> DataFrame:
+        end = _sql_date(end)
         q = (
             "select gvkey, lpermno as permno, linkdt, linkenddt "
             "from crsp.ccmxpf_linktable "
@@ -273,22 +356,45 @@ class JdbcWrdsSource(WrdsSource):
         return _semi_filter(self._read(q), "permno", permnos)
 
     def fundamentals(self, gvkeys: Sequence[str], start: str, end: str) -> DataFrame:
-        q = (
-            "select gvkey, datadate, revt, sale, ni, at, ceq, dltt, pstk, "
-            "oancf, capx, xrd from comp.funda "
+        # Full field set first; if some fields are missing from this
+        # subscription, fall back to the core set with nulls padded so
+        # the output schema is stable (wrds_ingestion.py:497-513).
+        start, end = _sql_date(start), _sql_date(end)
+        where = (
             "where indfmt='INDL' and datafmt='STD' and popsrc='D' and consol='C' "
             f"and datadate between '{start}' and '{end}'"
         )
-        return _semi_filter(self._read(q), "gvkey", gvkeys)
+        full = (
+            "select gvkey, datadate, revt, sale, ni, at, ceq, dltt, pstk, "
+            f"oancf, capx, xrd from comp.funda {where}"
+        )
+        core = (
+            "select gvkey, datadate, revt, cast(null as double precision) as sale, "
+            "ni, at, cast(null as double precision) as ceq, dltt, "
+            "cast(null as double precision) as pstk, oancf, "
+            "cast(null as double precision) as capx, "
+            f"cast(null as double precision) as xrd from comp.funda {where}"
+        )
+        df = self._probe_read([full, core], None, "fundamentals")
+        return _semi_filter(df, "gvkey", gvkeys)
 
     def ibes_ids(self, end: str) -> DataFrame:
+        # Optional — empty means the whole analyst branch degrades to
+        # empty outputs (wrds_ingestion.py:578-585).
+        end = _sql_date(end)
         q = (
             "select ticker, cusip, cname, sdates as start_date, "
             f"cast(null as date) as end_date from tr_ibes.id where sdates <= '{end}'"
         )
-        return self._read(q)
+        return self._probe_read(
+            [q],
+            "ticker string, cusip string, cname string, "
+            "start_date date, end_date date",
+            "ibes_ids",
+        )
 
     def crsp_cusip_names(self, permnos: Sequence[int], start: str, end: str) -> DataFrame:
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select permno as asset_id, ncusip, namedt as start_date, "
             "nameendt as end_date from crsp.dsenames "
@@ -298,34 +404,79 @@ class JdbcWrdsSource(WrdsSource):
         return _semi_filter(self._read(q), "asset_id", permnos)
 
     def consensus(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
+        # Optional — recdsum availability varies (wrds_ingestion.py:
+        # 655-664 does a list_tables capability check; a probed read is
+        # the same contract without a second round-trip).
+        start, end = _sql_date(start), _sql_date(end)
         q = (
             "select statpers, ticker, oftic, cusip, cname, buypct, holdpct, "
             "sellpct, meanrec, medrec, stdev, numup, numdown, numrec, usfirm "
             f"from tr_ibes.recdsum where statpers between '{start}' and '{end}'"
         )
-        return _semi_filter(self._read(q), "ticker", tickers)
+        df = self._probe_read(
+            [q],
+            "statpers date, ticker string, oftic string, cusip string, "
+            "cname string, buypct double, holdpct double, sellpct double, "
+            "meanrec double, medrec double, stdev double, numup int, "
+            "numdown int, numrec int, usfirm int",
+            "consensus",
+        )
+        return _semi_filter(df, "ticker", tickers)
 
     def ratings_detail(self, tickers: Sequence[str], start: str, end: str) -> DataFrame:
-        q = (
+        # Candidate-table probing, in the reference's preference order
+        # (wrds_ingestion.py:810-840): recddet keys on anndats, the
+        # det_rec variants on statpers. select * on the variants —
+        # their column sets differ and build_ratings_history resolves
+        # them with first_present() column probing.
+        start, end = _sql_date(start), _sql_date(end)
+        candidates = [
             "select ticker, anndats, statpers, analys, ireccd, ereccd, itext "
-            f"from tr_ibes.recddet where anndats between '{start}' and '{end}'"
+            f"from tr_ibes.recddet where anndats between '{start}' and '{end}'",
+            f"select * from tr_ibes.det_rec where statpers between '{start}' and '{end}'",
+            f"select * from ibes.det_rec where statpers between '{start}' and '{end}'",
+            f"select * from ibesus.det_rec where statpers between '{start}' and '{end}'",
+        ]
+        df = self._probe_read(
+            candidates,
+            "ticker string, anndats date, statpers date, analys bigint, "
+            "ireccd double, ereccd string, itext string",
+            "ratings_detail",
         )
-        return _semi_filter(self._read(q), "ticker", tickers)
+        return _semi_filter(df, "ticker", tickers)
 
     def ff_factors(self, start: str, end: str) -> DataFrame:
-        q = (
+        # Five-factor table first; degrade to the classic three-factor
+        # table with null rmw/cma (wrds_ingestion.py:895-910).
+        start, end = _sql_date(start), _sql_date(end)
+        candidates = [
             "select date, mktrf, smb, hml, rmw, cma, rf "
-            f"from ff_all.fivefactors_daily where date between '{start}' and '{end}'"
-        )
-        return self._read(q)
+            f"from ff_all.fivefactors_daily where date between '{start}' and '{end}'",
+            "select date, mktrf, smb, hml, "
+            "cast(null as double precision) as rmw, "
+            "cast(null as double precision) as cma, rf "
+            f"from ff_all.factors_daily where date between '{start}' and '{end}'",
+        ]
+        return self._probe_read(candidates, None, "ff_factors")
 
     def ff_momentum(self, start: str, end: str) -> DataFrame:
+        # "add umd if present" (wrds_ingestion.py:911-918) -> empty frame
+        # when absent; join_momentum left-joins so factors still build.
+        start, end = _sql_date(start), _sql_date(end)
         q = f"select date, umd from ff_all.factors_daily where date between '{start}' and '{end}'"
-        return self._read(q)
+        return self._probe_read([q], "date date, umd double", "ff_momentum")
 
     def benchmark(self, start: str, end: str) -> DataFrame:
-        q = f"select date, vwretd as ret from crsp.dsp500 where date between '{start}' and '{end}'"
-        return self._read(q)
+        # Column-name probing: some schemas use caldt instead of date
+        # (wrds_ingestion.py:984-1001). Mandatory — all candidates
+        # failing raises, as the reference does.
+        start, end = _sql_date(start), _sql_date(end)
+        candidates = [
+            f"select date, vwretd as ret from crsp.dsp500 where date between '{start}' and '{end}'",
+            "select caldt as date, vwretd as ret from crsp.dsp500 "
+            f"where caldt between '{start}' and '{end}'",
+        ]
+        return self._probe_read(candidates, None, "benchmark")
 
     def source_tag(self) -> str:
         return "wrds"

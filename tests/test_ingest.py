@@ -306,3 +306,49 @@ def test_recycled_ibes_ticker_splits_into_disjoint_windows(spark):
     assert e1 < s2  # disjoint windows
     # regular tickers keep one open-ended row each
     assert idx.filter("ticker = 'IB0'").count() == 1
+
+
+def test_ingest_completes_with_degraded_optional_branches(spark, tmp_path_factory):
+    """When optional WRDS tables are missing, the JDBC source degrades
+    each read to a declared-schema empty frame; the full ingest DAG must
+    then complete with empty analyst/dividend/delist outputs and intact
+    core outputs (VERDICT r1 #5, mirroring the reference's try/except
+    degrade paths)."""
+
+    class Degraded(SyntheticWrdsSource):
+        """The shapes JdbcWrdsSource._probe_read returns when tr_ibes.id,
+        g_company, msedist and the delist tables are all absent."""
+
+        def ibes_ids(self, end):
+            return self.spark.createDataFrame(
+                [], "ticker string, cusip string, cname string, "
+                    "start_date date, end_date date")
+
+        def ipo_dates(self, permnos):
+            return self.spark.createDataFrame([], "asset_id long, ipodate date")
+
+        def dividends(self, permnos, start, end):
+            return self.spark.createDataFrame(
+                [], "asset_id long, distcd int, divamt double, facpr double, "
+                    "facshr double, date date")
+
+        def delist_events(self, permnos, start, end):
+            return self.spark.createDataFrame(
+                [], "asset_id long, date date, dlret double")
+
+    root = tmp_path_factory.mktemp("degraded_root")
+    ingest(
+        root, START, END, save_raw=False,
+        source=Degraded(spark, n_assets=4),
+        fred_fetcher=synthetic_fred_fetcher(), spark=spark,
+    )
+    out = root / "quantlab_data_pipeline"
+    processed = out / "data_processed"
+    empty = ["analyst_consensus", "analyst_ratings_history", "dividends_monthly"]
+    for name in empty:
+        df = spark.read.parquet(str(processed / f"{name}.parquet"))
+        assert df.count() == 0, name
+        assert df.columns == list(SCHEMAS[name].fieldNames()), name
+    # core branches unaffected
+    assert spark.read.parquet(str(processed / "prices_daily.parquet")).count() > 0
+    assert spark.read.parquet(str(processed / "returns_daily.parquet")).count() > 0

@@ -89,3 +89,114 @@ def test_fred_fetch_empty_series(spark):
                      fetcher=synthetic_fred_fetcher())
     assert df.count() == 0
     assert df.columns == ["date", "series_name", "value"]
+
+
+class FlakyJdbc(JdbcWrdsSource):
+    """JdbcWrdsSource whose reads fail for configured table names and
+    otherwise serve canned frames — exercises the probe/degrade layer
+    without a live server."""
+
+    def __init__(self, spark, missing=(), canned=None):
+        super().__init__(spark)
+        self.missing = tuple(missing)
+        self.canned = canned or {}
+        self.attempted = []
+
+    def _read(self, query, partition_on_date=None):
+        self.attempted.append(query)
+        for frag in self.missing:
+            if frag in query:
+                raise RuntimeError(f'relation "{frag}" does not exist')
+        for frag, df in self.canned.items():
+            if frag in query:
+                return df
+        raise RuntimeError(f"no canned frame for: {query[:60]}")
+
+
+def test_delist_probe_falls_back_to_legacy_tables(spark):
+    """StkDelists absent -> the legacy dsedelist table (already named
+    dlret) serves the same (asset_id, date, dlret) shape."""
+    import datetime as dt
+
+    legacy = spark.createDataFrame(
+        [(1, dt.date(2020, 3, 2), -0.15)], "asset_id long, date date, dlret double"
+    )
+    src = FlakyJdbc(spark, missing=("StkDelists",), canned={"dsedelist": legacy})
+    out = src.delist_events([1], "2020-01-01", "2020-12-31")
+    assert [(r["asset_id"], r["dlret"]) for r in out.collect()] == [(1, -0.15)]
+    assert any("StkDelists" in q for q in src.attempted)  # tried in order
+
+
+def test_delist_probe_degrades_to_empty_when_all_absent(spark):
+    src = FlakyJdbc(spark, missing=("StkDelists", "dsedelist", "msedelist"))
+    out = src.delist_events([1], "2020-01-01", "2020-12-31")
+    assert out.count() == 0
+    assert out.columns == ["asset_id", "date", "dlret"]
+    assert len(src.attempted) == 3
+
+
+def test_optional_branches_degrade_to_declared_empty(spark):
+    src = FlakyJdbc(
+        spark,
+        missing=("tr_ibes.id", "recdsum", "recddet", "det_rec",
+                 "g_company", "msedist", "factors_daily"),
+    )
+    assert src.ibes_ids("2020-12-31").columns == [
+        "ticker", "cusip", "cname", "start_date", "end_date"
+    ]
+    assert src.consensus(["IB0"], "2020-01-01", "2020-12-31").count() == 0
+    assert src.ratings_detail(["IB0"], "2020-01-01", "2020-12-31").count() == 0
+    assert src.ipo_dates([1]).columns == ["asset_id", "ipodate"]
+    assert src.dividends([1], "2020-01-01", "2020-12-31").count() == 0
+    assert src.ff_momentum("2020-01-01", "2020-12-31").columns == ["date", "umd"]
+
+
+def test_benchmark_probes_caldt_then_raises(spark):
+    """date column absent -> caldt candidate; both absent -> raise
+    (benchmark is mandatory, like the reference)."""
+    import datetime as dt
+
+    bench = spark.createDataFrame(
+        [(dt.date(2020, 1, 2), 0.01)], "date date, ret double"
+    )
+
+    class DateLess(FlakyJdbc):
+        def _read(self, query, partition_on_date=None):
+            self.attempted.append(query)
+            if "select date" in query:
+                raise RuntimeError('column "date" does not exist')
+            return bench
+
+    src = DateLess(spark)
+    out = src.benchmark("2020-01-01", "2020-12-31")
+    assert out.count() == 1
+    assert "caldt" in src.attempted[-1]
+
+    src2 = FlakyJdbc(spark, missing=("dsp500",))
+    with pytest.raises(RuntimeError, match="all candidates failed"):
+        src2.benchmark("2020-01-01", "2020-12-31")
+
+
+def test_fundamentals_falls_back_to_core_fields(spark):
+    import datetime as dt
+
+    core = spark.createDataFrame(
+        [("001", dt.date(2020, 3, 31), 5.0, None, 1.0, 10.0, None, 2.0,
+          None, 1.5, None, None)],
+        "gvkey string, datadate date, revt double, sale double, ni double, "
+        "at double, ceq double, dltt double, pstk double, oancf double, "
+        "capx double, xrd double",
+    )
+    src = FlakyJdbc(spark, missing=("revt, sale,",), canned={"comp.funda": core})
+    out = src.fundamentals(["001"], "2020-01-01", "2020-12-31")
+    assert out.count() == 1
+    assert len(src.attempted) == 2  # full field set tried first
+
+
+def test_sql_date_validation_rejects_injection(spark):
+    src = FlakyJdbc(spark)
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        src.daily_prices([1], "2020-01-01'; drop table --", "2020-12-31")
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        src.benchmark("01/02/2020", "2020-12-31")
+    assert src.attempted == []  # rejected before any SQL was built
