@@ -232,28 +232,61 @@ def ngram_jaccard_pairs(
     block_chars: int = 40,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup with prefix blocking.
+    """Exact n-gram Jaccard near-dup with composite blocking.
 
-    Candidate pairs share a ``block_chars`` text prefix (cheap blocking
-    key); exact Jaccard on distinct shingle sets decides. SQL-oracle-
-    expressible, unlike the MinHash estimate.
+    Candidates must share a ``block_chars`` text prefix AND sit in the
+    same or adjacent log-size bucket; exact Jaccard on distinct shingle
+    sets decides. SQL-oracle-expressible, unlike the MinHash estimate.
+
+    The size bucket is what keeps a boilerplate-heavy corpus (one hot
+    prefix shared by millions of docs) from collapsing into a single
+    quadratic task: J(A,B) >= t forces |B| <= |A|/t, so with bucket
+    ratio r >= 1/t a matching pair differs by at most one bucket —
+    probing each doc's own bucket plus the next is EXACT, and the hot
+    prefix splits across ~log_r(max_size) join keys. The probe row is
+    flagged so a pair meeting on both keys is emitted once, not
+    deduped after the fact. Candidate keys shuffle as narrow
+    (id, block, bucket) triples; shingle arrays join back by id only
+    for surviving candidates.
     """
+    import math
+
+    ratio = max(1.0 / threshold, 1.25)
     base = ensure_parallelism(df).select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, block_chars).alias("block"),
         word_shingles(text_col, shingle_k).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides reuse it
-    a = base.select(
-        F.col(id_col).alias("id_a"), "block", F.col("sh").alias("sh_a")
+    ).withColumn(
+        "bkt",
+        F.floor(F.log(F.size("sh").cast("double")) / math.log(ratio)).cast("int"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # keys + two shingle gathers
+    keys = base.select(
+        F.col(id_col),
+        "block",
+        F.explode(
+            F.array(
+                F.struct(F.col("bkt").alias("k"), F.lit(True).alias("own")),
+                F.struct((F.col("bkt") + 1).alias("k"), F.lit(False).alias("own")),
+            )
+        ).alias("kb"),
+    ).select(id_col, "block", "kb.k", "kb.own")
+    a = keys.select(F.col(id_col).alias("id_a"), "block", "k", F.col("own").alias("own_a"))
+    b = keys.select(F.col(id_col).alias("id_b"), "block", "k", F.col("own").alias("own_b"))
+    cands = (
+        a.join(b, ["block", "k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair one bucket apart meets once (own+probe); an equal-bucket
+        # pair also meets at (b+1) as probe+probe — drop that duplicate
+        .filter(F.col("own_a") | F.col("own_b"))
+        .select("id_a", "id_b")
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), "block", F.col("sh").alias("sh_b")
-    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(b, ["block"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

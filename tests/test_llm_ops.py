@@ -297,3 +297,44 @@ def test_pii_scrub(spark):
     assert out[1]["clean_text"] == "see <URL> and mail <EMAIL> now"
     assert out[2]["n_urls"] == 0 and out[2]["clean_text"] == "no pii here"
     assert out[3]["n_urls"] == 2 and out[3]["n_emails"] == 1
+
+
+def test_ngram_blocking_splits_hot_prefix(spark):
+    from quantlab_data_pipeline_spark.llm.dedup import word_shingles
+
+    """1k docs sharing one 40-char boilerplate prefix must NOT collapse
+    into a single quadratic join task: the composite (prefix,
+    size-bucket) key spreads them across buckets, and bucketing is
+    lossless — planted near-dups are still found, dissimilar docs that
+    merely share the prefix are not."""
+    import math
+
+    prefix = "terms of service agreement for the website "  # > 40 chars
+    docs = [
+        (i, prefix + " ".join(
+            f"w{i}x{j}" for j in range(int(10 * 1.5 ** (i % 12)))
+        ))
+        for i in range(1000)
+    ]
+    # planted near-dup pair: long, same prefix, one word changed
+    body = " ".join(f"common{j}" for j in range(300))
+    docs.append((2000, prefix + body))
+    docs.append((2001, prefix + body.replace("common7 ", "changed7 ")))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (2000, 2001) in got  # true near-dup survives bucketing
+    # prefix-only "matches" share ~7 words of 10..900: none reach 0.5
+    assert all(a >= 2000 for a, b in got), got
+
+    # skew check: the prefix alone would put all 1002 docs in ONE join
+    # key; with the composite key no bucket holds more than ~1/3
+    sized = df.select(
+        F.floor(
+            F.log(F.size(word_shingles("text", 3)).cast("double"))
+            / math.log(2.0)
+        ).alias("bkt")
+    ).groupBy("bkt").count()
+    biggest = max(r["count"] for r in sized.collect())
+    assert biggest < 400, f"hot bucket of {biggest} docs"
