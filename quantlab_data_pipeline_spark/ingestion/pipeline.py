@@ -416,6 +416,7 @@ def ingest(
     fred_fetcher: Fetcher | None = None,
     spark: SparkSession | None = None,
     partition_by_year: bool = False,
+    bucket_facts: bool = False,
 ) -> Path:
     """Run the 17-step batch ETL and write all canonical outputs under
     the resolved data root. Returns the resolved root.
@@ -431,6 +432,12 @@ def ingest(
     partitions, and the handler's date filters prune at the directory
     level before any file is opened. The flat layout stays the default
     for byte-layout parity with the reference.
+
+    ``bucket_facts=True`` additionally saves the two facts as catalog
+    tables bucketed+sorted on (asset_id, date): the panel join's
+    shuffle is paid once at write time, and
+    ``LocalParquetDataHandler.get_prices_with_returns_df`` then plans a
+    SortMergeJoin with no Exchange on either side.
     """
     spark = spark or get_spark()
     source = source or JdbcWrdsSource(spark)
@@ -566,6 +573,17 @@ def ingest(
         (_canon(returns_monthly, "returns_monthly"), processed / "returns_monthly.parquet", {}),
         (_canon(dividends, "dividends_monthly"), processed / "dividends_monthly.parquet", {}),
     ])
+    if bucket_facts:
+        from ..storage.bucketing import write_bucketed
+
+        for df_, table in (
+            (_canon(prices, "prices_daily"), "prices_daily_bucketed"),
+            (_canon(returns, "returns_daily"), "returns_daily_bucketed"),
+        ):
+            write_bucketed(
+                df_, table, ["asset_id", "date"],
+                sort_cols=["asset_id", "date"],
+            )
     end_step(step)
 
     step = start_step("Write metadata and manifests")

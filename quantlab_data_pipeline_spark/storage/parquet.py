@@ -68,6 +68,7 @@ class LocalParquetDataHandler(DataHandler):
         processed_dir: str = "data_processed",
         meta_dir: str = "data_meta",
         spark: SparkSession | None = None,
+        field_map_path: Path | str | None = None,
     ):
         root = resolve_data_root(data_root)
         super().__init__(root)
@@ -75,7 +76,27 @@ class LocalParquetDataHandler(DataHandler):
         self.processed_path = (root / processed_dir).resolve()
         self.meta_path = (root / meta_dir).resolve()
         self._assets_cache: Optional[pd.DataFrame] = None
-        self._field_map = FIELD_MAP
+        self._field_map = self._load_field_mapping(field_map_path)
+
+    @staticmethod
+    def _load_field_mapping(
+        override: Path | str | None = None,
+    ) -> dict[str, dict[str, str]]:
+        """Reload ``config/wrds_field_map.yml`` at construction, like
+        the reference (parquet.py:34-40), so files written by *other*
+        tools with edited mappings re-rename at read time. Falls back to
+        the built-in ``schemas.FIELD_MAP`` when no YAML is present."""
+        import yaml
+
+        path = (
+            Path(override)
+            if override is not None
+            else Path(__file__).resolve().parents[2] / "config" / "wrds_field_map.yml"
+        )
+        if not path.exists():
+            return FIELD_MAP
+        data = yaml.safe_load(path.read_text()) or {}
+        return {section: mapping or {} for section, mapping in data.items()}
 
     # ------------------------------------------------------------------ scan
 
@@ -231,6 +252,39 @@ class LocalParquetDataHandler(DataHandler):
             "analyst_ratings_history", tickers, start_date, end_date,
             fields=fields, mandatory=["date", "asset_id", "ticker"],
         )
+
+    def get_prices_with_returns_df(
+        self, tickers=None, start_date=None, end_date=None
+    ) -> DataFrame:
+        """Daily price panel joined with delist-adjusted returns on
+        (asset_id, date) — the canonical fact-fact join.
+
+        When the ingest saved bucketed fact tables
+        (``ingest(bucket_facts=True)``), both sides read co-located,
+        pre-sorted buckets and the SortMergeJoin plans with NO Exchange
+        — at 100 TB that shuffle is the join's dominant cost and was
+        paid once at write time. Falls back to the parquet scans (plus
+        a runtime shuffle) when the bucketed tables are absent.
+        """
+        from .bucketing import bucketed_join_ready, read_table
+
+        if bucketed_join_ready(
+            self.spark, "prices_daily_bucketed", "returns_daily_bucketed"
+        ):
+            prices = read_table(self.spark, "prices_daily_bucketed")
+            returns = read_table(self.spark, "returns_daily_bucketed")
+        else:
+            prices = self._scan("prices_daily")
+            returns = self._scan("returns_daily")
+        joined = prices.join(
+            returns.select("asset_id", "date", "ret_1d"),
+            ["asset_id", "date"],
+            "left",
+        )
+        ids = self._tickers_to_asset_ids(tickers) if tickers else None
+        joined = self._filter_assets(joined, ids)
+        joined = self._filter_dates(joined, start_date, end_date)
+        return joined.drop("year") if "year" in joined.columns else joined
 
     def get_macro_df(self, start_date=None, end_date=None) -> DataFrame:
         return self._filter_dates(self._scan("macro_timeseries"), start_date, end_date)

@@ -98,3 +98,19 @@ def test_missing_dataset_raises(tmp_path, spark):
     h = LocalParquetDataHandler(tmp_path, spark=spark)
     with pytest.raises(FileNotFoundError):
         h.get_macro()
+
+
+def test_field_map_yaml_reload(fixture_root, spark, tmp_path):
+    """The handler reloads the field-map YAML at construction (like the
+    reference), so an edited mapping re-renames columns at read time —
+    files written by other tools included."""
+    custom = tmp_path / "field_map.yml"
+    custom.write_text("fundamentals:\n  net_income: bottomline\n")
+    h = LocalParquetDataHandler(fixture_root, spark=spark, field_map_path=custom)
+    out = h.get_fundamentals(["AAA"], start_date="2020-01-01", end_date="2020-06-30")
+    assert "bottomline" in out.columns
+    assert "net_income" not in out.columns
+    # default construction uses the shipped YAML, identical to FIELD_MAP
+    default = LocalParquetDataHandler(fixture_root, spark=spark)
+    from quantlab_data_pipeline_spark.schemas import FIELD_MAP
+    assert default._field_map == FIELD_MAP
