@@ -99,7 +99,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    sig_len_hint: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` equal bands, hash
     each band, and emit candidate pairs sharing any band bucket.
@@ -111,15 +114,19 @@ def lsh_candidate_pairs(
     ``bands`` must divide the signature length: a non-divisor silently
     drops tail slots, and ``bands`` > length makes every band hash an
     empty slice (all docs collide into one bucket -> full cross product).
+    Callers that know the length (``minhash_dedup_pairs`` passes its
+    ``num_hashes``) validate for free via ``sig_len_hint``; otherwise a
+    one-row probe job checks the data.
     """
-    first = signatures.select(F.size("signature").alias("n")).first()
-    if first is not None:
-        n = first["n"]
-        if bands > n or n % bands:
-            raise ValueError(
-                f"bands={bands} must divide the signature length {n} "
-                "(use choose_bands to pick a valid structure)"
-            )
+    n = sig_len_hint
+    if n is None:
+        first = signatures.select(F.size("signature").alias("n")).first()
+        n = first["n"] if first is not None else None
+    if n is not None and (bands > n or n % bands):
+        raise ValueError(
+            f"bands={bands} must divide the signature length {n} "
+            "(use choose_bands to pick a valid structure)"
+        )
     sig_len = F.size("signature")
     band_size = (sig_len / bands).cast("int")
     band = F.explode(
@@ -199,7 +206,7 @@ def minhash_dedup_pairs(
         .select(id_col, "signature")  # shingles are dead weight here
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len_hint=num_hashes)
     sa = sigs.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
     )
