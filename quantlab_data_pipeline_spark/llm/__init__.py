@@ -1,4 +1,5 @@
 from .dedup import (
+    decontaminate,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
@@ -29,6 +30,7 @@ __all__ = [
     "cosine",
     "dot",
     "embedding_near_dup_pairs",
+    "decontaminate",
     "exact_dedup",
     "ivf_topk",
     "lsh_candidate_pairs",

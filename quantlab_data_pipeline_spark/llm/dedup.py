@@ -300,6 +300,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that leak evaluation data: a doc is
+    contaminated when >= ``min_hits`` of its distinct ``shingle_k``-gram
+    shingles appear anywhere in the benchmark corpus.
+
+    Scale shape: both sides explode to (id, shingle-hash) rows; the
+    benchmark's distinct hash set — eval suites are tiny next to a
+    pretraining corpus — broadcasts to every executor, so the corpus is
+    matched in a single map-side pass with no shuffle of the corpus
+    itself, then hit counts aggregate per doc id. 8-gram default
+    follows common decontamination practice (long enough that chance
+    collisions are rare, short enough to catch paraphrased splices).
+    """
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    ).select(id_col, F.xxhash64("sh").alias("h"))
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, shingle_k)).alias("sh")
+        )
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contamination_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(
+            "contamination_hits",
+            F.coalesce(F.col("contamination_hits"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("contamination_hits") >= min_hits)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -338,3 +338,30 @@ def test_ngram_blocking_splits_hot_prefix(spark):
     ).groupBy("bkt").count()
     biggest = max(r["count"] for r in sized.collect())
     assert biggest < 400, f"hot bucket of {biggest} docs"
+
+
+def test_decontaminate_flags_benchmark_leakage(spark):
+    """Docs splicing an eval question must be flagged; clean docs and
+    docs sharing only short n-grams must not (8-gram blocking)."""
+    from quantlab_data_pipeline_spark.llm import decontaminate
+
+    eval_q = ("what is the capital of france and why did it become "
+              "the seat of government in the tenth century")
+    docs = spark.createDataFrame(
+        [
+            (1, "some pretraining text " + eval_q + " more filler text here"),
+            (2, "an entirely clean document about distributed query engines "
+                "and columnar storage formats with nothing copied"),
+            (3, "mentions the capital of france in passing but shares no "
+                "long span with any benchmark question at all honestly"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(eval_q,)], "text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["contamination_hits"] > 0
+    assert not out[2]["contaminated"] and out[2]["contamination_hits"] == 0
+    assert not out[3]["contaminated"]  # shares words, not an 8-gram
+    # the corpus side must not shuffle: benchmark hashes broadcast
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
