@@ -365,3 +365,21 @@ def test_decontaminate_flags_benchmark_leakage(spark):
     # the corpus side must not shuffle: benchmark hashes broadcast
     plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_plan_dispatch(spark):
+    """Below max_exact_rows the operator keeps the exact all-pairs plan
+    (oracle-matchable); above it the banded-LSH candidate equi-join is
+    the plan — no nested-loop join anywhere."""
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = embedding_near_dup_pairs(emb, threshold=0.4, max_exact_rows=10_000)
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in small_plan  # exact all-pairs
+
+    big = embedding_near_dup_pairs(emb, threshold=0.4, max_exact_rows=0)
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in big_plan
+    assert "CartesianProduct" not in big_plan
+    assert "band_idx" in big_plan
