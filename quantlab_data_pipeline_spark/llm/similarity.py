@@ -37,7 +37,9 @@ def l2_norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # nullif: a zero vector yields null, not an ANSI DIVIDE_BY_ZERO
+    # (Spark 4 ANSI raises even for double division).
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def unit_vec(a: str | Column) -> Column:

@@ -383,3 +383,15 @@ def test_near_dup_plan_dispatch(spark):
     assert "BroadcastNestedLoopJoin" not in big_plan
     assert "CartesianProduct" not in big_plan
     assert "band_idx" in big_plan
+
+
+def test_cosine_zero_vector_yields_null(spark):
+    """Spark 4 ANSI raises DIVIDE_BY_ZERO even for doubles; a zero
+    vector must produce a null cosine, not abort the job."""
+    from quantlab_data_pipeline_spark.llm.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    assert df.select(cosine("a", "b").alias("c")).collect()[0]["c"] is None
