@@ -233,3 +233,62 @@ def test_point_in_time_join_matches_scan(spark, frames):
         if f[0] == l[0] and f[1] >= l[1] and (l[2] is None or f[1] <= l[2])
     }
     assert got == exp
+
+
+@st.composite
+def ibes_snapshots(draw):
+    """Random tr_ibes.id-like snapshots: a few tickers, each with 1-6
+    snapshot dates drawn with replacement from a small CUSIP pool (so
+    runs repeat, recycle, and interleave)."""
+    rows = []
+    for t in draw(st.lists(st.sampled_from(["AA", "BB", "CC"]),
+                           min_size=1, max_size=3, unique=True)):
+        n = draw(st.integers(1, 6))
+        dates = sorted(draw(st.lists(
+            st.integers(0, 400), min_size=n, max_size=n, unique=True)))
+        for d in dates:
+            rows.append((t, draw(st.sampled_from(["X1", "X2", "X3"])), d))
+    return rows
+
+
+@given(ibes_snapshots())
+@SETTINGS
+def test_derive_ibes_coverage_matches_python_islands(spark, rows):
+    """Invariants vs a direct python derivation: per ticker, windows are
+    disjoint, ordered, gap-free (each ends the day before the next
+    starts), the last is open, and the CUSIP sequence equals the
+    run-length-collapsed snapshot sequence."""
+    import datetime as dt
+
+    from quantlab_data_pipeline_spark.operators import derive_ibes_coverage
+
+    base = dt.date(2000, 1, 1)
+    data = [(t, c, f"{t} Co", base + dt.timedelta(days=d), None)
+            for (t, c, d) in rows]
+    df = spark.createDataFrame(
+        data,
+        "ticker string, cusip string, cname string, start_date date, end_date date",
+    )
+    got = sorted(
+        ((r["ticker"], r["cusip"], r["start_date"], r["end_date"])
+         for r in derive_ibes_coverage(df).collect()),
+        key=lambda x: (x[0], x[2]),
+    )
+
+    # python oracle: collapse consecutive same-cusip snapshots per ticker
+    expect = []
+    by_ticker: dict = {}
+    for t, c, d in sorted(rows):
+        by_ticker.setdefault(t, []).append((d, c))
+    for t, snaps in by_ticker.items():
+        islands = []
+        for d, c in sorted(snaps):
+            if islands and islands[-1][1] == c:
+                continue
+            islands.append((d, c))
+        for i, (d, c) in enumerate(islands):
+            end = (base + dt.timedelta(days=islands[i + 1][0] - 1)
+                   if i + 1 < len(islands) else None)
+            expect.append((t, c, base + dt.timedelta(days=d), end))
+    expect.sort(key=lambda x: (x[0], x[2]))
+    assert got == expect
