@@ -239,9 +239,12 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # No forced broadcast: query sets are usually small (AQE broadcasts
+    # them on its own), but a forced hint would OOM a batch-ANN run
+    # with millions of query vectors.
     scored = (
         cands.join(c_vecs, "neighbor_id")
-        .join(F.broadcast(q_vecs.withColumnRenamed("__uv", "__qv")), "query_id")
+        .join(q_vecs.withColumnRenamed("__uv", "__qv"), "query_id")
         .withColumn("score", F.round(dot("__qv", "__uv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
