@@ -382,3 +382,36 @@ def test_bucketed_facts_join_without_exchange(spark, tmp_path_factory):
         assert "Exchange" in fallback._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ratings_history_handles_det_rec_shape(spark):
+    """When the JDBC probe falls back to a det_rec variant (select *),
+    the column set differs: amaskcd instead of analys, rec instead of
+    ireccd, no itext. build_ratings_history's first_present probing
+    must still shape the output (reference wrds_ingestion.py:845-870)."""
+    import datetime as dt
+
+    from quantlab_data_pipeline_spark.ingestion.pipeline import (
+        build_idxref, build_ratings_history,
+    )
+
+    class DetRecSource(SyntheticWrdsSource):
+        def ratings_detail(self, tickers, start, end):
+            rows = [
+                ("IB0", dt.date(2020, 2, 14), 123, 2.0, dt.date(2020, 2, 28)),
+                ("IB1", dt.date(2020, 3, 2), 456, 1.0, dt.date(2020, 3, 31)),
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "ticker string, anndats date, amaskcd long, rec double, "
+                "statpers date",
+            )
+
+    src = DetRecSource(spark, n_assets=3)
+    idx = build_idxref(src, [10001, 10002, 10003], "2020-01-01", "2020-12-31")
+    out = build_ratings_history(src, idx, "2020-01-01", "2020-12-31")
+    rows = {r["ticker"]: r for r in out.collect()}
+    assert set(rows) == {"IB0", "IB1"}
+    assert rows["IB0"]["analyst_id"] == 123  # amaskcd probed
+    assert rows["IB0"]["rating"] == 2.0      # rec probed
+    assert rows["IB0"]["rating_text"] is None  # itext absent -> null
