@@ -573,17 +573,23 @@ def ingest(
         (_canon(returns_monthly, "returns_monthly"), processed / "returns_monthly.parquet", {}),
         (_canon(dividends, "dividends_monthly"), processed / "dividends_monthly.parquet", {}),
     ])
-    if bucket_facts:
-        from ..storage.bucketing import write_bucketed
+    from ..storage.bucketing import root_scoped_table, write_bucketed
 
-        for df_, table in (
-            (_canon(prices, "prices_daily"), "prices_daily_bucketed"),
-            (_canon(returns, "returns_daily"), "returns_daily_bucketed"),
-        ):
+    for df_, base in (
+        (_canon(prices, "prices_daily"), "prices_daily_bucketed"),
+        (_canon(returns, "returns_daily"), "returns_daily_bucketed"),
+    ):
+        table = root_scoped_table(base, resolved_root)
+        if bucket_facts:
             write_bucketed(
                 df_, table, ["asset_id", "date"],
                 sort_cols=["asset_id", "date"],
+                path=processed / base,
             )
+        else:
+            # A re-ingest without bucketing must not leave a previous
+            # run's bucketed tables serving stale data for this root.
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
     end_step(step)
 
     step = start_step("Write metadata and manifests")

@@ -89,32 +89,6 @@ def brute_force_topk(
     )
 
 
-def bit_signature(vec_col: str | Column, bits: int = 16) -> Column:
-    """Sign-bit signature: bit i = sign of a pseudo-random +/-1
-    combination of vector components (hyperplane defined by xxhash64 of
-    (i, dim) — deterministic, no stored projection matrix)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    n = F.size(vec)
-    dims = F.sequence(F.lit(0), n - 1)
-
-    def plane(i: int) -> Column:
-        signed = F.zip_with(
-            vec,
-            dims,
-            lambda v, d: F.when(
-                F.xxhash64(F.lit(i), d).bitwiseAND(F.lit(1)) == 1,
-                v.cast("double"),
-            ).otherwise(-v.cast("double")),
-        )
-        s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sig = plane(0)
-    for i in range(1, bits):
-        sig = sig + plane(i)
-    return sig
-
-
 def plan_signature(
     target_cos: float, recall: float = 0.95, max_bits: int = 128
 ) -> tuple[int, int]:
@@ -130,6 +104,11 @@ def plan_signature(
     """
     import math
 
+    if not 0.0 < recall < 1.0:
+        raise ValueError(
+            f"recall must be in (0, 1), got {recall}; sign-LSH cannot "
+            "guarantee recall 1.0 — use the exact path for that"
+        )
     p = 1.0 - math.acos(max(-1.0, min(1.0, target_cos))) / math.pi
     if p <= 0.0:
         return (max_bits, 1)
@@ -149,10 +128,13 @@ def band_signature(
     vec_col: str | Column, bands: int, band_bits: int
 ) -> Column:
     """``array<struct<band_idx:int, band_val:long>>`` of banded sign-LSH
-    sub-signatures. Band j packs hyperplane bits [j*band_bits,
-    (j+1)*band_bits) into a long — the equi-join key for candidate
-    generation (two vectors are candidates iff some band matches
-    exactly on every bit)."""
+    sub-signatures. Hyperplane bit i is the sign of a pseudo-random
+    +/-1 combination of vector components (the plane is defined by
+    xxhash64 of (i, dim) — deterministic across join sides, no stored
+    projection matrix). Band j packs bits [j*band_bits, (j+1)*band_bits)
+    into a long — the equi-join key for candidate generation (two
+    vectors are candidates iff some band matches exactly on every
+    bit)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n = F.size(vec)
     dims = F.sequence(F.lit(0), n - 1)
@@ -389,7 +371,10 @@ def embedding_near_dup_pairs(
       band structure for ``threshold``); this is the 100 TB plan.
     """
     norm = df.select(F.col(id_col).alias("id"), unit_vec(vec_col).alias("v"))
-    if df.count() <= max_exact_rows:
+    # Dispatch probe: limit(n+1).count() stops scanning after n+1 rows —
+    # a full count() of a 100 TB corpus just to pick a plan would itself
+    # be a complete pass over the data.
+    if df.limit(max_exact_rows + 1).count() <= max_exact_rows:
         a = ensure_parallelism(norm).select(
             F.col("id").alias("id_a"), F.col("v").alias("v_a")
         )

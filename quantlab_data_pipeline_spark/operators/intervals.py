@@ -100,7 +100,10 @@ def derive_ibes_coverage(
     Two window passes + one aggregation, all partitioned on the ticker —
     at WRDS scale (~10^6 id rows) this is a single small shuffle.
     """
-    w = Window.partitionBy(ticker_col).orderBy(start_col)
+    # cusip in the ordering: a deterministic tiebreak for dirty id files
+    # with two same-day snapshots (the zero-length loser island is then
+    # dropped deterministically by the downstream overlap filter).
+    w = Window.partitionBy(ticker_col).orderBy(start_col, cusip_col)
     changed = (
         ~F.col(cusip_col).eqNullSafe(F.lag(cusip_col).over(w))
     ).cast("int")

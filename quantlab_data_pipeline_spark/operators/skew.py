@@ -38,6 +38,7 @@ def salted_join(
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    how = how.lower()  # DataFrame.join accepts spellings case-insensitively
     if how not in allowed:
         raise ValueError(
             f"salted_join supports {sorted(allowed)} joins; got {how!r} "

@@ -247,6 +247,15 @@ class JdbcWrdsSource(WrdsSource):
         ``fallback_schema`` is given (the branch degrades to an empty
         output, like the reference), else re-raise the last error
         (mandatory input — e.g. the benchmark, wrds_ingestion.py:1001).
+
+        Deliberate parity tradeoff: the reference's loaders catch bare
+        ``Exception`` too, so a transient network error also degrades
+        an optional branch to empty rather than failing the run. Every
+        degrade is logged with the attempted queries and the triggering
+        errors; operators who need fail-fast semantics for transient
+        faults should alert on these warnings (classifying
+        driver-specific SQLSTATEs here would be brittle across JDBC
+        drivers).
         """
         attempted: list[str] = []
         last_exc: Exception | None = None

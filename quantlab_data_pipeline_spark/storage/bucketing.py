@@ -15,7 +15,22 @@ in-memory catalog + warehouse dir, no Hive metastore needed.
 
 from __future__ import annotations
 
+import hashlib
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def root_scoped_table(base: str, data_root: Path | str) -> str:
+    """Catalog table name scoped to a data root.
+
+    The session catalog is global, so a bare name like
+    ``prices_daily_bucketed`` written for one data root would be
+    silently served to handlers pointed at a *different* root. Scoping
+    the name by a digest of the resolved root makes each root's
+    bucketed tables addressable only by handlers on that root."""
+    digest = hashlib.md5(str(Path(data_root).resolve()).encode()).hexdigest()[:10]
+    return f"{base}_{digest}"
 
 
 def write_bucketed(
@@ -24,9 +39,13 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    path: Path | str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) parquet
-    table. Sorting within buckets lets the join skip its Sort too."""
+    table. Sorting within buckets lets the join skip its Sort too.
+    ``path`` makes it an external table so the files live under the
+    caller's data root instead of the session warehouse dir."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -34,6 +53,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", str(path))
     writer.saveAsTable(table)
 
 

@@ -115,6 +115,13 @@ class LocalParquetDataHandler(DataHandler):
         ``pd.to_datetime`` post-parse.
         """
         df = self.spark.read.parquet(str(self._dataset_path(table)))
+        return self._normalize_dates(df, table)
+
+    @staticmethod
+    def _normalize_dates(df: DataFrame, table: str) -> DataFrame:
+        """Cast declared date columns to timestamp so every read path —
+        parquet scan or bucketed catalog table — yields the same schema
+        (and ``toPandas()`` the same datetime64[ns] as the reference)."""
         for col in _DATE_COLS.get(table, []):
             if col in df.columns and not isinstance(
                 df.schema[col].dataType, T.TimestampType
@@ -266,13 +273,19 @@ class LocalParquetDataHandler(DataHandler):
         paid once at write time. Falls back to the parquet scans (plus
         a runtime shuffle) when the bucketed tables are absent.
         """
-        from .bucketing import bucketed_join_ready, read_table
+        from .bucketing import bucketed_join_ready, read_table, root_scoped_table
 
-        if bucketed_join_ready(
-            self.spark, "prices_daily_bucketed", "returns_daily_bucketed"
-        ):
-            prices = read_table(self.spark, "prices_daily_bucketed")
-            returns = read_table(self.spark, "returns_daily_bucketed")
+        # Table names are scoped to this handler's data root — a global
+        # name would serve one root's buckets to every handler in the
+        # session.
+        p_table = root_scoped_table("prices_daily_bucketed", self.data_root)
+        r_table = root_scoped_table("returns_daily_bucketed", self.data_root)
+        if bucketed_join_ready(self.spark, p_table, r_table):
+            # Read raw: casting the date key BEFORE the join would
+            # change the join expression and forfeit the bucket
+            # co-partitioning (an Exchange would reappear).
+            prices = read_table(self.spark, p_table)
+            returns = read_table(self.spark, r_table)
         else:
             prices = self._scan("prices_daily")
             returns = self._scan("returns_daily")
@@ -281,6 +294,9 @@ class LocalParquetDataHandler(DataHandler):
             ["asset_id", "date"],
             "left",
         )
+        # Normalize after the join so both physical paths return the
+        # same schema (timestamp dates, like every other getter).
+        joined = self._normalize_dates(joined, "prices_daily")
         ids = self._tickers_to_asset_ids(tickers) if tickers else None
         joined = self._filter_assets(joined, ids)
         joined = self._filter_dates(joined, start_date, end_date)

@@ -375,8 +375,11 @@ def test_bucketed_facts_join_without_exchange(spark, tmp_path_factory):
         n = joined.count()
         assert n > 0
         # fallback path (parquet scans + runtime shuffle) agrees
+        from quantlab_data_pipeline_spark.storage.bucketing import (
+            root_scoped_table,
+        )
         for t in ("prices_daily_bucketed", "returns_daily_bucketed"):
-            spark.sql(f"DROP TABLE {t}")
+            spark.sql(f"DROP TABLE {root_scoped_table(t, h.data_root)}")
         fallback = h.get_prices_with_returns_df()
         assert fallback.count() == n
         assert "Exchange" in fallback._jdf.queryExecution().executedPlan().toString()
