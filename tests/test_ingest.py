@@ -418,3 +418,36 @@ def test_ratings_history_handles_det_rec_shape(spark):
     assert rows["IB0"]["analyst_id"] == 123  # amaskcd probed
     assert rows["IB0"]["rating"] == 2.0      # rec probed
     assert rows["IB0"]["rating_text"] is None  # itext absent -> null
+
+
+def test_bucketed_tables_are_root_scoped(spark, tmp_path_factory):
+    """A handler on a different data root must NOT be served another
+    root's bucketed catalog tables — it falls back to its own parquet."""
+    from quantlab_data_pipeline_spark.storage.bucketing import (
+        bucketed_join_ready, root_scoped_table,
+    )
+
+    root_a = tmp_path_factory.mktemp("scope_a")
+    root_b = tmp_path_factory.mktemp("scope_b")
+    for root, bucket in ((root_a, True), (root_b, False)):
+        ingest(
+            root, START, END, save_raw=False, bucket_facts=bucket,
+            source=SyntheticWrdsSource(spark, n_assets=2),
+            fred_fetcher=synthetic_fred_fetcher(), spark=spark,
+        )
+    h_a = LocalParquetDataHandler(root_a / "quantlab_data_pipeline", spark=spark)
+    h_b = LocalParquetDataHandler(root_b / "quantlab_data_pipeline", spark=spark)
+    pa = root_scoped_table("prices_daily_bucketed", h_a.data_root)
+    ra = root_scoped_table("returns_daily_bucketed", h_a.data_root)
+    pb = root_scoped_table("prices_daily_bucketed", h_b.data_root)
+    assert bucketed_join_ready(spark, pa, ra)       # root A bucketed
+    assert not spark.catalog.tableExists(pb)        # root B not
+    # B's join works via its own parquet (no cross-root table pickup)
+    assert h_b.get_prices_with_returns_df().count() > 0
+    plan_b = (h_b.get_prices_with_returns_df()
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Bucketed: true" not in plan_b
+    # bucketed files live under root A, not the session warehouse
+    assert (h_a.processed_path / "prices_daily_bucketed").exists()
+    spark.sql(f"DROP TABLE {pa}")
+    spark.sql(f"DROP TABLE {ra}")
