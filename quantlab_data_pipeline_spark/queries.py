@@ -385,10 +385,15 @@ def window_lag_pct_change(spark: SparkSession, sf: str) -> DataFrame:
     # nullif guards the zero denominator (ANSI mode throws on x/0);
     # the resulting null rows drop below, same as the oracle's NULLIF.
     prev = F.nullif(F.lag("value").over(w), F.lit(0.0))
+    # floor(x*1e6)/1e6, not round(x, 6): two-decimal inputs divide to
+    # exact half-boundaries (57.63/6.4 - 1 = 8.0046875) where Spark's
+    # decimal-string HALF_UP and DuckDB's binary rounding disagree;
+    # scaled floor is the same IEEE ops on the same doubles in both.
+    pct = F.floor((F.col("value") / prev - 1) * 1e6) / 1e6
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") / prev - 1, 6).alias("pct_change"),
+        pct.alias("pct_change"),
     ).filter(F.col("pct_change").isNotNull())
 
 
@@ -924,8 +929,9 @@ ORACLE_SQL: dict[str, str] = {
     "window_lag_pct_change": """
         SELECT event_id, user_id, pct_change FROM (
             SELECT event_id, user_id,
-                   round(value / NULLIF(lag(value) OVER (
-                       PARTITION BY user_id ORDER BY ts), 0) - 1, 6) AS pct_change
+                   floor((value / NULLIF(lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts), 0) - 1) * 1e6) / 1e6
+                       AS pct_change
             FROM events
         ) t WHERE pct_change IS NOT NULL
     """,
