@@ -135,3 +135,67 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k word n-grams with counts — the corpus-statistics
+    pass behind tokenizer/vocabulary training and boilerplate
+    detection.
+
+    Scale shape: tokenize + explode is map-side; the count aggregates
+    with a partial (map-side combine) before one shuffle on the n-gram,
+    and the top-k is TakeOrdered on the aggregated (distinct-n-gram-
+    sized, not corpus-sized) result. Ties break lexicographically so
+    the result is deterministic across engines.
+    """
+    words = _tokens(F.col(text_col))
+    size = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+    gram = F.when(
+        size >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
+    ).otherwise(F.array())
+    return (
+        df.select(F.explode(gram).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment by content-independent hash.
+
+    Each row lands in a split according to the first 8 hex chars of
+    md5(salt || id) mapped to [0, 1) — deterministic across runs,
+    partitionings, AND engines (md5 of the same string is universal,
+    unlike xxhash64/rand seeds), so a re-run or a different system
+    assigns every document identically: the property that keeps eval
+    sets leak-free when the corpus is rebuilt. Pure projection — no
+    shuffle, no state.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(16**8))
+    )
+    expr = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

@@ -395,3 +395,70 @@ def test_cosine_zero_vector_yields_null(spark):
         "a array<float>, b array<float>",
     )
     assert df.select(cosine("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_top_ngrams_exact_counts(spark):
+    """Top-k bigrams must equal a python recomputation, including the
+    lexicographic tie-break."""
+    import re
+    from collections import Counter
+
+    from quantlab_data_pipeline_spark.llm import top_ngrams
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [(r["ngram"], r["n_occurrences"])
+           for r in top_ngrams(docs, n=2, k=20).collect()]
+
+    counts = Counter()
+    for r in docs.select("text").collect():
+        ws = re.findall(r"[a-z0-9]+", r["text"].lower())
+        counts.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == expect
+
+
+def test_deterministic_split_is_stable_and_proportional(spark):
+    from quantlab_data_pipeline_spark.llm import deterministic_split
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, weights=w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, weights=w).collect()}
+    assert a == b  # identical across runs (hash, not rand)
+    from collections import Counter
+    shares = Counter(a.values())
+    n = len(a)
+    assert 0.7 < shares["train"] / n < 0.9  # 500 docs: loose binomial band
+    assert shares["val"] > 0 and shares["test"] > 0
+    # salt changes the assignment; weights=1 puts everything in one split
+    c = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, weights=w, salt="other").collect()}
+    assert c != a
+    only = deterministic_split(docs, weights={"all": 1.0}).select("split").distinct().collect()
+    assert [r["split"] for r in only] == ["all"]
+
+
+def test_deterministic_split_matches_duckdb_md5(spark):
+    """The md5-based assignment is engine-universal: DuckDB computes
+    the identical split for every doc (the property that keeps eval
+    sets stable when the corpus is rebuilt elsewhere)."""
+    import duckdb
+
+    from quantlab_data_pipeline_spark.llm import deterministic_split
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {r["doc_id"]: r["split"]
+           for r in deterministic_split(docs, weights={"train": 0.9, "val": 0.1}).collect()}
+    exp = dict(duckdb.sql("""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                         / 4294967296.0 < 0.9
+                    THEN 'train' ELSE 'val' END
+        FROM '/root/testdata/sf0.001/documents.parquet'
+    """).fetchall())
+    assert got == exp
