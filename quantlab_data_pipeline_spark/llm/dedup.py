@@ -53,14 +53,13 @@ def exact_dedup(
 
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles of lowercased word tokens."""
-    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
-        F.array(F.array_join(words, " "))
-    )
+    """Distinct k-word shingles of lowercased word tokens (short docs
+    collapse to their full text as one shingle). Tokenization and gram
+    construction are shared with the corpus-statistics ops via
+    :func:`..text.word_grams`."""
+    from .text import word_grams
+
+    return F.array_distinct(word_grams(text_col, k, short_doc="join"))
 
 
 def minhash_signatures(

@@ -137,6 +137,30 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_grams(
+    text_col: str | Column, k: int, short_doc: str = "empty"
+) -> Column:
+    """All k-word grams of the lowercased word tokens, in order (with
+    repeats). The single source of the tokenizer + gram construction —
+    :func:`..dedup.word_shingles` (distinct, whole-doc fallback) and
+    :func:`top_ngrams` both build on it so decontamination shingles and
+    corpus statistics can never drift apart.
+
+    ``short_doc``: what a doc with fewer than ``k`` words yields —
+    ``"empty"`` (no grams) or ``"join"`` (its full text as one gram,
+    the shingling convention).
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = _tokens(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    fallback = (
+        F.array() if short_doc == "empty" else F.array(F.array_join(words, " "))
+    )
+    return F.when(n >= k, grams).otherwise(fallback)
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,
@@ -153,15 +177,8 @@ def top_ngrams(
     sized, not corpus-sized) result. Ties break lexicographically so
     the result is deterministic across engines.
     """
-    words = _tokens(F.col(text_col))
-    size = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
-    gram = F.when(
-        size >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
-    ).otherwise(F.array())
     return (
-        df.select(F.explode(gram).alias("ngram"))
+        df.select(F.explode(word_grams(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -186,16 +203,22 @@ def deterministic_split(
     shuffle, no state.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # Canonicalize: the [0,1) interval layout follows the SORTED split
+    # names, so two equal weight dicts with different insertion order
+    # assign identically — the stability promise above must not hinge
+    # on dict ordering.
+    items = sorted(weights.items())
     total = sum(weights.values())
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
         .cast("double") / F.lit(float(16**8))
     )
-    expr = None
+    # A null id hashes to null; every comparison below is then null and
+    # the row must get a null split — NOT silently land in the final
+    # (often eval) split.
+    expr = F.when(F.col(id_col).isNull(), F.lit(None).cast("string"))
     cum = 0.0
-    for name, w in weights.items():
+    for name, w in items:
         cum += w / total
-        cond = u < F.lit(cum)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = list(weights)[-1]
-    return df.withColumn("split", expr.otherwise(F.lit(last)))
+        expr = expr.when(u < F.lit(cum), F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(items[-1][0])))

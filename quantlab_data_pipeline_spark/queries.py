@@ -388,7 +388,10 @@ def window_lag_pct_change(spark: SparkSession, sf: str) -> DataFrame:
     # floor(x*1e6)/1e6, not round(x, 6): two-decimal inputs divide to
     # exact half-boundaries (57.63/6.4 - 1 = 8.0046875) where Spark's
     # decimal-string HALF_UP and DuckDB's binary rounding disagree;
-    # scaled floor is the same IEEE ops on the same doubles in both.
+    # scaled floor performs the same IEEE multiply on the same doubles
+    # in both engines. (Caveat: Spark's floor yields LONG and would
+    # saturate past ~9.2e12 where DuckDB's double floor doesn't —
+    # unreachable for a pct-change of bounded prices.)
     pct = F.floor((F.col("value") / prev - 1) * 1e6) / 1e6
     return ev.select(
         "event_id",

@@ -462,3 +462,20 @@ def test_deterministic_split_matches_duckdb_md5(spark):
         FROM '/root/testdata/sf0.001/documents.parquet'
     """).fetchall())
     assert got == exp
+
+
+def test_deterministic_split_null_id_and_order_independence(spark):
+    from quantlab_data_pipeline_spark.llm import deterministic_split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
+    assert out[None] is None  # null id -> null split, never the eval split
+    assert out[1] is not None and out[2] is not None
+    # equal weight dicts in different insertion orders assign identically
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(
+        df, weights={"train": 0.9, "val": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(
+        df, weights={"val": 0.1, "train": 0.9}).collect()}
+    assert a == b
