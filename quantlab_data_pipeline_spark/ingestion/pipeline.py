@@ -98,6 +98,7 @@ def _write(
     path: Path,
     partition_cols: list[str] | None = None,
     single_file: bool = False,
+    dynamic: bool = False,
 ) -> None:
     """Parquet sink (S2): overwrite, logging the row count observed by
     the write job itself (``df.observe`` piggybacks a count on the
@@ -107,15 +108,29 @@ def _write(
     ``single_file`` is set for tables that stay small at ANY scale
     (per-day or per-asset dims): 32 shuffle-partition shards of a
     200-row dim is small-file pollution for downstream scans. Facts
-    keep their natural parallelism."""
+    keep their natural parallelism.
+
+    ``dynamic`` (with ``partition_cols``) switches to dynamic
+    partition overwrite: only the partitions PRESENT in ``df`` are
+    replaced, the rest of the table is untouched. This is the
+    incremental-update path at 100 TB — re-ingesting one month rewrites
+    one year partition, not a 25-year history."""
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if single_file:
         df = df.coalesce(1)
-    writer = df.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(str(path))
+    spark = df.sparkSession
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    previous = spark.conf.get(mode_key, "static")
+    if dynamic and partition_cols:
+        spark.conf.set(mode_key, "dynamic")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(str(path))
+    finally:
+        spark.conf.set(mode_key, previous)
     logger.info("Wrote %s rows to %s", obs.get["rows"], path)
 
 
@@ -676,6 +691,48 @@ def ingest(
         total,
         ", ".join(f"{n} {t:.1f}s" for n, t in steps_done),
     )
+    return resolved_root
+
+
+def update_facts(
+    root: Path | str | None,
+    start: str,
+    end: str,
+    source: WrdsSource | None = None,
+    spark: SparkSession | None = None,
+) -> Path:
+    """Incremental refresh of the two big facts for [start, end].
+
+    Rebuilds prices_daily/returns_daily for the window only and
+    dynamically overwrites just the year partitions the window touches;
+    every other year's files are left byte-identical. At 100 TB this is
+    the nightly-update path: appending one month rewrites one ~year
+    partition instead of the whole 25-year history (the reference — and
+    ``ingest`` — always rewrite everything).
+
+    Requires a root previously ingested with ``partition_by_year=True``
+    (the facts must be year-partitioned for partition-scoped overwrite
+    to have partitions to scope to).
+    """
+    spark = spark or get_spark()
+    source = source or JdbcWrdsSource(spark)
+    resolved_root = resolve_data_root(root)
+    processed = resolved_root / "data_processed"
+    universe = source.sp500_universe(start, end)
+    permnos = sorted(
+        r["permno"] for r in universe.select("permno").distinct().collect()
+    )
+    assets_master = build_assets_master(source, permnos)
+    prices, returns, _ = build_prices_and_returns(
+        source, assets_master, permnos, start, end
+    )
+    for df_, name in ((prices, "prices_daily"), (returns, "returns_daily")):
+        out = _canon(df_, name).withColumn("year", F.year("date"))
+        _write(
+            out, processed / f"{name}.parquet",
+            partition_cols=["year"], dynamic=True,
+        )
+    logger.info("Incrementally updated facts for [%s, %s] at %s", start, end, resolved_root)
     return resolved_root
 
 

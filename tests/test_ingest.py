@@ -451,3 +451,42 @@ def test_bucketed_tables_are_root_scoped(spark, tmp_path_factory):
     assert (h_a.processed_path / "prices_daily_bucketed").exists()
     spark.sql(f"DROP TABLE {pa}")
     spark.sql(f"DROP TABLE {ra}")
+
+
+def test_incremental_update_touches_only_window_partitions(spark, tmp_path_factory):
+    """update_facts over a 2020 window must dynamically overwrite only
+    the year=2020 partition: year=2019 files stay byte-identical, and
+    the 2020 data reflects the new source."""
+    import os
+
+    from quantlab_data_pipeline_spark.ingestion.pipeline import update_facts
+
+    root = tmp_path_factory.mktemp("incr_root")
+    ingest(
+        root, "2019-07-01", "2020-06-30", save_raw=False,
+        partition_by_year=True,
+        source=SyntheticWrdsSource(spark, n_assets=2),
+        fred_fetcher=synthetic_fred_fetcher(), spark=spark,
+    )
+    prices_dir = root / "quantlab_data_pipeline" / "data_processed" / "prices_daily.parquet"
+
+    def snapshot(year):
+        d = prices_dir / f"year={year}"
+        return {f: os.path.getmtime(d / f) for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    before = spark.read.parquet(str(prices_dir))
+    before_2019 = snapshot(2019)
+    before_2019_rows = before.filter("year = 2019").count()
+    before_2020_sum = before.filter("year = 2020").agg({"close": "sum"}).collect()[0][0]
+
+    # different seed -> different synthetic prices in the 2020 window
+    update_facts(
+        root, "2020-01-01", "2020-06-30",
+        source=SyntheticWrdsSource(spark, n_assets=2, seed=99), spark=spark,
+    )
+    assert snapshot(2019) == before_2019  # untouched partition byte-identical
+    after = spark.read.parquet(str(prices_dir))
+    assert after.filter("year = 2019").count() == before_2019_rows
+    after_2020_sum = after.filter("year = 2020").agg({"close": "sum"}).collect()[0][0]
+    assert after_2020_sum != before_2020_sum  # window really re-ingested
