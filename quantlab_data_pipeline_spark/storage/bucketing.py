@@ -69,6 +69,61 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
     return cat.tableExists(left) and cat.tableExists(right)
 
 
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) clustering on multiple numeric columns.
+
+    1-D range clustering (:func:`write_range_clustered`) narrows file
+    min/max stats for ONE column; a query filtering the other column
+    still reads everything. Interleaving the bits of each column's
+    scaled value gives every file a small hyper-rectangle of the
+    multi-dimensional space, so footer-statistics skipping works for
+    filters on ANY clustered column.
+
+    Mechanics: one agg job fetches each column's min/max; values scale
+    to ``bits``-bit integers; bit i of column j lands at position
+    i*len(cols)+j of the Morton key; repartitionByRange + in-file sort
+    on the key, which is dropped before writing. Numeric columns only
+    (cast dates/timestamps to their epoch day/seconds first).
+    """
+    from pyspark.sql import functions as F
+
+    mm = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_cols],
+    ).first()
+    top = float((1 << bits) - 1)
+    scaled = []
+    for c in cluster_cols:
+        mn, mx = mm[f"mn_{c}"], mm[f"mx_{c}"]
+        span = (mx - mn) if mx is not None and mx > mn else 1.0
+        scaled.append(
+            ((F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+             / F.lit(span) * F.lit(top)).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + (
+                F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("bigint")
+                * F.lit(1 << (i * len(cluster_cols) + j)).cast("bigint")
+            )
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,

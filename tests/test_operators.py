@@ -479,3 +479,46 @@ def test_derive_ibes_coverage_collapses_and_splits(spark):
     assert a2["start_date"] == _d("2010-01-01")
     assert a2["end_date"] is None  # last island open
     assert out[("BBB", "33333333")]["end_date"] is None
+
+
+def test_zorder_write_narrows_stats_on_both_dims(spark, tmp_path):
+    """Z-order files must have narrow footer min/max on BOTH clustered
+    columns; 1-D range clustering narrows only the leading one."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    from quantlab_data_pipeline_spark.storage.bucketing import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 100_000
+    df = (
+        spark.range(0, n).withColumnRenamed("id", "seq")
+        .withColumn("x", F.pmod(F.xxhash64("seq"), F.lit(n)))
+        .withColumn("y", F.pmod(F.xxhash64("seq", F.lit(7)), F.lit(n)))
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "range1d")
+    write_zorder_clustered(df, zpath, ["x", "y"], n_files=16)
+    write_range_clustered(df, rpath, ["x"], n_files=16)
+
+    def mean_span(path, col_idx):
+        spans = []
+        for f in Path(path).glob("part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    # columns: 0=seq, 1=x, 2=y
+    assert mean_span(zpath, 1) < n * 0.5   # both dims narrowed
+    assert mean_span(zpath, 2) < n * 0.5
+    assert mean_span(rpath, 1) < n * 0.2   # 1-D: leading dim narrow...
+    assert mean_span(rpath, 2) > n * 0.9   # ...other dim full-range
+
+    # correctness: clustered copy answers a 2-D filter identically
+    got = spark.read.parquet(zpath).filter((F.col("x") < 5000) & (F.col("y") < 5000)).count()
+    exp = df.filter((F.col("x") < 5000) & (F.col("y") < 5000)).count()
+    assert got == exp
