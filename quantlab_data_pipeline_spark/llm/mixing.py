@@ -1,0 +1,113 @@
+"""Corpus mixing: reproducible per-domain sampling for pretraining data
+mixtures (the "data recipe" step — e.g. upweight books, downweight web).
+
+Two pieces:
+
+* :func:`temperature_fractions` — pure math: turn observed per-domain
+  sizes plus a sampling temperature into per-domain *keep fractions*
+  (share ∝ size^(1/T), the multilingual/mixture reweighting rule from
+  the XLM-R / mT5 line of work), scaled as large as possible without
+  any fraction exceeding 1 (no upsampling — duplication is the
+  dataloader's job, not the corpus store's).
+* :func:`sample_by_domain` — apply keep fractions with the same
+  md5-uniform used by :func:`.text.deterministic_split`: a document is
+  kept iff hash(salt ‖ id) < fraction(domain). Deterministic across
+  runs, partitionings, and engines — re-building the corpus reproduces
+  the exact same sample, and a fraction increase strictly *grows* the
+  previous sample (nested samples), which is what makes ablation
+  mixtures comparable. Pure projection + filter: no shuffle, no rand()
+  (rand(seed) is partition-layout-dependent, so it is NOT reproducible
+  under repartitioning — the hash is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def temperature_fractions(
+    sizes: dict[str, int], temperature: float = 1.0
+) -> dict[str, float]:
+    """Per-domain keep fractions realizing a temperature-T mixture.
+
+    T=1 keeps the natural distribution (all fractions equal → scaled to
+    1.0 = keep everything); T→∞ flattens toward uniform shares; T<1
+    sharpens toward the largest domain. The target share of domain d is
+    size_d^(1/T) / Σ size^(1/T); fractions are target_share/size scaled
+    so the binding domain keeps 100% and nothing needs upsampling.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    pos = {d: n for d, n in sizes.items() if n > 0}
+    if not pos:
+        return {d: 0.0 for d in sizes}
+    powered = {d: n ** (1.0 / temperature) for d, n in pos.items()}
+    z = sum(powered.values())
+    # unnormalized keep rate ∝ target_share / natural_share
+    rate = {d: (powered[d] / z) / (pos[d] / sum(pos.values())) for d in pos}
+    scale = 1.0 / max(rate.values())
+    out = {d: 0.0 for d in sizes}
+    out.update({d: min(1.0, rate[d] * scale) for d in pos})
+    return out
+
+
+def sample_by_domain(
+    df: DataFrame,
+    fractions: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its domain's fraction, decided by a stable
+    content-independent hash of the document id (see module docstring
+    for why not ``rand()``). Domains absent from ``fractions`` get
+    ``default_fraction`` (0 = drop unknown domains, 1 = pass through).
+
+    The fraction lookup compiles to a CASE expression — broadcast-free,
+    shuffle-free, and Catalyst pushes the resulting filter into the
+    scan when the domain column is a partition or stats column.
+    """
+    for d, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {d!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    frac = F.lit(float(default_fraction))
+    for d, f in sorted(fractions.items()):
+        frac = F.when(F.col(domain_col) == F.lit(d), F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac)
+
+
+def mix_corpus(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """One-call recipe: count domains (one map-side-combined agg — the
+    only job that touches the data before the filter), derive
+    temperature fractions, and return the deterministic sample."""
+    sizes = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    return sample_by_domain(
+        df,
+        temperature_fractions(sizes, temperature),
+        domain_col=domain_col,
+        id_col=id_col,
+        salt=salt,
+    )

@@ -434,3 +434,72 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# --------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_clusters: int = 32,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then compare pairs *within a
+    cluster only* — semantic duplicates land in the same cluster, so
+    the O(n^2) all-pairs search collapses to sum-of-cluster-sizes
+    squared.
+
+    Scale shape: assignment is a broadcast of the tiny centroid table
+    (:func:`ivf_assign`); the pair generation is an equi-join on
+    ``centroid_id`` — the corpus shuffles once, keyed by cluster, and
+    no pair crossing a cluster boundary is ever materialized. Cluster
+    count bounds the quadratic term: size ``n_clusters`` ~ n/target so
+    the average cluster holds a few thousand vectors (the paper uses
+    11k clusters for 100M+ images). Returns (id_a < id_b, score >=
+    threshold).
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, k=n_clusters, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "centroid_id", F.col("unit_vec").alias("v_a")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "centroid_id", F.col("unit_vec").alias("v_b")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(dot("v_a", "v_b"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_clusters: int = 32,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup keep-set: drop every document that has a semantic
+    duplicate (within-cluster cosine >= ``threshold``) with a smaller
+    id. Deterministic — the paper keeps a random/low-centroid-sim
+    member per duplicate group; lowest-id gives the same corpus on
+    every rerun, which matters for reproducible training mixes.
+
+    The drop set is distinct ``id_b`` values of
+    :func:`semantic_dedup_pairs`; the keep-set is a left-anti join —
+    one hash-shuffle on the id, no sort.
+    """
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, threshold, n_clusters, centroids
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drops, id_col, "left_anti")

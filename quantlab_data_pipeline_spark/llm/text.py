@@ -137,6 +137,131 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1): the
+    within-document repetition filters every modern pretraining pipeline
+    applies after dedup.
+
+    Adds per-document:
+
+    * ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line;
+    * ``dup_line_char_frac`` — fraction of characters sitting in those
+      duplicate lines;
+    * ``dup_para_frac`` — same over blank-line-separated paragraphs;
+    * ``top_2gram_char_frac`` — fraction of characters covered by the
+      single most frequent word 2-gram;
+    * ``dup_5gram_char_frac`` — fraction of characters in word 5-grams
+      that occur more than once.
+
+    All per-row native expressions (arrays + higher-order functions) —
+    no shuffle, no Python, no UDF: the whole block evaluates JVM-side
+    directly over the scan, so at 100 TB it is a pure map stage. The
+    n-gram fractions use the token-character approximation (gram chars /
+    total word chars), standard for doc-level scoring.
+    """
+    t = F.col(text_col)
+
+    def dup_fracs(parts: Column) -> tuple[Column, Column]:
+        cleaned = F.filter(
+            F.transform(parts, F.trim), lambda p: F.length(p) > 0
+        )
+        n = F.size(cleaned)
+        n_dup = n - F.size(F.array_distinct(cleaned))
+        total_chars = F.aggregate(
+            cleaned, F.lit(0), lambda a, p: a + F.length(p)
+        )
+        # chars in duplicate occurrences = total - chars of each distinct
+        # part counted once
+        distinct_chars = F.aggregate(
+            F.array_distinct(cleaned), F.lit(0), lambda a, p: a + F.length(p)
+        )
+        frac = F.round(n_dup / F.greatest(n, F.lit(1)), 6)
+        char_frac = F.round(
+            (total_chars - distinct_chars) / F.greatest(total_chars, F.lit(1)), 6
+        )
+        return frac, char_frac
+
+    line_frac, line_char_frac = dup_fracs(F.split(t, "\n"))
+    para_frac, _ = dup_fracs(F.split(t, "\n\\s*\n"))
+
+    def gram_char_stats(k: int, top_only: bool) -> Column:
+        grams = word_grams(t, k)
+        distinct = F.array_distinct(grams)
+        # occurrences per distinct gram: O(d*n) doc-local compare — docs
+        # are kilobytes, so this stays cheap and engine-side.
+        counts = F.transform(
+            distinct,
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+        gram_chars = F.transform(distinct, F.length)
+        total = F.aggregate(
+            F.zip_with(gram_chars, counts, lambda c, m: c * m),
+            F.lit(0),
+            lambda a, v: a + v,
+        )
+        if top_only:
+            # "the" most frequent gram: ties at the max count resolve to
+            # the one covering the most characters (deterministic, and
+            # the conservative choice for a rejection filter). A top
+            # gram occurring ONCE is not repetition — without the mx>1
+            # guard every doc with < 2k words scores 1.0 and the filter
+            # rejects all short documents.
+            mx = F.array_max(counts)
+            covered = F.when(mx > 1, F.array_max(
+                F.zip_with(
+                    gram_chars,
+                    counts,
+                    lambda c, m: F.when(m == mx, c * m).otherwise(F.lit(0)),
+                )
+            )).otherwise(F.lit(0))
+        else:
+            covered = F.aggregate(
+                F.zip_with(
+                    gram_chars,
+                    counts,
+                    lambda c, m: F.when(m > 1, c * m).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda a, v: a + v,
+            )
+        # coalesce: a doc shorter than k words has no grams (empty
+        # array_max → null) and trivially passes the repetition filter.
+        return F.coalesce(
+            F.round(covered / F.greatest(total, F.lit(1)), 6), F.lit(0.0)
+        )
+
+    return df.withColumns(
+        {
+            "dup_line_frac": line_frac,
+            "dup_line_char_frac": line_char_frac,
+            "dup_para_frac": para_frac,
+            "top_2gram_char_frac": gram_char_stats(2, top_only=True),
+            "dup_5gram_char_frac": gram_char_stats(5, top_only=False),
+        }
+    )
+
+
+# Published Gopher rejection thresholds (Rae et al. 2021, table A1).
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "dup_5gram_char_frac": 0.10,
+}
+
+
+def with_gopher_keep(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the published Gopher repetition thresholds: adds the stats
+    plus a ``gopher_keep`` flag (true = passes every filter)."""
+    out = with_repetition_stats(df, text_col)
+    keep = F.lit(True)
+    for col, thr in GOPHER_THRESHOLDS.items():
+        keep = keep & (F.col(col) <= F.lit(thr))
+    return out.withColumn("gopher_keep", keep)
+
+
 def word_grams(
     text_col: str | Column, k: int, short_doc: str = "empty"
 ) -> Column:

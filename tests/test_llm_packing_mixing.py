@@ -1,0 +1,295 @@
+"""Tests for sequence packing, corpus mixing, Gopher repetition
+filters, and SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantlab_data_pipeline_spark.llm import (
+    chunk_plan,
+    mix_corpus,
+    pack_documents,
+    sample_by_domain,
+    semantic_dedup,
+    semantic_dedup_pairs,
+    temperature_fractions,
+    with_gopher_keep,
+    with_repetition_stats,
+)
+
+# ------------------------------------------------------------- packing
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    rows = [(i, "w " * (10 + (i * 37) % 90)) for i in range(1, 41)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_plan_offsets_are_global_cumsum(spark, sized_docs):
+    out = chunk_plan(sized_docs, max_tokens=128, sep_tokens=1, partitions=4)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # offsets must be the exact running sum of (tokens + sep) in id order
+    acc = 0
+    for r in rows:
+        assert r["offset"] == acc, f"doc {r['doc_id']}"
+        acc += r["n_tokens"] + 1
+        assert r["first_chunk"] == r["offset"] // 128
+        assert r["last_chunk"] == (r["offset"] + r["n_tokens"] + 1 - 1) // 128
+
+
+def test_chunk_plan_partition_count_invariant(spark, sized_docs):
+    one = sorted(
+        chunk_plan(sized_docs, 64, partitions=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    many = sorted(
+        chunk_plan(sized_docs, 64, partitions=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_chunk_plan_rejects_bad_budget(spark, sized_docs):
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_plan(sized_docs, 0)
+
+
+def test_pack_documents_respects_budget(spark, sized_docs):
+    out = pack_documents(sized_docs, max_tokens=150, partitions=3).collect()
+    assert len(out) == 40  # every doc packed exactly once
+    assert len({r["doc_id"] for r in out}) == 40
+    fills: dict[int, int] = {}
+    for r in out:
+        assert not r["oversize"]  # all docs fit 150 here
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 150 for v in fills.values())
+    # greedy packing should do far better than one doc per pack
+    assert len(fills) < 30
+
+
+def test_pack_documents_oversize_is_singleton(spark):
+    df = spark.createDataFrame(
+        [(1, "w " * 500), (2, "w " * 10), (3, "w " * 12)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_documents(df, max_tokens=64).collect()}
+    assert out[1]["oversize"] and out[1]["pack_pos"] == 0
+    # the oversize doc shares its pack with nobody
+    assert sum(r["pack_id"] == out[1]["pack_id"] for r in out.values()) == 1
+    assert not out[2]["oversize"] and not out[3]["oversize"]
+
+
+def test_pack_documents_deterministic(spark, sized_docs):
+    a = sorted(map(tuple, pack_documents(sized_docs, 150, partitions=3).collect()))
+    b = sorted(map(tuple, pack_documents(sized_docs, 150, partitions=3).collect()))
+    assert a == b
+
+
+def test_pack_pos_contiguous_within_pack(spark, sized_docs):
+    out = pack_documents(sized_docs, max_tokens=200, partitions=2).collect()
+    by_pack: dict[int, list[int]] = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r["pack_pos"])
+    for positions in by_pack.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+# --------------------------------------------------------- repetition
+
+
+def test_repetition_stats_duplicate_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma delta\nalpha beta\nepsilon"),
+            (2, "unique one\nunique two\nunique three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    # doc 1: 4 lines, 3 distinct -> 1/4 duplicated
+    assert out[1]["dup_line_frac"] == pytest.approx(0.25)
+    # duplicate chars: total 10+11+10+7=38, distinct 10+11+7=28 -> 10/38
+    assert out[1]["dup_line_char_frac"] == pytest.approx(round(10 / 38, 6))
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_char_frac"] == 0.0
+
+
+def test_repetition_stats_duplicate_paragraphs(spark):
+    text = "para one here\n\npara two there\n\npara one here"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_repetition_stats(df).collect()[0]
+    assert r["dup_para_frac"] == pytest.approx(round(1 / 3, 6))
+    # line-level: 3 non-empty lines, all... 'para one here' twice -> 1/3
+    assert r["dup_line_frac"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_top_2gram_char_fraction(spark):
+    # grams: 'spam ham' x3 (8 chars each), 'ham spam' x2 -> top covers
+    # 24 of 40 gram-chars
+    df = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham")], "doc_id long, text string"
+    )
+    r = with_repetition_stats(df).collect()[0]
+    assert r["top_2gram_char_frac"] == pytest.approx(0.6)
+
+
+def test_dup_5gram_char_fraction_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert out[1]["dup_5gram_char_frac"] == 0.0  # < 5 words: no grams
+    assert out[1]["top_2gram_char_frac"] == 0.0
+    # doc 2: every 5-gram repeats (cyclic) -> fraction 1.0
+    assert out[2]["dup_5gram_char_frac"] == pytest.approx(1.0)
+
+
+def test_gopher_keep_flag(spark):
+    clean = (
+        "The committee reviewed the proposal in detail and found the "
+        "analysis convincing on every point raised by members present."
+    )
+    spammy = "buy now\n" * 20
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["gopher_keep"] for r in with_gopher_keep(df).collect()}
+    assert out[1] is True
+    assert out[2] is False
+
+
+# -------------------------------------------------------------- mixing
+
+
+def test_temperature_fractions_t1_keeps_everything():
+    assert temperature_fractions({"a": 100, "b": 900}, 1.0) == {
+        "a": 1.0,
+        "b": 1.0,
+    }
+
+
+def test_temperature_fractions_flatten():
+    # very high T -> uniform target -> keep rate inversely proportional
+    f = temperature_fractions({"a": 100, "b": 400}, temperature=1e9)
+    assert f["a"] == pytest.approx(1.0, abs=1e-6)
+    assert f["b"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_temperature_fractions_edge_cases():
+    assert temperature_fractions({"a": 0, "b": 10}, 2.0)["a"] == 0.0
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_fractions({"a": 1}, 0.0)
+
+
+@pytest.fixture(scope="module")
+def domain_docs(spark):
+    rows = [(i, "web" if i % 5 else "books") for i in range(1, 2001)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_sample_by_domain_deterministic_and_nested(spark, domain_docs):
+    small = sample_by_domain(domain_docs, {"web": 0.3, "books": 0.3})
+    big = sample_by_domain(domain_docs, {"web": 0.6, "books": 0.6})
+    small_ids = {r["doc_id"] for r in small.collect()}
+    again = {r["doc_id"] for r in small.collect()}
+    assert small_ids == again  # rerun-stable
+    # repartitioning must not change membership (hash, not rand())
+    shuffled = {
+        r["doc_id"]
+        for r in sample_by_domain(
+            domain_docs.repartition(13), {"web": 0.3, "books": 0.3}
+        ).collect()
+    }
+    assert small_ids == shuffled
+    # nested-sample property: raising the fraction only adds rows
+    assert small_ids <= {r["doc_id"] for r in big.collect()}
+
+
+def test_sample_by_domain_proportions_and_default(spark, domain_docs):
+    kept = sample_by_domain(
+        domain_docs, {"web": 0.5}, default_fraction=0.0
+    ).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in kept}
+    assert "books" not in counts  # unknown domain dropped
+    assert counts["web"] == pytest.approx(800, rel=0.12)
+    with pytest.raises(ValueError, match="fraction"):
+        sample_by_domain(domain_docs, {"web": 1.5})
+
+
+def test_mix_corpus_temperature_shifts_mixture(spark, domain_docs):
+    # natural: web 1600, books 400. T=2 -> shares prop sqrt(sizes) -> 2:1
+    mixed = mix_corpus(domain_docs, temperature=2.0)
+    counts = {
+        r["source"]: r["count"]
+        for r in mixed.groupBy("source").count().collect()
+    }
+    assert counts["books"] == 400  # binding domain keeps 100%
+    assert counts["web"] == pytest.approx(800, rel=0.12)
+
+
+# ------------------------------------------------------------ semdedup
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = centers[c] / np.linalg.norm(centers[c])
+        for j in range(6):
+            vid += 1
+            if j < 3:  # three exact duplicates of the cluster anchor
+                v = base
+            else:  # distinct members of the same cluster
+                v = base + rng.normal(scale=0.4, size=16)
+                v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_pairs_match_bruteforce(spark, clustered_vecs):
+    from quantlab_data_pipeline_spark.llm.similarity import dot, unit_vec
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            clustered_vecs, threshold=0.999, n_clusters=4
+        ).collect()
+    }
+    # brute-force oracle over all pairs
+    a = clustered_vecs.select(
+        F.col("vec_id").alias("id_a"), unit_vec("embedding").alias("va")
+    )
+    b = clustered_vecs.select(
+        F.col("vec_id").alias("id_b"), unit_vec("embedding").alias("vb")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("s", F.round(dot("va", "vb"), 6))
+        .filter(F.col("s") >= 0.999)
+        .collect()
+    }
+    # exact duplicates share a cluster by construction, so SemDeDup must
+    # recover every brute-force pair here
+    assert pairs == exact
+    assert len(exact) == 4 * 3  # C(3,2) per cluster's triplet x 4
+
+
+def test_semantic_dedup_keeps_lowest_id(spark, clustered_vecs):
+    kept = semantic_dedup(clustered_vecs, threshold=0.999, n_clusters=4)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # per cluster of 6 (ids 6c+1..6c+6): the duplicate triplet collapses
+    # to its lowest id; the three distinct members survive
+    expected = sorted(
+        6 * c + off for c in range(4) for off in (1, 4, 5, 6)
+    )
+    assert ids == expected
