@@ -432,3 +432,81 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 15,
+) -> DataFrame:
+    """C4-style global line dedup (Raffel et al. 2020 §2.2 applied at
+    line granularity): a line occurring anywhere else in the corpus
+    survives only at its first occurrence — the standard boilerplate
+    killer (nav bars, cookie banners, license footers) that document-
+    level dedup cannot see.
+
+    First occurrence = smallest (doc id, line position), so the result
+    is deterministic and engine-independent. Lines shorter than
+    ``min_chars`` after trimming (headings, blank separators, "Home")
+    pass through untouched — dropping those would shred normal prose
+    structure. Documents keep their surviving lines in original order;
+    ``n_lines_dropped`` counts removals per document.
+
+    Scale shape: keyed shuffles only, never a pairwise comparison —
+    (1) winner per line hash (map-side-combined ``min`` agg: partial
+    state is one small struct per distinct line per task, so even a
+    corpus-wide boilerplate line is absorbed map-side, no hot key);
+    (2) exploded lines join winners on the hash — the winners side
+    carries only (hash, winning id, position); (3) documents reassemble
+    on the doc id; (4) surviving text joins back to the untouched
+    metadata columns on the doc id. Shuffle volume is bounded by the
+    exploded line set — linear in corpus size, and AQE coalesces the
+    post-explode partitioning.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = (
+        df.select(F.col(id_col), F.posexplode(F.split(t, "\n")).alias("__idx", "__line"))
+        .withColumn("__norm", F.trim(F.lower(F.col("__line"))))
+        .withColumn("__eligible", F.length("__norm") >= min_chars)
+        .withColumn("__key", F.md5(F.col("__norm")))
+    )
+    winners = (
+        lines.filter("__eligible")
+        .groupBy("__key")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first"))
+    )
+    kept = (
+        lines.join(winners, "__key", "left")
+        .withColumn(
+            "__keep",
+            ~F.col("__eligible")
+            | (
+                (F.col("__first")[id_col] == F.col(id_col))
+                & (F.col("__first.__idx") == F.col("__idx"))
+            ),
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__idx", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("long").alias(
+            "n_lines_dropped"
+        ),
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt, id_col)
+        .withColumnRenamed("__new_text", text_col)
+        .select(*df.columns, "n_lines_dropped")
+    )

@@ -293,3 +293,119 @@ def test_semantic_dedup_keeps_lowest_id(spark, clustered_vecs):
         6 * c + off for c in range(4) for off in (1, 4, 5, 6)
     )
     assert ids == expected
+
+
+# ---------------------------------------------------------- line dedup
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    boiler = "subscribe to our newsletter for updates"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique opening line for doc one\n{boiler}\nmore doc one body"),
+            (2, f"{boiler}\nsecond document distinct content here"),
+            (3, f"third doc says something else\n{boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_chars=15).collect()}
+    assert boiler in out[1]["text"]  # first occurrence survives
+    assert boiler not in out[2]["text"]
+    assert boiler not in out[3]["text"]
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["n_lines_dropped"] == 1
+    assert out[3]["n_lines_dropped"] == 1
+    # surviving lines keep their original order
+    assert out[1]["text"].splitlines() == [
+        "unique opening line for doc one",
+        boiler,
+        "more doc one body",
+    ]
+    assert out[2]["text"] == "second document distinct content here"
+
+
+def test_dedup_lines_short_lines_untouched(spark):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "Home\nlong enough line that is not shared"),
+         (2, "Home\nanother long enough distinct line here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    # 'Home' < min_chars: repeated but preserved in both docs
+    assert out[1].splitlines()[0] == "Home"
+    assert out[2].splitlines()[0] == "Home"
+
+
+def test_dedup_lines_matches_python_oracle(spark):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    lines_pool = [f"shared boilerplate line number {i}" for i in range(5)] + [
+        f"doc specific line {j}" for j in range(40)
+    ]
+    docs = []
+    for d in range(1, 21):
+        chosen = [lines_pool[(d * 7 + k * 3) % len(lines_pool)] for k in range(6)]
+        docs.append((d, "\n".join(chosen)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # python oracle: first (doc, idx) wins per normalized line
+    first: dict[str, tuple[int, int]] = {}
+    for d, text in docs:
+        for i, ln in enumerate(text.split("\n")):
+            key = ln.strip().lower()
+            if len(key) >= 15 and key not in first:
+                first[key] = (d, i)
+    expect = {}
+    for d, text in docs:
+        keep = []
+        dropped = 0
+        for i, ln in enumerate(text.split("\n")):
+            key = ln.strip().lower()
+            if len(key) < 15 or first[key] == (d, i):
+                keep.append(ln)
+            else:
+                dropped += 1
+        expect[d] = ("\n".join(keep), dropped)
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in dedup_lines(df, min_chars=15).collect()
+    }
+    assert got == expect
+
+
+# ----------------------------------------------------------- plan shape
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_by_domain_plan_is_pure_filter(spark, domain_docs):
+    plan = _executed_plan(sample_by_domain(domain_docs, {"web": 0.5}))
+    assert "Exchange" not in plan  # no shuffle: projection + filter only
+
+
+def test_chunk_plan_has_no_global_window(spark, sized_docs):
+    plan = _executed_plan(chunk_plan(sized_docs, 128, partitions=4))
+    # the prefix sum must not serialize through one partition
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan  # mapInPandas cumsum, not a global window
+
+
+def test_pack_documents_plan_single_shuffle(spark, sized_docs):
+    plan = _executed_plan(pack_documents(sized_docs, 150, partitions=4))
+    assert plan.count("Exchange hashpartitioning") <= 2  # repartition + groupBy
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_semantic_dedup_plan_joins_on_cluster(spark, clustered_vecs):
+    plan = _executed_plan(
+        semantic_dedup_pairs(clustered_vecs, threshold=0.9, n_clusters=4)
+    )
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
