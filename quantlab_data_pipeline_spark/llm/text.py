@@ -162,6 +162,17 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
 
+    # Performance shape: Catalyst inlines column expressions verbatim at
+    # every reference — including references INSIDE lambda bodies, where
+    # the inlined subtree then re-evaluates once per array element. The
+    # textbook formulation (transform over distinct grams, each counting
+    # via filter over the gram array) therefore re-tokenizes the
+    # document O(distinct · grams) times and a 5k-doc scan ran for
+    # minutes. Instead every gram statistic comes out of ONE run-length
+    # pass over the SORTED gram array (:func:`_gram_run_stats`): no
+    # lambda ever references a column-sized subtree, so even fully
+    # inlined the cost is O(n log n) per document per reference.
+
     def dup_fracs(parts: Column) -> tuple[Column, Column]:
         cleaned = F.filter(
             F.transform(parts, F.trim), lambda p: F.length(p) > 0
@@ -185,61 +196,89 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     line_frac, line_char_frac = dup_fracs(F.split(t, "\n"))
     para_frac, _ = dup_fracs(F.split(t, "\n\\s*\n"))
 
-    def gram_char_stats(k: int, top_only: bool) -> Column:
-        grams = word_grams(t, k)
-        distinct = F.array_distinct(grams)
-        # occurrences per distinct gram: O(d*n) doc-local compare — docs
-        # are kilobytes, so this stays cheap and engine-side.
-        counts = F.transform(
-            distinct,
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
-        gram_chars = F.transform(distinct, F.length)
-        total = F.aggregate(
-            F.zip_with(gram_chars, counts, lambda c, m: c * m),
-            F.lit(0),
-            lambda a, v: a + v,
-        )
-        if top_only:
-            # "the" most frequent gram: ties at the max count resolve to
-            # the one covering the most characters (deterministic, and
-            # the conservative choice for a rejection filter). A top
-            # gram occurring ONCE is not repetition — without the mx>1
-            # guard every doc with < 2k words scores 1.0 and the filter
-            # rejects all short documents.
-            mx = F.array_max(counts)
-            covered = F.when(mx > 1, F.array_max(
-                F.zip_with(
-                    gram_chars,
-                    counts,
-                    lambda c, m: F.when(m == mx, c * m).otherwise(F.lit(0)),
-                )
-            )).otherwise(F.lit(0))
-        else:
-            covered = F.aggregate(
-                F.zip_with(
-                    gram_chars,
-                    counts,
-                    lambda c, m: F.when(m > 1, c * m).otherwise(F.lit(0)),
-                ),
-                F.lit(0),
-                lambda a, v: a + v,
-            )
-        # coalesce: a doc shorter than k words has no grams (empty
-        # array_max → null) and trivially passes the repetition filter.
-        return F.coalesce(
-            F.round(covered / F.greatest(total, F.lit(1)), 6), F.lit(0.0)
-        )
+    gs2 = _gram_run_stats(t, 2)
+    gs5 = _gram_run_stats(t, 5)
+
+    def frac(covered: Column, total: Column) -> Column:
+        return F.round(covered / F.greatest(total, F.lit(1)), 6)
 
     return df.withColumns(
         {
             "dup_line_frac": line_frac,
             "dup_line_char_frac": line_char_frac,
             "dup_para_frac": para_frac,
-            "top_2gram_char_frac": gram_char_stats(2, top_only=True),
-            "dup_5gram_char_frac": gram_char_stats(5, top_only=False),
+            "top_2gram_char_frac": frac(gs2["best_cov"], gs2["total"]),
+            "dup_5gram_char_frac": frac(gs5["dup"], gs5["total"]),
         }
     )
+
+
+def _gram_run_stats(text_col: Column, k: int) -> Column:
+    """One-pass run-length statistics over the sorted word k-grams.
+
+    Returns a struct ``(best_cnt, best_cov, dup, total)``:
+
+    * ``best_cnt`` — occurrence count of the most frequent gram, only
+      counting grams occurring more than once (a gram seen once is not
+      repetition — without that guard every doc shorter than ~2k words
+      would score 1.0 and the filter would reject all short documents);
+    * ``best_cov`` — characters covered by that gram (count × length;
+      ties at the max count resolve to the larger coverage —
+      deterministic, and conservative for a rejection filter);
+    * ``dup`` — characters in grams occurring more than once;
+    * ``total`` — characters across all gram occurrences.
+
+    Sorting groups equal grams into runs, so one ``aggregate`` pass
+    computes every count-dependent statistic with O(1) state and no
+    nested array scan — the shape that stays linear after Catalyst
+    inlines the expression at each reference site.
+    """
+    grams = F.array_sort(word_grams(text_col, k))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_cnt"),
+        F.lit(0).alias("best_cov"),
+        F.lit(0).alias("dup"),
+        F.lit(0).alias("total"),
+    )
+
+    def close_run(s: Column) -> tuple[Column, Column, Column]:
+        """best_cnt/best_cov/dup after closing the in-flight run."""
+        runchars = s["run"] * F.length(s["prev"])
+        closes = s["run"] > 1
+        better = closes & (
+            (s["run"] > s["best_cnt"])
+            | ((s["run"] == s["best_cnt"]) & (runchars > s["best_cov"]))
+        )
+        return (
+            F.when(better, s["run"]).otherwise(s["best_cnt"]),
+            F.when(better, runchars).otherwise(s["best_cov"]),
+            F.when(closes, s["dup"] + runchars).otherwise(s["dup"]),
+        )
+
+    def step(s: Column, g: Column) -> Column:
+        same = g == s["prev"]
+        bc, bv, dp = close_run(s)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, s["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, s["best_cnt"]).otherwise(bc).alias("best_cnt"),
+            F.when(same, s["best_cov"]).otherwise(bv).alias("best_cov"),
+            F.when(same, s["dup"]).otherwise(dp).alias("dup"),
+            (s["total"] + F.length(g)).alias("total"),
+        )
+
+    def finish(s: Column) -> Column:
+        bc, bv, dp = close_run(s)
+        return F.struct(
+            bc.alias("best_cnt"),
+            bv.alias("best_cov"),
+            dp.alias("dup"),
+            s["total"].alias("total"),
+        )
+
+    return F.aggregate(grams, init, step, finish)
 
 
 # Published Gopher rejection thresholds (Rae et al. 2021, table A1).
