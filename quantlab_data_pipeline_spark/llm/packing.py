@@ -217,3 +217,25 @@ def pack_documents(
         )
 
     return base.groupBy("__pid").applyInPandas(pack, schema)
+
+
+def shuffle_rows(
+    df: DataFrame, id_col: str = "doc_id", salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization
+    step before :func:`chunk_plan` / :func:`pack_documents` lay out
+    sequences.
+
+    Ordering by ``xxhash64(salt, id)`` is a full-rank pseudorandom
+    permutation that is reproducible across runs, engines, and input
+    partitionings (``rand(seed)`` is none of these — its stream is
+    bound to the physical partition layout). A different ``salt`` gives
+    an independent epoch order. Scale shape: one range exchange + local
+    sort (the standard distributed sort); at 100 TB that is exactly the
+    cost of any global reorder, and Spark's range partitioner keeps the
+    output balanced regardless of id distribution. Ties are impossible
+    short of a 64-bit hash collision between two ids; the id itself
+    breaks even those deterministically.
+    """
+    h = F.xxhash64(F.lit(salt), F.col(id_col))
+    return df.orderBy(h.asc(), F.col(id_col).asc())

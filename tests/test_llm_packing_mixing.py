@@ -409,3 +409,15 @@ def test_semantic_dedup_plan_joins_on_cluster(spark, clustered_vecs):
     )
     assert "CartesianProduct" not in plan
     assert "centroid_id" in plan
+
+
+def test_shuffle_rows_deterministic_and_salted(spark, sized_docs):
+    from quantlab_data_pipeline_spark.llm.packing import shuffle_rows
+
+    a = [r["doc_id"] for r in shuffle_rows(sized_docs).collect()]
+    b = [r["doc_id"] for r in shuffle_rows(sized_docs.repartition(9)).collect()]
+    assert a == b  # partition-layout independent
+    assert a != sorted(a)  # actually permuted
+    epoch2 = [r["doc_id"] for r in shuffle_rows(sized_docs, salt="e2").collect()]
+    assert epoch2 != a  # independent epoch order
+    assert sorted(epoch2) == sorted(a)
