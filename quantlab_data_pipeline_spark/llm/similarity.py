@@ -464,7 +464,13 @@ def semantic_dedup_pairs(
     """
     if centroids is None:
         centroids = train_centroids(corpus, k=n_clusters, vec_col=vec_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1)
+    from pyspark.storagelevel import StorageLevel
+
+    # Both join sides read the assignment — persist it once instead of
+    # re-running the centroid scoring + rank window per side.
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"), "centroid_id", F.col("unit_vec").alias("v_a")
     )
