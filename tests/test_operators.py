@@ -522,3 +522,65 @@ def test_zorder_write_narrows_stats_on_both_dims(spark, tmp_path):
     got = spark.read.parquet(zpath).filter((F.col("x") < 5000) & (F.col("y") < 5000)).count()
     exp = df.filter((F.col("x") < 5000) & (F.col("y") < 5000)).count()
     assert got == exp
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from quantlab_data_pipeline_spark.storage.compaction import (
+        compact_table,
+        dataset_bytes,
+    )
+
+    path = tmp_path / "frag"
+    df = spark.range(20_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(str(path))
+    _, n_before = dataset_bytes(spark, path)
+    assert n_before == 40
+
+    report = compact_table(spark, path, target_mb=256, sort_by=["id"])
+    assert report["files_before"] == 40
+    assert report["files_after"] < 40
+    assert report["files_after"] == report["target_files"] == 1
+    # data survives the swap byte-for-byte
+    out = spark.read.parquet(str(path)).orderBy("id").collect()
+    assert len(out) == 20_000
+    assert out[7]["v"] == 14
+    # no temp/backup residue
+    assert not (tmp_path / "frag.__compact_tmp").exists()
+    assert not (tmp_path / "frag.__compact_old").exists()
+
+
+def test_compact_table_partitioned_layout(spark, tmp_path):
+    from quantlab_data_pipeline_spark.storage.compaction import compact_table
+
+    path = tmp_path / "part"
+    df = spark.range(9_000).withColumns(
+        {"year": (F.col("id") % 3 + 2020).cast("int"), "v": F.col("id") * 3}
+    )
+    df.repartition(20).write.partitionBy("year").parquet(str(path))
+    files_before = len(spark.read.parquet(str(path)).inputFiles())
+    assert files_before >= 30  # slivers in every partition dir
+
+    report = compact_table(
+        spark, path, target_mb=256, sort_by=["id"], partition_by=["year"]
+    )
+    assert report["files_after"] < files_before
+    # hive layout preserved, per-partition data intact
+    kept = spark.read.parquet(str(path))
+    assert sorted(r["year"] for r in kept.select("year").distinct().collect()) == [
+        2020,
+        2021,
+        2022,
+    ]
+    assert kept.count() == 9_000
+    assert kept.filter("year = 2021").count() == 3_000
+
+
+def test_compact_table_rejects_bad_args(spark, tmp_path):
+    from quantlab_data_pipeline_spark.storage.compaction import compact_table
+
+    with pytest.raises(FileNotFoundError):
+        compact_table(spark, tmp_path / "missing")
+    p = tmp_path / "ok"
+    spark.range(10).write.parquet(str(p))
+    with pytest.raises(ValueError, match="target_mb"):
+        compact_table(spark, p, target_mb=0)
