@@ -37,12 +37,23 @@ def temperature_fractions(
     size_d^(1/T) / Σ size^(1/T); fractions are target_share/size scaled
     so the binding domain keeps 100% and nothing needs upsampling.
     """
+    import math
+
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
     pos = {d: n for d, n in sizes.items() if n > 0}
     if not pos:
         return {d: 0.0 for d in sizes}
-    powered = {d: n ** (1.0 / temperature) for d, n in pos.items()}
+    if temperature == 1.0:
+        # natural distribution: keep everything — exactly, not modulo
+        # exp/log round-off (a 1-ulp-below-1.0 fraction would drop rows)
+        return {d: (1.0 if n > 0 else 0.0) for d, n in sizes.items()}
+    # Log-space: size^(1/T) overflows float64 for sharp temperatures on
+    # web-scale counts (1e12^(1/0.01) = 1e1200). Only RATIOS matter, so
+    # shift by the max exponent before exponentiating.
+    logp = {d: math.log(n) / temperature for d, n in pos.items()}
+    mx = max(logp.values())
+    powered = {d: math.exp(v - mx) for d, v in logp.items()}
     z = sum(powered.values())
     # unnormalized keep rate ∝ target_share / natural_share
     rate = {d: (powered[d] / z) / (pos[d] / sum(pos.values())) for d in pos}

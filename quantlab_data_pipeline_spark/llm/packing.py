@@ -36,11 +36,22 @@ from .text import TOKEN_PATTERN
 
 
 def _with_tokens(df: DataFrame, text_col: str, token_col: str | None) -> tuple[DataFrame, str]:
+    """Token count column, null-safe: a null text (or null pre-computed
+    count) packs as 0 tokens instead of crashing the Arrow batch with a
+    NaN->int cast."""
     if token_col is not None:
-        return df, token_col
+        return (
+            df.withColumn(
+                token_col, F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+            ),
+            token_col,
+        )
     return (
         df.withColumn(
-            "n_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).cast("long")
+            "n_tokens",
+            F.regexp_count(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_PATTERN)
+            ).cast("long"),
         ),
         "n_tokens",
     )

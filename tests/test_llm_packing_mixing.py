@@ -421,3 +421,20 @@ def test_shuffle_rows_deterministic_and_salted(spark, sized_docs):
     epoch2 = [r["doc_id"] for r in shuffle_rows(sized_docs, salt="e2").collect()]
     assert epoch2 != a  # independent epoch order
     assert sorted(epoch2) == sorted(a)
+
+
+def test_packing_null_text_is_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, None)], "doc_id long, text string"
+    )
+    packed = {r["doc_id"]: r for r in pack_documents(df, 64).collect()}
+    assert packed[2]["n_tokens"] == 0 and not packed[2]["oversize"]
+    chunks = {r["doc_id"]: r for r in chunk_plan(df, 64).collect()}
+    assert chunks[2]["n_tokens"] == 0  # occupies only its separator
+
+
+def test_temperature_fractions_sharp_t_web_scale():
+    # size^(1/T) would overflow float64; log-space keeps ratios finite
+    f = temperature_fractions({"web": 10**12, "tiny": 10}, temperature=0.01)
+    assert f["web"] == 1.0
+    assert f["tiny"] == 0.0  # underflows to zero keep rate, not NaN/crash
