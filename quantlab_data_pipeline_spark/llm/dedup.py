@@ -434,17 +434,22 @@ def simhash_near_dup_pairs(
     )
 
 
+_DEDUP_UNITS = {"line": ("\n", "\n"), "paragraph": ("\n\\s*\n", "\n\n")}
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = 15,
+    unit: str = "line",
 ) -> DataFrame:
-    """C4-style global line dedup (Raffel et al. 2020 §2.2 applied at
-    line granularity): a line occurring anywhere else in the corpus
-    survives only at its first occurrence — the standard boilerplate
-    killer (nav bars, cookie banners, license footers) that document-
-    level dedup cannot see.
+    """C4-style global span dedup (Raffel et al. 2020 §2.2): a line (or
+    paragraph, with ``unit="paragraph"`` — C4's own granularity is the
+    three-sentence span) occurring anywhere else in the corpus survives
+    only at its first occurrence — the standard boilerplate killer
+    (nav bars, cookie banners, license footers) that document-level
+    dedup cannot see.
 
     First occurrence = smallest (doc id, line position), so the result
     is deterministic and engine-independent. Lines shorter than
@@ -464,9 +469,12 @@ def dedup_lines(
     exploded line set — linear in corpus size, and AQE coalesces the
     post-explode partitioning.
     """
+    if unit not in _DEDUP_UNITS:
+        raise ValueError(f"unit must be one of {sorted(_DEDUP_UNITS)}, got {unit!r}")
+    split_pat, joiner = _DEDUP_UNITS[unit]
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = (
-        df.select(F.col(id_col), F.posexplode(F.split(t, "\n")).alias("__idx", "__line"))
+        df.select(F.col(id_col), F.posexplode(F.split(t, split_pat)).alias("__idx", "__line"))
         .withColumn("__norm", F.trim(F.lower(F.col("__line"))))
         .withColumn("__eligible", F.length("__norm") >= min_chars)
         .withColumn("__key", F.md5(F.col("__norm")))
@@ -497,7 +505,7 @@ def dedup_lines(
                 ),
                 lambda s: s["__line"],
             ),
-            "\n",
+            joiner,
         ).alias("__new_text"),
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("long").alias(
             "n_lines_dropped"

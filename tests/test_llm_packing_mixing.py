@@ -438,3 +438,25 @@ def test_temperature_fractions_sharp_t_web_scale():
     f = temperature_fractions({"web": 10**12, "tiny": 10}, temperature=0.01)
     assert f["web"] == 1.0
     assert f["tiny"] == 0.0  # underflows to zero keep rate, not NaN/crash
+
+
+def test_dedup_paragraph_unit(spark):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    boiler = "copyright notice all rights reserved worldwide"
+    df = spark.createDataFrame(
+        [
+            (1, f"first doc opening paragraph text\n\n{boiler}"),
+            (2, f"{boiler}\n\nsecond doc body paragraph goes here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_lines(df, unit="paragraph").collect()
+    }
+    assert boiler in out[1]["text"]
+    assert boiler not in out[2]["text"]
+    assert out[2]["text"] == "second doc body paragraph goes here"
+    assert out[2]["n_lines_dropped"] == 1
+    with pytest.raises(ValueError, match="unit"):
+        dedup_lines(df, unit="sentence")
