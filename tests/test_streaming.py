@@ -143,3 +143,63 @@ def test_stream_stream_join_matches_batch(spark):
     assert len(g) == len(b) > 0
     assert (g["click_id"].to_numpy() == b["click_id"].to_numpy()).all()
     assert (g["purchase_value"].to_numpy() == b["purchase_value"].to_numpy()).all()
+
+
+def test_streaming_corpus_intake_filter_then_dedup(spark, tmp_path):
+    """End-to-end streaming intake: Gopher repetition filter (stateless
+    row expressions — stream-safe by construction) feeding the stateful
+    exact dedup. Result must equal the batch twin: filter, then first
+    doc per fingerprint."""
+    import os
+    from pyspark.sql import types as T
+    from quantlab_data_pipeline_spark.llm import with_gopher_keep
+    from quantlab_data_pipeline_spark.llm.dedup import exact_dedup
+    from quantlab_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+
+    clean_a = (
+        "The committee reviewed the proposal in detail and found the "
+        "analysis convincing on every point raised by members present."
+    )
+    clean_b = (
+        "A different wholly original document about distributed query "
+        "engines and the planning of large analytical workloads today."
+    )
+    spammy = "buy now best price\n" * 15
+    docs_schema = "doc_id long, text string"
+    batch1 = [(1, clean_a), (2, spammy), (3, clean_a)]
+    batch2 = [(4, clean_b), (5, spammy), (6, clean_a.upper())]
+    d = tmp_path / "intake_src"
+    os.makedirs(d)
+    spark.createDataFrame(batch1, docs_schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, docs_schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(docs_schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    filtered = with_gopher_keep(src).filter("gopher_keep").select("doc_id", "text")
+    q = (
+        streaming_exact_dedup(filtered)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("intake_stream")
+        .option("checkpointLocation", str(tmp_path / "intake_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM intake_stream").toPandas()
+
+    all_docs = spark.createDataFrame(batch1 + batch2, docs_schema)
+    batch_twin = exact_dedup(
+        with_gopher_keep(all_docs).filter("gopher_keep").select("doc_id", "text")
+    ).toPandas()
+    assert set(got["doc_id"]) == set(batch_twin["keeper_id"])
+    # spam never reaches the state store; case-folded dup of doc 1 drops
+    assert set(got["doc_id"]) == {1, 4}
