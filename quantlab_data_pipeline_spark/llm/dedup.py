@@ -472,6 +472,15 @@ def dedup_lines(
     if unit not in _DEDUP_UNITS:
         raise ValueError(f"unit must be one of {sorted(_DEDUP_UNITS)}, got {unit!r}")
     split_pat, joiner = _DEDUP_UNITS[unit]
+    # A null id can neither win a first-occurrence nor survive the
+    # reassembly equi-join (null != null) — without this split such
+    # rows would silently vanish. They pass through untouched instead;
+    # ids are otherwise assumed unique (two docs sharing an id would
+    # have their lines merged into one reassembled text).
+    null_ids = df.filter(F.col(id_col).isNull()).withColumn(
+        "n_lines_dropped", F.lit(0).cast("long")
+    )
+    df = df.filter(F.col(id_col).isNotNull())
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = (
         df.select(F.col(id_col), F.posexplode(F.split(t, split_pat)).alias("__idx", "__line"))
@@ -512,9 +521,10 @@ def dedup_lines(
         ),
     )
     others = [c for c in df.columns if c != text_col]
-    return (
+    deduped = (
         df.select(*others)
         .join(rebuilt, id_col)
         .withColumnRenamed("__new_text", text_col)
         .select(*df.columns, "n_lines_dropped")
     )
+    return deduped.unionByName(null_ids.select(*df.columns, "n_lines_dropped"))

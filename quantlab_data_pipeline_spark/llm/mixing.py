@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import hash_uniform
+
 
 def temperature_fractions(
     sizes: dict[str, int], temperature: float = 1.0
@@ -79,22 +81,24 @@ def sample_by_domain(
     The fraction lookup compiles to a CASE expression — broadcast-free,
     shuffle-free, and Catalyst pushes the resulting filter into the
     scan when the domain column is a partition or stats column.
+
+    Null handling: a null *id* cannot be hashed, so its row is kept
+    whenever its domain keeps anything (fraction > 0) — losing data
+    because an id is missing would be the worse surprise. A null
+    *domain* gets ``default_fraction`` (null keys are rejected in
+    ``fractions`` — the CASE equality could never match one).
     """
     for d, f in fractions.items():
+        if d is None:
+            raise ValueError(
+                "fractions cannot have a null domain key (a CASE equality "
+                "never matches null); null-domain rows get default_fraction"
+            )
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {d!r} must be in [0,1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**8))
-    )
+    u = F.coalesce(hash_uniform(id_col, salt), F.lit(0.0))
     frac = F.lit(float(default_fraction))
     for d, f in sorted(fractions.items()):
         frac = F.when(F.col(domain_col) == F.lit(d), F.lit(float(f))).otherwise(frac)
@@ -110,10 +114,13 @@ def mix_corpus(
 ) -> DataFrame:
     """One-call recipe: count domains (one map-side-combined agg — the
     only job that touches the data before the filter), derive
-    temperature fractions, and return the deterministic sample."""
+    temperature fractions, and return the deterministic sample.
+    Null-domain rows are excluded from the mixture math and dropped
+    (``sample_by_domain`` CASE equality cannot match null)."""
     sizes = {
         r[domain_col]: r["n"]
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+        if r[domain_col] is not None
     }
     return sample_by_domain(
         df,

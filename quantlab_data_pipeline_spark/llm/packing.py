@@ -158,6 +158,7 @@ def pack_documents(
     text_col: str = "text",
     token_col: str | None = None,
     partitions: int | None = None,
+    max_open: int = 4096,
 ) -> DataFrame:
     """Greedy first-fit packing: whole documents into packs of at most
     ``max_tokens`` tokens; no document is split across packs.
@@ -168,9 +169,12 @@ def pack_documents(
     gets a singleton pack and the dataloader truncates).
 
     Scale shape: documents are hash-distributed, then each partition
-    packs its own documents sequentially (first-fit over open bins,
-    sorted descending by size first — first-fit-decreasing is the
-    standard quality/speed tradeoff). Pack ids are
+    packs its own documents sequentially — best-fit-decreasing over a
+    bisect-sorted open-bin list, so each placement is O(log open bins),
+    and the open-bin list is capped at ``max_open`` (the tightest bins
+    close first) so the adversarial case — every doc just over half the
+    budget, where no bin ever fits another doc — stays linear instead
+    of scanning an ever-growing bin list per doc. Pack ids are
     ``partition_id * 2^40 + local_index`` so ids never collide without
     any global coordination. Fill efficiency is within a percent of a
     global pack at realistic doc-length distributions, which is why
@@ -188,35 +192,41 @@ def pack_documents(
     schema = f"`{id_col}` {dict(base.dtypes)[id_col]}, n_tokens long, pack_id long, pack_pos int, oversize boolean"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         pid = int(pdf["__pid"].iloc[0])
-        # First-fit-decreasing; stable id tie-break keeps reruns identical.
+        # Best-fit-decreasing; stable id tie-break keeps reruns identical.
         pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per open bin
-        counts: list[int] = []  # docs per bin
+        open_caps: list[tuple[int, int]] = []  # sorted (capacity, bin idx)
+        counts: dict[int, int] = {}
+        next_bin = 0
         out_pack, out_pos, out_over = [], [], []
         for t in pdf["n_tokens"]:
             t = int(t)
             if t > max_tokens:
-                bins.append(0)
-                counts.append(1)
-                out_pack.append(len(bins) - 1)
+                # oversize: singleton pack, never joins the open list
+                out_pack.append(next_bin)
                 out_pos.append(0)
                 out_over.append(True)
+                next_bin += 1
                 continue
-            for i, cap in enumerate(bins):
-                if cap >= t:
-                    out_pack.append(i)
-                    out_pos.append(counts[i])
-                    out_over.append(False)
-                    bins[i] = cap - t
-                    counts[i] += 1
-                    break
+            # tightest bin that still fits (ties -> lowest bin idx)
+            i = bisect.bisect_left(open_caps, (t, -1))
+            if i < len(open_caps):
+                cap, bidx = open_caps.pop(i)
+                out_pos.append(counts[bidx])
+                counts[bidx] += 1
+                bisect.insort(open_caps, (cap - t, bidx))
             else:
-                bins.append(max_tokens - t)
-                counts.append(1)
-                out_pack.append(len(bins) - 1)
+                bidx = next_bin
+                next_bin += 1
+                counts[bidx] = 1
                 out_pos.append(0)
-                out_over.append(False)
+                bisect.insort(open_caps, (max_tokens - t, bidx))
+                if len(open_caps) > max_open:
+                    open_caps.pop(0)  # close the tightest bin for good
+            out_pack.append(bidx)
+            out_over.append(False)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].values,

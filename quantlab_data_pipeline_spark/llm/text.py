@@ -148,7 +148,8 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       earlier line;
     * ``dup_line_char_frac`` — fraction of characters sitting in those
       duplicate lines;
-    * ``dup_para_frac`` — same over blank-line-separated paragraphs;
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — same over
+      blank-line-separated paragraphs;
     * ``top_2gram_char_frac`` — fraction of characters covered by the
       single most frequent word 2-gram;
     * ``dup_5gram_char_frac`` — fraction of characters in word 5-grams
@@ -158,9 +159,11 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     no shuffle, no Python, no UDF: the whole block evaluates JVM-side
     directly over the scan, so at 100 TB it is a pure map stage. The
     n-gram fractions use the token-character approximation (gram chars /
-    total word chars), standard for doc-level scoring.
+    total word chars), standard for doc-level scoring. Null text scores
+    zero everywhere (no repetition), not null — a null stat would make
+    ``gopher_keep`` null and a ``filter`` would silently drop the doc.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
 
     # Performance shape: Catalyst inlines column expressions verbatim at
     # every reference — including references INSIDE lambda bodies, where
@@ -194,7 +197,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         return frac, char_frac
 
     line_frac, line_char_frac = dup_fracs(F.split(t, "\n"))
-    para_frac, _ = dup_fracs(F.split(t, "\n\\s*\n"))
+    para_frac, para_char_frac = dup_fracs(F.split(t, "\n\\s*\n"))
 
     gs2 = _gram_run_stats(t, 2)
     gs5 = _gram_run_stats(t, 5)
@@ -207,6 +210,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_line_frac": line_frac,
             "dup_line_char_frac": line_char_frac,
             "dup_para_frac": para_frac,
+            "dup_para_char_frac": para_char_frac,
             "top_2gram_char_frac": frac(gs2["best_cov"], gs2["total"]),
             "dup_5gram_char_frac": frac(gs5["dup"], gs5["total"]),
         }
@@ -234,18 +238,20 @@ def _gram_run_stats(text_col: Column, k: int) -> Column:
     inlines the expression at each reference site.
     """
     grams = F.array_sort(word_grams(text_col, k))
+    # Character accumulators are long: gram chars are ~k x document
+    # chars, and a near-2GB document would wrap a 32-bit total silently.
     init = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best_cnt"),
-        F.lit(0).alias("best_cov"),
-        F.lit(0).alias("dup"),
-        F.lit(0).alias("total"),
+        F.lit(0).cast("long").alias("best_cov"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("total"),
     )
 
     def close_run(s: Column) -> tuple[Column, Column, Column]:
         """best_cnt/best_cov/dup after closing the in-flight run."""
-        runchars = s["run"] * F.length(s["prev"])
+        runchars = s["run"].cast("long") * F.length(s["prev"])
         closes = s["run"] > 1
         better = closes & (
             (s["run"] > s["best_cnt"])
@@ -266,7 +272,7 @@ def _gram_run_stats(text_col: Column, k: int) -> Column:
             F.when(same, s["best_cnt"]).otherwise(bc).alias("best_cnt"),
             F.when(same, s["best_cov"]).otherwise(bv).alias("best_cov"),
             F.when(same, s["dup"]).otherwise(dp).alias("dup"),
-            (s["total"] + F.length(g)).alias("total"),
+            (s["total"] + F.length(g).cast("long")).alias("total"),
         )
 
     def finish(s: Column) -> Column:
@@ -286,8 +292,10 @@ GOPHER_THRESHOLDS = {
     "dup_line_frac": 0.30,
     "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
-    "dup_5gram_char_frac": 0.10,
+    # 0.15 is the paper's 5-gram value (0.10 is its 10-gram threshold)
+    "dup_5gram_char_frac": 0.15,
 }
 
 
@@ -350,6 +358,27 @@ def top_ngrams(
     )
 
 
+def hash_uniform(id_col: str | Column, salt: str) -> Column:
+    """Uniform [0,1) draw from the first 8 hex chars of
+    md5(salt || id) — deterministic across runs, partitionings, AND
+    engines (md5 of the same string is universal, unlike xxhash64 /
+    rand seeds). The single source of the hash-sampling decision:
+    :func:`deterministic_split` and ``mixing.sample_by_domain`` both
+    use it, so their reproducibility guarantees cannot drift apart.
+    A null id hashes to null — callers must decide what a null draw
+    means for them.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -373,10 +402,7 @@ def deterministic_split(
     # on dict ordering.
     items = sorted(weights.items())
     total = sum(weights.values())
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
-        .cast("double") / F.lit(float(16**8))
-    )
+    u = hash_uniform(id_col, salt)
     # A null id hashes to null; every comparison below is then null and
     # the row must get a null split — NOT silently land in the final
     # (often eval) split.

@@ -9,12 +9,16 @@ rewrites a parquet dataset into ~``target_mb``-sized files — sized from
 the dataset's real on-disk bytes, not a guessed partition count — with
 optional range-clustering so footer min/max stats stay selective.
 
-The rewrite is atomic at directory level: new files land in a
-temporary sibling, the old directory is swapped out only after the
-write succeeds, and readers referencing the path never observe a
-half-written dataset (rename is atomic on a POSIX filesystem; on an
-object store the same routine would target a manifest/catalog swap
-instead).
+Crash-safety model: new files land in a temporary sibling and the
+original directory is only touched after the rewrite fully succeeds,
+so a failure during the (expensive) write leaves the dataset exactly
+as it was. The swap itself is two renames — NOT atomic: a crash
+between them leaves the data under ``<name>.__compact_old`` (recover
+by renaming back), and a concurrent scan that listed files before the
+swap can fail mid-read. Run compaction as the dataset's only writer
+with readers drained — the normal discipline for a maintenance window.
+(On an object store or lakehouse table the same routine would target
+an atomic manifest/catalog swap instead.)
 """
 
 from __future__ import annotations
@@ -59,8 +63,9 @@ def compact_table(
     definition of compaction — with the output width chosen from
     measured input bytes (compressed), never a fixed partition count
     that would produce shards 100x too big at 100 TB or too small at
-    test scale. The swap is rename-based, so a crash mid-write leaves
-    the original dataset untouched.
+    test scale. A crash during the write leaves the original dataset
+    untouched; see the module docstring for the (non-atomic) swap's
+    crash-recovery and single-writer requirements.
     """
     if target_mb <= 0:
         raise ValueError(f"target_mb must be positive, got {target_mb}")

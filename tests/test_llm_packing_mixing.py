@@ -460,3 +460,86 @@ def test_dedup_paragraph_unit(spark):
     assert out[2]["n_lines_dropped"] == 1
     with pytest.raises(ValueError, match="unit"):
         dedup_lines(df, unit="sentence")
+
+
+# ------------------------------------------------- review-fix guards
+
+
+def test_mix_corpus_null_domain_rows_drop_cleanly(spark):
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, None), (4, "books")],
+        "doc_id long, source string",
+    )
+    out = mix_corpus(df, temperature=1.0).collect()  # must not TypeError
+    assert {r["doc_id"] for r in out} == {1, 2, 4}
+    with pytest.raises(ValueError, match="null domain"):
+        sample_by_domain(df, {None: 0.5})
+
+
+def test_sample_by_domain_null_id_kept_when_domain_sampled(spark):
+    df = spark.createDataFrame(
+        [(1, "web"), (None, "web"), (None, "books")],
+        "doc_id long, source string",
+    )
+    kept = sample_by_domain(df, {"web": 1.0, "books": 0.0}).collect()
+    # null-id row in a sampling domain survives; books (fraction 0) drops
+    assert sum(r["doc_id"] is None for r in kept) == 1
+    assert all(r["source"] == "web" for r in kept)
+
+
+def test_repetition_stats_null_text_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "regular words that are long enough here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_gopher_keep(df).collect()}
+    assert out[1]["gopher_keep"] is True  # not null, not dropped
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_para_char_frac"] == 0.0
+
+
+def test_dedup_lines_null_id_passes_through(spark):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a perfectly normal document line"), (None, "another normal line kept")],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(df).collect()
+    assert len(out) == 2
+    null_row = next(r for r in out if r["doc_id"] is None)
+    assert null_row["text"] == "another normal line kept"
+    assert null_row["n_lines_dropped"] == 0
+
+
+def test_pack_documents_adversarial_half_budget_is_linear(spark):
+    # every doc just over half the budget: nothing ever fits an open
+    # bin. The unbounded first-fit scan was O(n^2) per partition; the
+    # capped best-fit list must stay flat. 30k docs in ONE partition
+    # would take minutes under the quadratic scan.
+    df = (
+        spark.range(30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", F.lit(40).cast("long"))
+    )
+    out = pack_documents(
+        df, max_tokens=64, token_col="n_tokens", partitions=1
+    )
+    rows = out.collect()
+    assert len(rows) == 30_000
+    assert len({r["pack_id"] for r in rows}) == 30_000  # singleton packs
+    assert not any(r["oversize"] for r in rows)
+
+
+def test_gopher_paragraph_char_filter_applies(spark):
+    # few but very LONG duplicated paragraphs: count fraction stays
+    # under 0.30 while the char fraction exceeds 0.20 -> must reject
+    long_para = "x" * 400
+    text = "\n\n".join(
+        [long_para, long_para] + [f"short unique paragraph {i}" for i in range(5)]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_gopher_keep(df).collect()[0]
+    assert r["dup_para_frac"] < 0.30
+    assert r["dup_para_char_frac"] > 0.20
+    assert r["gopher_keep"] is False
