@@ -97,6 +97,36 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — one per band per signature.
+
+    The shared banding step behind batch LSH (:func:`lsh_candidate_pairs`
+    self-join) and the streaming bucket store
+    (``streaming.dedup.streaming_minhash_candidates``): documents whose
+    signatures agree on a whole band land in the same (band_idx,
+    band_hash) bucket. Pure expressions — stream-safe. Callers validate
+    that ``bands`` divides the signature length.
+    """
+    sig_len = F.size("signature")
+    band_size = (sig_len / bands).cast("int")
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.slice(F.col("signature"), b * band_size + 1, band_size)
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    return signatures.select(F.col(id_col), band.alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -126,22 +156,7 @@ def lsh_candidate_pairs(
             f"bands={bands} must divide the signature length {n} "
             "(use choose_bands to pick a valid structure)"
         )
-    sig_len = F.size("signature")
-    band_size = (sig_len / bands).cast("int")
-    band = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_idx"),
-                F.xxhash64(
-                    F.slice(F.col("signature"), b * band_size + 1, band_size)
-                ).alias("band_hash"),
-            ),
-        )
-    )
-    buckets = signatures.select(F.col(id_col), band.alias("b")).select(
-        id_col, "b.band_idx", "b.band_hash"
-    )
+    buckets = band_buckets(signatures, id_col, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -95,3 +95,89 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ streaming near-dup
+
+# Output: each later arrival into an occupied LSH bucket, linked to the
+# bucket's first-seen keeper (the star-shaped candidate set — enough for
+# dedup, where transitivity runs through the keeper).
+NEARDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("keeper_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+
+# State per (band_idx, band_hash) bucket: just the keeper id.
+NEARDUP_STATE_SCHEMA = T.StructType([T.StructField("keeper_id", T.LongType())])
+
+
+def _bucket_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band_idx, band_hash = key
+    (keeper,) = state.get if state.exists else (None,)
+    out_rows: list[dict[str, Any]] = []
+    for pdf in batches:
+        for doc_id in sorted(int(x) for x in pdf["doc_id"]):
+            if keeper is None:
+                keeper = doc_id
+            elif doc_id != keeper:
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "keeper_id": keeper,
+                        "band_idx": band_idx,
+                        "band_hash": band_hash,
+                    }
+                )
+    state.update((keeper,))
+    yield pd.DataFrame(
+        out_rows, columns=["doc_id", "keeper_id", "band_idx", "band_hash"]
+    )
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Online near-duplicate candidates: MinHash + banded LSH over a
+    document stream.
+
+    The signature and band expressions are the *same* stateless
+    expressions as the batch path (``llm.dedup.minhash_signatures`` /
+    ``band_buckets``); only the bucket occupancy is stateful —
+    ``applyInPandasWithState`` keyed on (band_idx, band_hash) stores one
+    keeper id per bucket, and every later arrival into an occupied
+    bucket emits a (doc, keeper) candidate immediately. State volume is
+    one long per occupied bucket, partitioned by the band key across
+    the cluster's state store — the always-on twin of the batch
+    self-join, with the same recall structure (a pair surfaces iff some
+    whole band matches). Exact-score candidates downstream (batch
+    ``ngram_jaccard_pairs`` or the signature estimate) before dropping.
+    """
+    if bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    from ..llm.dedup import band_buckets, minhash_signatures
+
+    sigs = minhash_signatures(
+        docs, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    buckets = band_buckets(sigs, "doc_id", bands)
+    return buckets.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _bucket_fn,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -203,3 +203,66 @@ def test_streaming_corpus_intake_filter_then_dedup(spark, tmp_path):
     assert set(got["doc_id"]) == set(batch_twin["keeper_id"])
     # spam never reaches the state store; case-folded dup of doc 1 drops
     assert set(got["doc_id"]) == {1, 4}
+
+
+def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
+    """Streamed LSH bucket candidates must be a subset of the batch
+    band self-join's pairs, and must surface the known near-dups
+    across micro-batches (keeper = first-seen doc)."""
+    import os
+    from pyspark.sql import types as T
+    from quantlab_data_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from quantlab_data_pipeline_spark.streaming.dedup import (
+        streaming_minhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    docs_schema = "doc_id long, text string"
+    batch1 = [(1, base), (3, "completely different content about spark engines")]
+    batch2 = [(2, base), (4, base.replace("runs", "walks"))]
+    d = tmp_path / "neardup_src"
+    os.makedirs(d)
+    spark.createDataFrame(batch1, docs_schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, docs_schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(docs_schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        streaming_minhash_candidates(src, bands=32)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_stream")
+        .option("checkpointLocation", str(tmp_path / "neardup_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (min(r["doc_id"], r["keeper_id"]), max(r["doc_id"], r["keeper_id"]))
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    }
+
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(
+                spark.createDataFrame(batch1 + batch2, docs_schema)
+            ),
+            bands=32,
+        ).collect()
+    }
+    assert got <= batch_pairs  # streaming never invents a candidate
+    assert (1, 2) in got  # exact dup across batches links to keeper 1
+    assert (1, 4) in got  # near dup shares at least one band bucket
+    assert all(3 not in p for p in got)  # unrelated doc never flagged
