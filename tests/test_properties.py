@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 SETTINGS = settings(
@@ -292,3 +293,89 @@ def test_derive_ibes_coverage_matches_python_islands(spark, rows):
             expect.append((t, c, base + dt.timedelta(days=d), end))
     expect.sort(key=lambda x: (x[0], x[2]))
     assert got == expect
+
+
+# ---------------------------------------------- gram run-length stats
+
+
+@st.composite
+def word_docs(draw):
+    """Docs from a tiny vocabulary so gram repeats actually occur."""
+    vocab = ["aa", "bb", "cc", "dd"]
+    n = draw(st.integers(0, 18))
+    return " ".join(draw(st.sampled_from(vocab)) for _ in range(n))
+
+
+def _python_gram_stats(text: str, k: int):
+    """Oracle: the per-distinct-gram counting the run-length pass replaces."""
+    from collections import Counter
+
+    words = [w for w in text.lower().split() if w]
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    counts = Counter(grams)
+    total = sum(len(g) * c for g, c in counts.items())
+    dup = sum(len(g) * c for g, c in counts.items() if c > 1)
+    best_cov = 0
+    if counts:
+        mx = max(counts.values())
+        if mx > 1:
+            best_cov = max(len(g) * c for g, c in counts.items() if c == mx)
+    return best_cov, dup, total
+
+
+@given(st.lists(word_docs(), min_size=1, max_size=6), st.sampled_from([2, 3]))
+@SETTINGS
+def test_gram_run_stats_match_python_counter(spark, docs, k):
+    from quantlab_data_pipeline_spark.llm.text import _gram_run_stats
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", _gram_run_stats(F.col("text"), k).alias("s")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        best_cov, dup, total = _python_gram_stats(d, k)
+        s = got[i]
+        assert s["best_cov"] == best_cov, (d, k)
+        assert s["dup"] == dup, (d, k)
+        assert s["total"] == total, (d, k)
+
+
+@st.composite
+def token_sizes(draw):
+    n = draw(st.integers(1, 60))
+    return [draw(st.integers(1, 120)) for _ in range(n)]
+
+
+@given(token_sizes(), st.sampled_from([64, 100]))
+@SETTINGS
+def test_pack_documents_invariants(spark, sizes, budget):
+    from quantlab_data_pipeline_spark.llm import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = pack_documents(
+        df, budget, token_col="n_tokens", partitions=2
+    ).collect()
+    assert len(rows) == len(sizes)  # every doc packed exactly once
+    fills: dict[int, int] = {}
+    positions: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["oversize"] == (r["n_tokens"] > budget)
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+        positions.setdefault(r["pack_id"], []).append(r["pack_pos"])
+    for pid, fill in fills.items():
+        members = positions[pid]
+        oversize_pack = any(
+            r["oversize"] for r in rows if r["pack_id"] == pid
+        )
+        if oversize_pack:
+            assert len(members) == 1  # oversize docs stay singletons
+        else:
+            assert fill <= budget
+        assert sorted(members) == list(range(len(members)))
