@@ -1,0 +1,122 @@
+"""Persistent IVF index: build once, query many — the production shape
+of ANN search (the in-session :func:`.similarity.ivf_topk` re-trains
+and re-assigns per call, fine for exploration, wasteful for a serving
+corpus).
+
+The index is two parquet datasets:
+
+* ``centroids/`` — n_lists rows (centroid_id, centroid vector);
+* ``assignments/`` — one row per corpus vector (id, unit vector),
+  **hive-partitioned by centroid_id**.
+
+Partitioning by list id is the point: a query batch probing ``nprobe``
+of ``n_lists`` lists compiles to a partition-pruned scan — Spark reads
+only the probed lists' directories (visible as ``PartitionFilters`` in
+the plan), so query cost scales with nprobe/n_lists of the corpus
+bytes, exactly the IVF contract, with zero custom index format.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import ivf_assign, train_centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str | Path,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train coarse centroids, assign every vector to its nearest list,
+    and persist both as the queryable index. Returns a build report.
+
+    Scale shape: training collects only a driver-scale sample
+    (:func:`.similarity.train_centroids`); assignment is one broadcast
+    of the tiny centroid table against the corpus; the write shuffles
+    once on centroid_id so each list lands contiguous in its own
+    partition directory.
+    """
+    path = Path(path)
+    centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(str(path / "centroids"))
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1)
+    # one shuffle on the list id -> each partition dir holds one list
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(str(path / "assignments"))
+    n = assigned.count()
+    return {"n_lists": len(centroids), "n_vectors": n, "path": str(path)}
+
+
+def load_centroids(spark: SparkSession, path: str | Path) -> list[list[float]]:
+    rows = (
+        spark.read.parquet(str(Path(path) / "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def query_ivf_index(
+    queries: DataFrame,
+    path: str | Path,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors from a persisted index.
+
+    Each query vector probes its ``nprobe`` nearest lists; the
+    assignments scan is filtered to the union of probed list ids — a
+    partition-pruning predicate, so unprobed lists are never read off
+    disk. Results are identical to :func:`.similarity.ivf_topk` run
+    with the same centroids.
+    """
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    centroids = load_centroids(spark, path)
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        "centroid_id",
+        F.col("unit_vec").alias("q_vec"),
+    )
+    # The probed set is at most n_lists ints — driver-side is free, and
+    # turning it into an isin() literal is what makes the scan prunable.
+    probe_ids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    idx = (
+        spark.read.parquet(str(Path(path) / "assignments"))
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "centroid_id",
+            F.col("unit_vec").alias("c_vec"),
+        )
+    )
+    from .similarity import dot
+
+    scored = (
+        probes.join(idx, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -479,3 +479,32 @@ def test_deterministic_split_null_id_and_order_independence(spark):
     b = {r["doc_id"]: r["split"] for r in deterministic_split(
         df, weights={"val": 0.1, "train": 0.9}).collect()}
     assert a == b
+
+
+def test_ivf_index_build_query_and_pruning(spark, tmp_path):
+    """Persisted IVF index: query results must equal in-session ivf_topk
+    with the same centroids, and the assignments scan must carry a
+    partition filter on centroid_id (unprobed lists never read)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        build_ivf_index,
+        load_centroids,
+        query_ivf_index,
+    )
+    from quantlab_data_pipeline_spark.llm.similarity import ivf_topk
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    report = build_ivf_index(emb, tmp_path / "ivf", n_lists=8)
+    assert report["n_lists"] == 8
+    assert report["n_vectors"] == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = query_ivf_index(queries, tmp_path / "ivf", k=5, nprobe=3)
+    cents = load_centroids(spark, tmp_path / "ivf")
+    want = ivf_topk(queries, emb, centroids=cents, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan.replace("\n", " ") or (
+        "centroid_id IN" in plan
+    )
