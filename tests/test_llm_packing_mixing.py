@@ -543,3 +543,51 @@ def test_gopher_paragraph_char_filter_applies(spark):
     assert r["dup_para_frac"] < 0.30
     assert r["dup_para_char_frac"] > 0.20
     assert r["gopher_keep"] is False
+
+
+def test_full_corpus_pass_end_to_end(spark):
+    """The README pipeline, end to end on the sf0.001 documents table:
+    exact dedup -> line dedup -> Gopher filter -> decontaminate ->
+    mix -> shuffle -> pack. Asserts row accounting at every stage and
+    that the final packing covers exactly the surviving docs."""
+    from quantlab_data_pipeline_spark.llm import (
+        dedup_lines,
+        decontaminate,
+        exact_dedup,
+        mix_corpus,
+        pack_documents,
+        shuffle_rows,
+        with_gopher_keep,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n0 = docs.count()
+    assert n0 > 0
+
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    docs1 = docs.join(keepers, "doc_id", "left_semi")
+    n1 = docs1.count()
+    assert 0 < n1 <= n0
+
+    docs2 = dedup_lines(docs1.select("doc_id", "text", "source"))
+    assert docs2.count() == n1  # line dedup never drops documents
+
+    docs3 = with_gopher_keep(docs2).filter("gopher_keep")
+    n3 = docs3.count()
+    assert 0 < n3 <= n1
+
+    eval_df = docs3.limit(3).select("doc_id", "text")  # worst case: in-corpus
+    docs4 = decontaminate(docs3, eval_df).filter("NOT contaminated")
+    n4 = docs4.count()
+    assert n4 <= n3 - 3  # the planted eval docs must flag themselves
+
+    docs5 = mix_corpus(docs4, temperature=2.0)
+    n5 = docs5.count()
+    assert 0 < n5 <= n4
+
+    packed = pack_documents(shuffle_rows(docs5), max_tokens=1024)
+    assert packed.count() == n5  # every surviving doc packed exactly once
+    assert packed.select("doc_id").distinct().count() == n5
