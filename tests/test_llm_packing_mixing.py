@@ -591,3 +591,51 @@ def test_full_corpus_pass_end_to_end(spark):
     packed = pack_documents(shuffle_rows(docs5), max_tokens=1024)
     assert packed.count() == n5  # every surviving doc packed exactly once
     assert packed.select("doc_id").distinct().count() == n5
+
+
+def test_repetition_line_stats_match_duckdb(spark):
+    """Cross-engine oracle for the line/paragraph repetition stats:
+    DuckDB computes the same duplicate-line fractions over the sf0.001
+    documents table (same discipline as the registry's oracle gate,
+    for an op that lives outside the 50-row driver window)."""
+    import duckdb
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in with_repetition_stats(docs).collect()
+    }
+    exp = {
+        row[0]: (row[1], row[2])
+        for row in duckdb.sql(f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       trim(unnest(string_split(coalesce(text, ''), chr(10)))) AS line
+                FROM '{docs_path}'
+            ), cleaned AS (
+                SELECT doc_id, line FROM lines WHERE length(line) > 0
+            ), per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n,
+                       count(DISTINCT line) AS nd,
+                       sum(length(line)) AS total_chars
+                FROM cleaned GROUP BY doc_id
+            ), dist AS (
+                SELECT doc_id, sum(length(line)) AS distinct_chars
+                FROM (SELECT DISTINCT doc_id, line FROM cleaned) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round((p.n - p.nd) / greatest(p.n, 1), 6) AS dup_line_frac,
+                   round((p.total_chars - i.distinct_chars)
+                         / greatest(p.total_chars, 1), 6) AS dup_line_char_frac
+            FROM '{docs_path}' d
+            LEFT JOIN per_doc p USING (doc_id)
+            LEFT JOIN dist i USING (doc_id)
+        """).fetchall()
+    }
+    # docs with no non-empty lines: Spark yields 0.0, DuckDB NULL rows
+    exp = {k: (v[0] or 0.0, v[1] or 0.0) for k, v in exp.items()}
+    assert got == exp
