@@ -508,3 +508,80 @@ def test_ivf_index_build_query_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [centroid_id" in plan.replace("\n", " ") or (
         "centroid_id IN" in plan
     )
+
+
+def test_pq_encode_compression_and_determinism(spark):
+    """Codes are m small ints per vector (32x smaller than 64 floats),
+    and encoding is deterministic."""
+    from quantlab_data_pipeline_spark.llm import pq_encode, train_pq_codebooks
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=64)
+    assert len(books) == 8 and all(len(b) <= 64 for b in books)
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 64 for r in rows for c in r["codes"])
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert {r["vec_id"]: list(r["codes"]) for r in rows} == again
+
+
+def test_pq_topk_recall_and_rerank(spark):
+    """ADC top-k must recall most exact top-5 neighbors; with exact
+    re-ranking the surviving candidates' scores equal the true cosine."""
+    from quantlab_data_pipeline_spark.llm import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=64)
+    codes = pq_encode(emb, books).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    exact = brute_force_topk(queries, emb, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    got = pq_topk(queries, codes, books, k=5, rerank_from=emb, rerank_factor=8)
+    got_rows = got.collect()
+    got_sets = {}
+    scores = {}
+    for r in got_rows:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        scores[(r["query_id"], r["neighbor_id"])] = r["score"]
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+    # re-ranked scores are the TRUE cosine for those pairs
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()
+    }
+    shared = set(scores) & set(exact_scores)
+    assert shared
+    assert all(abs(scores[p] - exact_scores[p]) < 1e-9 for p in shared)
+
+
+def test_pq_adc_plan_is_native(spark):
+    """The ADC scoring stage must be Catalyst expressions over the code
+    arrays — no Python evaluation in the scan-side plan."""
+    from quantlab_data_pipeline_spark.llm import pq_encode, pq_topk, train_pq_codebooks
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    # materialize codes so the scoring plan contains no mapInPandas
+    codes = spark.createDataFrame(codes.collect(), codes.schema)
+    out = pq_topk(emb.limit(3), codes, books, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
