@@ -120,3 +120,149 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ------------------------------------------------------------ IVF-PQ
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str | Path,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The full production ANN layout — IVF partition pruning x PQ
+    column compression (FAISS's IVF-PQ, expressed as parquet layout):
+
+    * assignments are hive-partitioned by list id (query probes read
+      only nprobe/n_lists of the *directories*), and
+    * each row stores the m-byte PQ codes next to the unit vector, so
+      the ADC scan reads only the tiny (id, codes) columns — parquet
+      column pruning — while the exact re-rank fetches vectors for the
+      few surviving candidates only.
+    """
+    from .pq import pq_encode, train_pq_codebooks
+
+    path = Path(path)
+    spark = corpus.sparkSession
+    centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
+    books = train_pq_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(path / "centroids"))
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in vec])
+            for s, book in enumerate(books)
+            for c, vec in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(path / "codebooks"))
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    full = assigned.join(codes, id_col)
+    full.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(str(path / "assignments"))
+    return {
+        "n_lists": len(centroids),
+        "m": m,
+        "n_codes": max(len(b) for b in books),
+        "n_vectors": full.count(),
+        "path": str(path),
+    }
+
+
+def load_codebooks(spark: SparkSession, path: str | Path) -> list[list[list[float]]]:
+    rows = (
+        spark.read.parquet(str(Path(path) / "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books: dict[int, list[list[float]]] = {}
+    for r in rows:
+        books.setdefault(r["subspace"], []).append(list(r["centroid"]))
+    return [books[s] for s in sorted(books)]
+
+
+def query_ivf_pq_index(
+    queries: DataFrame,
+    path: str | Path,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN from the persisted IVF-PQ index: partition-pruned
+    scan of the probed lists' (id, codes) columns, ADC top
+    ``k * rerank_factor`` per query, then exact cosine re-rank reading
+    the stored unit vectors for the surviving candidates only."""
+    from pyspark.sql import Window
+
+    from .pq import adc_score, query_luts
+    from .similarity import dot
+    from .similarity import unit_vec as _unit
+
+    spark = queries.sparkSession
+    centroids = load_centroids(spark, path)
+    books = load_codebooks(spark, path)
+    m, n_codes = len(books), max(len(b) for b in books)
+
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    probe_ids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    assignments = spark.read.parquet(str(Path(path) / "assignments")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    lut_df = query_luts(queries, books, id_col, vec_col)
+    # stage 1: codes column only — probes restrict lists per query
+    scored = (
+        probes.join(
+            assignments.select(
+                F.col(id_col).alias("neighbor_id"), "centroid_id", "codes"
+            ),
+            "centroid_id",
+        )
+        .join(F.broadcast(lut_df), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(adc_score(m, n_codes), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact re-rank — vectors read for candidates only
+    exact = (
+        cands.join(
+            assignments.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("unit_vec").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), _unit(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("score", F.round(dot("qv", "cv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -121,6 +121,56 @@ def pq_encode(
     return base.mapInPandas(encode, f"`{id_col}` {id_type}, codes array<smallint>")
 
 
+def query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, lut) — each query's flat ADC lookup table (inner
+    product of its unit-normalized subvectors with every codebook
+    centroid), built driver-side: queries are the small side by
+    construction, and the LUT is what makes scoring a pure table
+    lookup."""
+    import numpy as np
+
+    m = len(codebooks)
+    n_codes = max(len(b) for b in codebooks)
+    centers = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = centers[0].shape[1]
+    spark = queries.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), unit_vec(vec_col).alias("qv")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r["qv"], dtype=np.float64)
+        lut = np.zeros(m * n_codes, dtype=np.float64)
+        for s in range(m):
+            sub = qv[s * dsub : (s + 1) * dsub]
+            lut[s * n_codes : s * n_codes + len(centers[s])] = centers[s] @ sub
+        lut_rows.append((r["query_id"], [float(x) for x in lut]))
+    return spark.createDataFrame(
+        lut_rows, f"query_id {dict(queries.dtypes)[id_col]}, lut array<double>"
+    )
+
+
+def adc_score(m: int, n_codes: int) -> F.Column:
+    """The ADC sum as a Catalyst expression: ``codes`` (array<smallint>)
+    and ``lut`` (flat array<double>) columns in scope -> estimated
+    inner product."""
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes").cast("array<int>"),
+            idx,
+            lambda c, s: F.element_at(F.col("lut"), s * n_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -142,39 +192,10 @@ def pq_topk(
     are re-scored exactly and the final ``k`` returned — the standard
     two-stage PQ serving shape.
     """
-    import numpy as np
-
     m = len(codebooks)
     n_codes = max(len(b) for b in codebooks)
-    centers = [np.array(b, dtype=np.float64) for b in codebooks]
-    dsub = centers[0].shape[1]
-    spark = queries.sparkSession
-
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), unit_vec(vec_col).alias("qv")
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = np.array(r["qv"], dtype=np.float64)
-        lut = np.zeros(m * n_codes, dtype=np.float64)
-        for s in range(m):
-            sub = qv[s * dsub : (s + 1) * dsub]
-            lut[s * n_codes : s * n_codes + len(centers[s])] = centers[s] @ sub
-        lut_rows.append((r["query_id"], [float(x) for x in lut]))
-    lut_df = spark.createDataFrame(
-        lut_rows, f"query_id {dict(queries.dtypes)[id_col]}, lut array<double>"
-    )
-
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes").cast("array<int>"),
-            idx,
-            lambda c, s: F.element_at(F.col("lut"), s * n_codes + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    lut_df = query_luts(queries, codebooks, id_col, vec_col)
+    adc = adc_score(m, n_codes)
     # Every query scans every code row — the flat-ADC baseline (that
     # scan reads m bytes/vector, which is the whole point); compose with
     # the IVF index's partition pruning for list-level candidate cuts.

@@ -585,3 +585,47 @@ def test_pq_adc_plan_is_native(spark):
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_index_two_stage_query(spark, tmp_path):
+    """IVF-PQ: partition-pruned code scan + exact re-rank. Recall vs
+    brute force must be solid at full-ish probe, and returned scores
+    are TRUE cosines (stage 2 is exact)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from quantlab_data_pipeline_spark.llm.similarity import brute_force_topk
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rep = build_ivf_pq_index(emb, tmp_path / "ivfpq", n_lists=8, m=8, n_codes=64)
+    assert rep["n_vectors"] == emb.count() and rep["m"] == 8
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = query_ivf_pq_index(
+        queries, tmp_path / "ivfpq", k=5, nprobe=8, rerank_factor=8
+    )
+    rows = got.collect()
+    exact = brute_force_topk(queries, emb, k=5)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()
+    }
+    got_sets: dict = {}
+    for r in rows:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_sets: dict = {}
+    for (q, n_), _ in exact_scores.items():
+        exact_sets.setdefault(q, set()).add(n_)
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    # full probe (nprobe = n_lists): only PQ candidate truncation left
+    assert hits / total >= 0.7, f"recall {hits}/{total}"
+    # every returned score is the true cosine for that pair
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+    plan = got._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
