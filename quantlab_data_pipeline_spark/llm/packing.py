@@ -178,7 +178,11 @@ def pack_documents(
     ``partition_id * 2^40 + local_index`` so ids never collide without
     any global coordination. Fill efficiency is within a percent of a
     global pack at realistic doc-length distributions, which is why
-    published pipelines pack per-shard.
+    published pipelines pack per-shard — PROVIDED each partition holds
+    many docs per pack budget; for a small corpus pass ``partitions``
+    explicitly (fewer, fuller partitions), while at scale the default
+    parallelism is right because every partition holds millions of
+    tokens.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
