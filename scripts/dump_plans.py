@@ -103,7 +103,30 @@ def _layout_ops(spark) -> dict[str, tuple[str, object]]:
             "equi-join on centroid_id — within-cluster only.",
             semantic_dedup_pairs(emb, threshold=0.95, n_clusters=16),
         ),
+        "query_ivf_pq_index": (
+            "Two-stage serving plan from the persisted IVF-PQ index: "
+            "the assignments scans carry PartitionFilters on "
+            "centroid_id (only probed lists read); the ADC stage's "
+            "ReadSchema is just (vec_id, codes) — column pruning keeps "
+            "the vectors off the wire until the exact re-rank joins "
+            "them for surviving candidates.",
+            _ivf_pq_plan(emb),
+        ),
     }
+
+
+def _ivf_pq_plan(emb):
+    import tempfile
+
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="ivfpq_plans_")
+    build_ivf_pq_index(emb, tmp, n_lists=8, m=8, n_codes=64)
+    return query_ivf_pq_index(emb.filter(F.col("vec_id") < 5), tmp, k=5, nprobe=3)
 
 
 def main() -> None:
