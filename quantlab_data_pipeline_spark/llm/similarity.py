@@ -446,6 +446,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.8,
     n_clusters: int = 32,
     centroids: list[list[float]] | None = None,
+    max_cluster: int = 100_000,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embeddings, then compare pairs *within a
@@ -457,9 +458,16 @@ def semantic_dedup_pairs(
     (:func:`ivf_assign`); the pair generation is an equi-join on
     ``centroid_id`` — the corpus shuffles once, keyed by cluster, and
     no pair crossing a cluster boundary is ever materialized. Cluster
-    count bounds the quadratic term: size ``n_clusters`` ~ n/target so
-    the average cluster holds a few thousand vectors (the paper uses
-    11k clusters for 100M+ images). Returns (id_a < id_b, score >=
+    count bounds the quadratic term (size ``n_clusters`` ~ n/target;
+    the paper uses 11k clusters for 100M+ images) — but k-means on
+    skewed data can still emit a dominant cluster, and one cluster of
+    10M rows is a 10^14-pair join. Clusters above ``max_cluster``
+    members therefore fall back to banded sign-LSH candidate
+    generation (:func:`embedding_near_dup_pairs_lsh`) *within the
+    oversized clusters*: same output contract, recall < 1 on just that
+    slice instead of a quadratic stall (and pairs spanning two
+    oversized clusters may surface — they are true near-duplicates
+    regardless of cluster membership). Returns (id_a < id_b, score >=
     threshold).
     """
     if centroids is None:
@@ -471,19 +479,30 @@ def semantic_dedup_pairs(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_assign=1).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    a = assigned.select(
+    sizes = assigned.groupBy("centroid_id").count()
+    big_ids = [r["centroid_id"] for r in sizes.filter(F.col("count") > max_cluster).collect()]
+    small = assigned.filter(~F.col("centroid_id").isin(big_ids)) if big_ids else assigned
+    a = small.select(
         F.col(id_col).alias("id_a"), "centroid_id", F.col("unit_vec").alias("v_a")
     )
-    b = assigned.select(
+    b = small.select(
         F.col(id_col).alias("id_b"), "centroid_id", F.col("unit_vec").alias("v_b")
     )
-    return (
+    pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(dot("v_a", "v_b"), 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+    if big_ids:
+        big = assigned.filter(F.col("centroid_id").isin(big_ids)).select(
+            F.col(id_col), F.col("unit_vec").alias(vec_col)
+        )
+        pairs = pairs.unionByName(
+            embedding_near_dup_pairs_lsh(big, id_col, vec_col, threshold)
+        )
+    return pairs
 
 
 def semantic_dedup(

@@ -639,3 +639,25 @@ def test_repetition_line_stats_match_duckdb(spark):
     # docs with no non-empty lines: Spark yields 0.0, DuckDB NULL rows
     exp = {k: (v[0] or 0.0, v[1] or 0.0) for k, v in exp.items()}
     assert got == exp
+
+
+def test_semantic_dedup_big_cluster_lsh_fallback(spark, clustered_vecs):
+    """With max_cluster forced tiny, every cluster routes through the
+    banded-LSH fallback — exact duplicates (identical signatures) must
+    still all surface, with the same scores as the equi-join path."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in semantic_dedup_pairs(
+            clustered_vecs, threshold=0.999, n_clusters=4, max_cluster=4
+        ).collect()
+    }
+    strict = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in semantic_dedup_pairs(
+            clustered_vecs, threshold=0.999, n_clusters=4
+        ).collect()
+    }
+    # identical vectors always collide in sign-LSH: no exact-dup pair lost
+    assert set(strict) <= set(pairs)
+    for p in strict:
+        assert pairs[p] == strict[p]
