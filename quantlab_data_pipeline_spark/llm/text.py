@@ -412,3 +412,55 @@ def deterministic_split(
         cum += w / total
         expr = expr.when(u < F.lit(cum), F.lit(name))
     return df.withColumn("split", expr.otherwise(F.lit(items[-1][0])))
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str | None = "source",
+    lang_col: str | None = "lang",
+) -> dict:
+    """Corpus-level summary statistics — the numbers a dataset card
+    reports (doc/token/char counts, length distribution, domain and
+    language composition).
+
+    One full scan, TWO jobs total: a single global aggregate (counts,
+    sums, approx length percentiles via the native t-digest
+    ``percentile_approx`` — mergeable sketch state, no sort) and one
+    map-side-combined groupBy per composition column. No collect of
+    anything corpus-sized; at 100 TB this is a linear pass with
+    sketch-sized shuffle traffic.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    base = df.select(
+        F.length(t).alias("__chars"), n_tok.alias("__toks")
+    )
+    row = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__toks").alias("n_tokens"),
+        F.expr(
+            "percentile_approx(__toks, array(0.1, 0.5, 0.9, 0.99), 10000)"
+        ).alias("tok_pcts"),
+        F.round(F.avg("__toks"), 2).alias("avg_tokens"),
+        F.max("__toks").alias("max_tokens"),
+    ).collect()[0]
+    card: dict = {
+        "n_docs": row["n_docs"],
+        "n_chars": row["n_chars"],
+        "n_tokens": row["n_tokens"],
+        "avg_tokens": row["avg_tokens"],
+        "max_tokens": row["max_tokens"],
+        "token_percentiles": {
+            p: v
+            for p, v in zip(("p10", "p50", "p90", "p99"), row["tok_pcts"] or [])
+        },
+    }
+    for name, col in (("domains", domain_col), ("languages", lang_col)):
+        if col and col in df.columns:
+            card[name] = {
+                r[col]: r["n"]
+                for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()
+            }
+    return card

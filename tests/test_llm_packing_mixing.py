@@ -661,3 +661,25 @@ def test_semantic_dedup_big_cluster_lsh_fallback(spark, clustered_vecs):
     assert set(strict) <= set(pairs)
     for p in strict:
         assert pairs[p] == strict[p]
+
+
+def test_dataset_card(spark):
+    from quantlab_data_pipeline_spark.llm import dataset_card
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    card = dataset_card(docs)
+    assert card["n_docs"] == docs.count()
+    assert card["n_tokens"] > 0 and card["n_chars"] > 0
+    assert card["token_percentiles"]["p50"] <= card["token_percentiles"]["p99"]
+    assert card["max_tokens"] >= card["token_percentiles"]["p99"]
+    assert sum(card["domains"].values()) == card["n_docs"]
+    assert sum(card["languages"].values()) == card["n_docs"]
+    # null text counts as an empty doc, not a crash
+    withnull = docs.unionByName(
+        spark.createDataFrame(
+            [(99999, None, "en", "srcX", 0)], docs.schema
+        )
+    )
+    card2 = dataset_card(withnull)
+    assert card2["n_docs"] == card["n_docs"] + 1
