@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import ivf_assign, train_centroids
+from .similarity import ivf_assign, rank_topk, train_centroids
 
 
 def build_ivf_index(
@@ -114,12 +114,7 @@ def query_ivf_index(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(scored, k)
 
 
 # ------------------------------------------------------------ IVF-PQ
@@ -235,12 +230,7 @@ def query_ivf_pq_index(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(adc_score(m, n_codes), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    cands = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k * rerank_factor)
-        .select("query_id", "neighbor_id")
-    )
+    cands = rank_topk(scored, k * rerank_factor).select("query_id", "neighbor_id")
     # stage 2: exact re-rank — vectors read for candidates only
     exact = (
         cands.join(
@@ -260,9 +250,4 @@ def query_ivf_pq_index(
         )
         .withColumn("score", F.round(dot("qv", "cv"), 6))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(exact, k)

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import dot, unit_vec
+from .similarity import dot, rank_topk, unit_vec
 
 
 def train_pq_codebooks(
@@ -206,14 +206,10 @@ def pq_topk(
         .withColumn("score", F.round(adc, 6))
         .select("query_id", "neighbor_id", "score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     n_stage1 = k * rerank_factor if rerank_from is not None else k
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n_stage1)
-    )
+    top = rank_topk(scored, n_stage1)
     if rerank_from is None:
-        return top.select("query_id", "rank", "neighbor_id", "score")
+        return top
     exact = (
         top.select("query_id", "neighbor_id")
         .join(
@@ -232,9 +228,4 @@ def pq_topk(
         )
         .withColumn("score", F.round(dot("qv", "cv"), 6))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(exact, k)

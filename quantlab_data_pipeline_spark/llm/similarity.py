@@ -54,6 +54,21 @@ def unit_vec(a: str | Column) -> Column:
     return F.transform(col, lambda v: v.cast("double") / n)
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k tail shared by every search path:
+    rank scored candidates by (score desc, neighbor_id asc) — the id
+    tie-break keeps results identical across engines and reruns — and
+    return the standard (query_id, rank, neighbor_id, score) contract."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -79,14 +94,7 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(scored, k)
 
 
 def plan_signature(
@@ -229,12 +237,7 @@ def lsh_topk(
         .join(q_vecs.withColumnRenamed("__uv", "__qv"), "query_id")
         .withColumn("score", F.round(dot("__qv", "__uv"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(scored, k)
 
 
 # ------------------------------------------------------------------- IVF
@@ -340,12 +343,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
