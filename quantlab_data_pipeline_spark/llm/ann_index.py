@@ -84,8 +84,6 @@ def query_ivf_index(
     disk. Results are identical to :func:`.similarity.ivf_topk` run
     with the same centroids.
     """
-    from pyspark.sql import Window
-
     spark = queries.sparkSession
     centroids = load_centroids(spark, path)
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_assign=nprobe).select(
@@ -197,8 +195,6 @@ def query_ivf_pq_index(
     scan of the probed lists' (id, codes) columns, ADC top
     ``k * rerank_factor`` per query, then exact cosine re-rank reading
     the stored unit vectors for the surviving candidates only."""
-    from pyspark.sql import Window
-
     from .pq import adc_score, query_luts
     from .similarity import dot
     from .similarity import unit_vec as _unit
