@@ -20,10 +20,12 @@ import time
 sys.path.insert(0, ".")
 
 from quantlab_data_pipeline_spark.llm import (  # noqa: E402
+    build_ivf_pq_index,
     chunk_plan,
     dedup_lines,
     mix_corpus,
     pack_documents,
+    query_ivf_pq_index,
     semantic_dedup,
     shuffle_rows,
     with_gopher_keep,
@@ -57,6 +59,12 @@ def main() -> None:
         "shuffle_rows": lambda: shuffle_rows(docs).count(),
         "semantic_dedup_t095": lambda: semantic_dedup(
             emb, threshold=0.95, n_clusters=32
+        ).count(),
+        "ivf_pq_build": lambda: build_ivf_pq_index(
+            emb, "/tmp/llm_probe_ivfpq", n_lists=16, m=8, n_codes=64
+        )["n_vectors"],
+        "ivf_pq_query10": lambda: query_ivf_pq_index(
+            emb.limit(10), "/tmp/llm_probe_ivfpq", k=5, nprobe=4
         ).count(),
     }
     timings: dict[str, float] = {}
