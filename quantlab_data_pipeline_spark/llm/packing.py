@@ -119,11 +119,14 @@ def chunk_plan(
     local = base.mapInPandas(
         local_cumsum,
         f"`{id_col}` {id_type}, __tok long, __cost long, __pid int, __local_off long",
-    ).persist()
+    )
     # Partition subtotals: tiny (one row per partition) — the cumulative
     # offsets are a driver-scale problem even at petabyte corpora.
+    # Computed from `base` (pure JVM agg), NOT from `local`: the sums
+    # are order-independent so both evaluations agree, and this avoids
+    # persisting the Arrow-side frame just to read it twice.
     totals = (
-        local.groupBy("__pid").agg(F.sum("__cost").alias("__ptotal")).collect()
+        base.groupBy("__pid").agg(F.sum("__cost").alias("__ptotal")).collect()
     )
     sums = {r["__pid"]: r["__ptotal"] for r in totals}
     offsets, acc = {}, 0
