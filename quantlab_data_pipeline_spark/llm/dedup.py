@@ -543,3 +543,44 @@ def dedup_lines(
         .select(*df.columns, "n_lines_dropped")
     )
     return deduped.unionByName(null_ids.select(*df.columns, "n_lines_dropped"))
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 1000,
+) -> DataFrame:
+    """Corpus-wide repeated k-token span mining (the detection half of
+    exact-substring dedup, Lee et al. 2021): every k-word gram occurring
+    in at least ``min_count`` documents, with its document frequency and
+    the smallest carrying doc id as an example — the boilerplate report
+    that decides what :func:`dedup_lines` / template scrubbing should
+    target.
+
+    Scale shape: tokenize+explode is map-side over the scan; the count
+    aggregates with a map-side partial keyed on the span hash (the
+    span string rides along via ``min``), and only spans clearing
+    ``min_count`` survive to the ``top``-k TakeOrdered. Nothing
+    corpus-sized is collected or joined.
+    """
+    from .text import word_grams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_grams(text_col, k))).alias("span"),
+    )
+    return (
+        grams.groupBy(F.xxhash64("span").alias("__h"))
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("example_id"),
+        )
+        .filter(F.col("n_docs") >= min_count)
+        .select("span", "n_docs", "example_id")
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(top)
+    )

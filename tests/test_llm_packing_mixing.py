@@ -683,3 +683,25 @@ def test_dataset_card(spark):
     )
     card2 = dataset_card(withnull)
     assert card2["n_docs"] == card["n_docs"] + 1
+
+
+def test_repeated_spans_finds_boilerplate(spark):
+    from quantlab_data_pipeline_spark.llm import repeated_spans
+
+    boiler = "all rights reserved contact us for more information today"
+    df = spark.createDataFrame(
+        [
+            (1, f"first document body text here\n{boiler}"),
+            (2, f"{boiler}\nsecond document body entirely different"),
+            (3, f"third body words distinct from others\n{boiler}"),
+            (4, "no shared content in this one at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(df, k=9, min_count=3).collect()
+    spans = {r["span"]: r for r in out}
+    assert boiler in spans
+    assert spans[boiler]["n_docs"] == 3
+    assert spans[boiler]["example_id"] == 1
+    # nothing from the unshared doc
+    assert all("whatsoever" not in s for s in spans)

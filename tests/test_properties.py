@@ -379,3 +379,68 @@ def test_pack_documents_invariants(spark, sizes, budget):
         else:
             assert fill <= budget
         assert sorted(members) == list(range(len(members)))
+
+
+@st.composite
+def line_corpora(draw):
+    pool = [f"shared pool line number {i} with padding" for i in range(4)] + [
+        f"unique line {i} for one document only zz" for i in range(30)
+    ]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for d in range(1, n_docs + 1):
+        n_lines = draw(st.integers(0, 5))
+        docs.append(
+            (d, "\n".join(draw(st.sampled_from(pool)) for _ in range(n_lines)))
+        )
+    return docs
+
+
+@given(line_corpora())
+@SETTINGS
+def test_dedup_lines_property_first_occurrence(spark, docs):
+    from quantlab_data_pipeline_spark.llm import dedup_lines
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in dedup_lines(df, min_chars=15).collect()
+    }
+    first: dict[str, tuple[int, int]] = {}
+    for d, text in docs:
+        for i, ln in enumerate(text.split("\n")):
+            key = ln.strip().lower()
+            if len(key) >= 15 and key not in first:
+                first[key] = (d, i)
+    for d, text in docs:
+        keep, dropped = [], 0
+        for i, ln in enumerate(text.split("\n")):
+            key = ln.strip().lower()
+            if len(key) < 15 or first[key] == (d, i):
+                keep.append(ln)
+            else:
+                dropped += 1
+        assert got[d] == ("\n".join(keep), dropped), (d, text)
+
+
+@given(token_sizes(), st.sampled_from([32, 128]), st.integers(1, 5))
+@SETTINGS
+def test_chunk_plan_property_offsets(spark, sizes, budget, parts):
+    from quantlab_data_pipeline_spark.llm import chunk_plan
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        chunk_plan(
+            df, budget, token_col="n_tokens", partitions=parts
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    acc = 0
+    for r in rows:
+        assert r["offset"] == acc
+        acc += r["n_tokens"] + 1
+        assert r["first_chunk"] == r["offset"] // budget
+        end = r["offset"] + r["n_tokens"] + 1 - 1
+        assert r["last_chunk"] == max(end // budget, r["offset"] // budget)
