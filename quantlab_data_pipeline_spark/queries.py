@@ -1273,6 +1273,15 @@ SPARK_QUERIES.update(
     }
 )
 
+# Round-2 extended registry: registers AFTER the frozen 50-entry core
+# (everything past position 50 is outside the driver's correctness
+# window; scripts/check_correctness.py verifies the full registry
+# locally with the identical oracle discipline — see queries_ext.py).
+from .queries_ext import ORACLE_SQL_EXT, SPARK_QUERIES_EXT  # noqa: E402
+
+SPARK_QUERIES.update(SPARK_QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_SQL_EXT)
+
 ORACLE_SQL.update(
     {
         "text_stats": f"""

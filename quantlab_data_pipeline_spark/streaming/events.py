@@ -15,18 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Events parquet stores TIMESTAMP(NANOS); under nanosAsLong the column
-# arrives as a long we convert (same normalization as sources.testdata).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The events parquet has shipped with both TIMESTAMP(NANOS) — which
+# arrives as a long under nanosAsLong — and plain TIMESTAMP(MICROS)
+# encodings. The stream source must declare its schema up front, so a
+# one-off batch probe of the footer decides which variant to use (same
+# adaptive normalization as sources.testdata.load_table).
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 
 def _as_stream_dir(path: str) -> str:
@@ -42,12 +49,18 @@ def _as_stream_dir(path: str) -> str:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source streaming: each
     file is a micro-batch; in production this would be Kafka/queue)."""
+    path = f"{sf_dir}/events.parquet"
+    # Footer-only batch probe: is ts a nanos-long or a real timestamp?
+    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = _events_schema(T.LongType() if ts_is_long else T.TimestampType())
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .parquet(_as_stream_dir(path))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_aggregate(
