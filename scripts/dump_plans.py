@@ -31,6 +31,12 @@ HEADLINE = [
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "embedding_near_dup",
+    # round-2 extended registry
+    "q8_market_share",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "max_drawdown",
+    "decontaminate_docs",
 ]
 
 
@@ -54,6 +60,36 @@ NOTES = {
         "the threshold it switches to the banded-LSH candidate "
         "equi-join (embedding_near_dup_pairs_lsh, same plan shape as "
         "embedding_lsh_topk)."
+    ),
+    "q8_market_share": (
+        "Two copies of the nation dim join the same fact chain on "
+        "different keys (customer vs supplier side) — every dim is a "
+        "BroadcastHashJoin; only orders x lineitem exchanges on the "
+        "order key. Filters (r_name, p_type, o_orderdate) all push to "
+        "their scans."
+    ),
+    "q15_top_supplier": (
+        "The quarterly revenue agg feeds both the per-supplier rows "
+        "and a 1-row max that comes back as a broadcast join — the "
+        "scalar subquery stays in-plan (no collected constant), so the "
+        "whole query is one lazy DAG with the lineitem scan shared."
+    ),
+    "q18_large_volume": (
+        "HAVING sum(qty) > 300 materializes a small key set that "
+        "semi-joins the fact (broadcast, since AQE sees it is tiny) — "
+        "the reaggregation then touches only surviving orders."
+    ),
+    "max_drawdown": (
+        "Running sum and running max stack on the SAME window sort — "
+        "one Exchange on user_id, one sort, two Window operators, then "
+        "a map-side-combined min per user. No self-join, no second "
+        "shuffle."
+    ),
+    "decontaminate_docs": (
+        "The benchmark's distinct shingle hashes broadcast; the corpus "
+        "explode is matched map-side in a BroadcastHashJoin with no "
+        "shuffle of the corpus itself, then hit counts aggregate per "
+        "doc id."
     ),
 }
 
