@@ -340,9 +340,109 @@ def q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q21_lone_returner(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 adapted (no commit/receipt dates): suppliers who were
+    the ONLY supplier with a returned ('R') line in a multi-supplier
+    order — the exists/not-exists composition expressed as one grouped
+    pass over the order (conditional distinct counts + the lone
+    supplier's id via a conditional max), then a per-supplier count."""
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(r_supp).alias("__n_r_supp"),
+            F.max(r_supp).alias("__lone_supp"),
+        )
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_r_supp") == 1))
+    )
+    return (
+        per_order.groupBy(F.col("__lone_supp").alias("s_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .join(supplier, "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
+
+
+def q11_important_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): supplier nations whose total
+    shipped value exceeds 1.2x the per-nation average — a grouped value
+    rollup filtered by a scalar subquery over itself (the HAVING >
+    scalar-fraction shape of Q11)."""
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    val = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("__val")
+        )
+    )
+    thresh = val.agg(
+        (F.avg("__val") * F.lit(1.2)).cast("decimal(28,8)").alias("__thresh")
+    )
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("__val") > F.col("__thresh"))
+        .join(nation, val.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", F.round("__val", 2).cast("double").alias("total_value")
+        )
+        .orderBy(F.desc("total_value"), "n_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # Time-series / quant window statistics over the events table
 # --------------------------------------------------------------------------
+
+
+def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC resampling per user — the bar-building aggregation
+    of every market-data pipeline. Open/close are lexicographic
+    struct-min/max over (ts, event_id, value) so tie-breaks are
+    deterministic and engine-independent; one map-side-combined
+    shuffle on (user, hour)."""
+    ev = load_table(spark, sf, "events")
+    s = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bar_ts"))
+        .agg(
+            F.round(F.min(s)["value"], 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(s)["value"], 2).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+def rolling_beta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user beta against the cross-sectional market: hourly user
+    averages regressed on hourly all-user averages (beta =
+    covar_samp / var_samp). Two grouped aggregations, a broadcast-sized
+    market join, and a covariance agg — no window, no self-join."""
+    ev = load_table(spark, sf, "events")
+    hour = F.date_trunc("hour", "ts").alias("h")
+    user_hourly = ev.groupBy("user_id", hour).agg(
+        F.avg("value").alias("u_val")
+    )
+    market_hourly = ev.groupBy(hour).agg(F.avg("value").alias("m_val"))
+    joined = user_hourly.join(F.broadcast(market_hourly), "h")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.round(
+                F.covar_samp("u_val", "m_val") / F.var_samp("m_val"), 6
+            ).alias("beta")
+        )
+        .orderBy("user_id")
+    )
 
 
 def rolling_volatility(spark: SparkSession, sf: str) -> DataFrame:
@@ -539,10 +639,14 @@ SPARK_QUERIES_EXT = {
     "q18_large_volume": q18_large_volume,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales": q22_global_sales,
+    "q21_lone_returner": q21_lone_returner,
+    "q11_important_nations": q11_important_nations,
     # quant windows
     "rolling_volatility": rolling_volatility,
     "max_drawdown": max_drawdown,
     "autocorr_lag1": autocorr_lag1,
+    "ohlc_bars": ohlc_bars,
+    "rolling_beta": rolling_beta,
     # LLM corpus ops
     "chunk_plan_docs": chunk_plan_docs,
     "deterministic_split_docs": deterministic_split_docs,
@@ -706,6 +810,59 @@ ORACLE_SQL_EXT = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY n_name ORDER BY n_name
+    """,
+    "q21_lone_returner": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS n_r_supp,
+                   max(CASE WHEN l_returnflag = 'R'
+                            THEN l_suppkey END) AS lone_supp
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_order JOIN supplier ON lone_supp = s_suppkey
+        WHERE n_supp > 1 AND n_r_supp = 1
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 100
+    """,
+    "q11_important_nations": """
+        WITH v AS (
+            SELECT s_nationkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        )
+        SELECT n_name,
+               CAST(round(val, 2) AS DOUBLE) AS total_value
+        FROM v JOIN nation ON s_nationkey = n_nationkey
+        WHERE val > (SELECT CAST(1.2 * avg(val) AS DECIMAL(28,8)) FROM v)
+        ORDER BY total_value DESC, n_name
+    """,
+    "ohlc_bars": """
+        SELECT user_id, date_trunc('hour', ts) AS bar_ts,
+               round(min({'t': ts, 'e': event_id, 'v': value}).v, 2) AS "open",
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(max({'t': ts, 'e': event_id, 'v': value}).v, 2) AS "close",
+               CAST(count(*) AS BIGINT) AS n_ticks
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "rolling_beta": """
+        WITH uh AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   avg(value) AS u_val
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ), mh AS (
+            SELECT date_trunc('hour', ts) AS h, avg(value) AS m_val
+            FROM events GROUP BY date_trunc('hour', ts)
+        )
+        SELECT user_id,
+               round(covar_samp(u_val, m_val) / var_samp(m_val), 6) AS beta
+        FROM uh JOIN mh USING (h)
+        GROUP BY user_id ORDER BY user_id
     """,
     "rolling_volatility": """
         SELECT event_id, user_id, vol_20 FROM (
