@@ -1,0 +1,139 @@
+"""Pandas cross-checks for the extended-registry quant ops.
+
+The DuckDB oracle gate (scripts/check_correctness.py) already compares
+these queries engine-to-engine; these tests add a third, independent
+implementation (pandas/numpy) of the window semantics at sf0.001, so a
+shared misreading of the statistic between the two SQL engines would
+still be caught.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def test_rolling_volatility_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import rolling_volatility
+
+    got = {
+        r["event_id"]: r["vol_20"]
+        for r in rolling_volatility(spark, SF).collect()
+    }
+    g = events_pd.groupby("user_id")["value"]
+    exp_series = g.rolling(20, min_periods=20).std(ddof=1)
+    exp = {
+        int(events_pd.loc[i, "event_id"]): round(v, 6)
+        for (_, i), v in exp_series.items()
+        if not np.isnan(v)
+    }
+    assert got == pytest.approx(exp)
+
+
+def test_max_drawdown_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import max_drawdown
+
+    got = {
+        r["user_id"]: r["max_drawdown"]
+        for r in max_drawdown(spark, SF).collect()
+    }
+    exp = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        cum = (grp["value"] - 50.0).cumsum()
+        exp[int(uid)] = round(float((cum - cum.cummax()).min()), 6)
+    assert got == pytest.approx(exp)
+
+
+def test_rolling_beta_matches_numpy(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import rolling_beta
+
+    got = {r["user_id"]: r["beta"] for r in rolling_beta(spark, SF).collect()}
+    df = events_pd.copy()
+    df["h"] = df["ts"].dt.floor("h")
+    uh = df.groupby(["user_id", "h"])["value"].mean()
+    mh = df.groupby("h")["value"].mean()
+    exp = {}
+    for uid, s in uh.groupby(level=0):
+        u = s.droplevel(0)
+        m = mh.loc[u.index]
+        if len(u) < 2:
+            continue
+        cov = np.cov(u.to_numpy(), m.to_numpy(), ddof=1)
+        exp[int(uid)] = round(float(cov[0, 1] / cov[1, 1]), 6)
+    assert set(got) == set(exp)
+    for uid in exp:
+        assert got[uid] == pytest.approx(exp[uid], abs=1e-5), uid
+
+
+def test_ohlc_bars_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import ohlc_bars
+
+    got = {
+        (r["user_id"], pd.Timestamp(r["bar_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in ohlc_bars(spark, SF).collect()
+    }
+    df = events_pd.copy()
+    df["bar"] = df["ts"].dt.floor("h")
+    exp = {}
+    for (uid, bar), grp in df.groupby(["user_id", "bar"]):
+        grp = grp.sort_values(["ts", "event_id"])
+        exp[(int(uid), bar)] = (
+            round(float(grp["value"].iloc[0]), 2),
+            round(float(grp["value"].max()), 2),
+            round(float(grp["value"].min()), 2),
+            round(float(grp["value"].iloc[-1]), 2),
+            len(grp),
+        )
+    assert got == exp
+
+
+def test_decimal_revenue_is_partitioning_invariant(spark):
+    """The decimal money sums must yield bit-identical results under a
+    different partition layout (the property double sums lack)."""
+    from quantlab_data_pipeline_spark.queries_ext import q19_discounted_revenue
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    base = q19_discounted_revenue(spark, SF).collect()[0]["revenue"]
+    li = load_table(spark, SF, "lineitem").repartition(3)
+    li.createOrReplaceTempView("__li_repart")
+    # same computation over a 3-partition copy via the operator's logic
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, SF, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = price * (F.lit(1).cast("decimal(18,4)") - disc)
+    other = joined.filter(cond).agg(
+        F.round(F.sum(vol), 2).cast("double").alias("revenue")
+    ).collect()[0]["revenue"]
+    assert base == other
