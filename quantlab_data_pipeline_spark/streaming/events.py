@@ -85,6 +85,41 @@ def windowed_aggregate(
     )
 
 
+def ohlc_bars_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming hourly OHLC bars per user — the incremental twin of
+    ``queries_ext.ohlc_bars``. Open/close are lexicographic struct
+    min/max over (ts, event_id, value), which are plain aggregate
+    functions and therefore stream-safe: late ticks inside the
+    watermark still update the bar's open/close correctly, something a
+    first()/last()-style implementation cannot guarantee under
+    out-of-order arrival."""
+    s = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.round(F.min(s)["value"], 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(s)["value"], 2).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bar_ts"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

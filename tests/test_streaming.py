@@ -38,6 +38,24 @@ def test_windowed_aggregate_matches_batch(spark):
     assert (g["total_value"].to_numpy() == b["total_value"].to_numpy()).all()
 
 
+def test_ohlc_bars_stream_matches_batch(spark):
+    """Streaming OHLC bars must equal the batch ohlc_bars registry
+    query on the finite events file (incremental-vs-batch identity)."""
+    from quantlab_data_pipeline_spark.queries_ext import ohlc_bars
+    from quantlab_data_pipeline_spark.streaming.events import ohlc_bars_stream
+
+    stream = stream_events(spark, SF)
+    got = run_to_memory(ohlc_bars_stream(stream), "ohlc").toPandas()
+    batch = ohlc_bars(spark, SF).toPandas()
+    key = ["user_id", "bar_ts"]
+    cols = key + ["open", "high", "low", "close", "n_ticks"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    b = batch[cols].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    for c in cols:
+        assert (g[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
 def test_sessionize_runs(spark):
     stream = stream_events(spark, SF)
     out = run_to_memory(sessionize(stream, gap="10 minutes"), "sessions").toPandas()
