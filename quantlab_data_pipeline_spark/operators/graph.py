@@ -1,0 +1,120 @@
+"""Connected components over an edge list — the cluster-resolution
+step that turns pairwise near-duplicate evidence (MinHash / SimHash /
+n-gram / embedding pairs from ``llm.dedup`` and ``llm.similarity``)
+into duplicate groups with one canonical keeper per group.
+
+Spark-first shape: min-label propagation. Each iteration joins the
+(symmetrized) edge list against the current labels, takes the min
+neighbor label per node, and keeps the smaller of (own, neighbor-min).
+Labels only ever decrease toward the component minimum, so the loop
+converges in O(graph diameter) iterations — near-dup graphs are
+overwhelmingly small star-shaped clusters, so the practical iteration
+count is 2-4. Every iteration is ONE keyed shuffle join (edges are
+re-used, labels are the only moving frame); the convergence probe is a
+``limit(1)`` existence check, not a count over the full frame. Lineage
+is cut with ``localCheckpoint`` every few rounds so the plan does not
+grow unboundedly with iterations (the classic iterative-algorithm
+failure on Spark).
+
+At 100 TB scale the same loop holds: the edge list shuffles on the
+node id each round, AQE handles the skew of celebrity nodes, and the
+iteration count is bounded by cluster diameter, not corpus size. (For
+adversarial long-chain graphs the published large-star/small-star
+variant halves diameters per round; near-dup workloads do not need it
+and it costs two shuffles per iteration instead of one.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component is the
+    smallest node id reachable from the node. Deterministic and
+    engine-independent (pure min semantics, no ordering sensitivity).
+
+    Raises if the loop has not converged after ``max_iters`` (diameter
+    larger than max_iters — raise the cap for pathological chains).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for it in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__nmin"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Every row of ``df`` labeled with its duplicate-cluster id: the
+    smallest id reachable through the near-dup pair graph, or the row's
+    own id when it has no duplicates. ``is_keeper`` marks the one
+    canonical row per cluster (the standard keep-lowest-id policy the
+    exact/MinHash dedup ops already use)."""
+    comps = connected_components(pairs, src_col, dst_col).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.join(comps, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -603,6 +603,22 @@ def decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (min-label
+    propagation) over the exact n-gram Jaccard near-dup pair graph —
+    every doc labeled with the smallest id reachable through duplicate
+    pairs, keepers flagged. The oracle computes the same components
+    with a recursive transitive-closure CTE."""
+    from .llm.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_cluster_assignments
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_chars=40, threshold=0.5)
+    return dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "cluster_id", "is_keeper"
+    )
+
+
 def pack_documents_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy first-fit sequence packing at max_tokens=2048 (rows-only:
     pack ids depend on the partition layout; the invariants — every doc
@@ -656,6 +672,7 @@ SPARK_QUERIES_EXT = {
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
     "decontaminate_docs": decontaminate_docs,
+    "dedup_clusters": dedup_clusters,
     "pack_documents_docs": pack_documents_docs,
     "semantic_dedup_docs": semantic_dedup_docs,
 }
@@ -1094,6 +1111,41 @@ ORACLE_SQL_EXT = {
                                        chr(10) ORDER BY idx), ''))
                    AS text_hash
         FROM kept GROUP BY doc_id
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE base AS (
+            SELECT doc_id,
+                   substring(text, 1, 40) AS block,
+                   (WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words)
+                    SELECT CASE WHEN len(words) >= 3 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, len(words) - 2),
+                            i -> array_to_string(words[i:i+2], ' ')))
+                    ELSE [array_to_string(words, ' ')] END FROM w) AS sh
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM base a JOIN base b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                  >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS lab FROM edges
+            UNION
+            SELECT e.src AS node, r.lab AS lab
+            FROM edges e JOIN reach r ON e.dst = r.node
+        ), comp AS (
+            SELECT node, min(lab) AS component FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(component, d.doc_id) AS cluster_id,
+               d.doc_id = coalesce(component, d.doc_id) AS is_keeper
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
     """,
     "decontaminate_docs": f"""
         WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
