@@ -584,3 +584,79 @@ def repeated_spans(
         .orderBy(F.desc("n_docs"), F.asc("span"))
         .limit(top)
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 1000,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Removal half of exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499, the scrubbing stage the reference pipeline has no
+    analogue for): cut every occurrence of a corpus-frequent k-token
+    span (``spans`` defaults to :func:`repeated_spans` over the same
+    corpus) out of each document's token stream and rebuild the text
+    from the surviving tokens.
+
+    Output: the input columns plus ``clean_text`` (surviving tokens
+    joined by single spaces — token-normalized, like every token-level
+    scrubber), ``n_spans_hit`` (distinct hit positions) and
+    ``n_tokens_removed``.
+
+    Scale shape: the gram explode is map-side over the scan and
+    immediately narrowed to (id, pos, xxhash64(gram)) — gram *strings*
+    never shuffle; the frequent-span set is ``top``-bounded and
+    broadcast, so hit detection is a map-side BroadcastHashJoin; one
+    shuffle keys the hit positions by doc id; the rebuild is pure array
+    expressions (no Python). Nothing corpus-sized is collected.
+    """
+    from .text import _tokens, word_grams
+
+    if spans is None:
+        spans = repeated_spans(docs, k, min_count, id_col, text_col, top)
+    span_keys = spans.select(F.xxhash64("span").alias("__sh")).distinct()
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    hits = (
+        docs.select(
+            F.col(id_col), F.posexplode(word_grams(text, k)).alias("__p", "__g")
+        )
+        .select(id_col, "__p", F.xxhash64("__g").alias("__gh"))
+        .join(F.broadcast(span_keys), F.col("__gh") == F.col("__sh"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__hits"))
+    )
+
+    toks = _tokens(text)
+    n = F.size(toks)
+    # sequence(1, 0) would DESCEND ([1, 0]) — guard the empty doc.
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ps = F.coalesce(F.col("__hits"), F.array().cast("array<int>"))
+    # token i (1-based) is covered iff some hit position p (0-based gram
+    # start) satisfies p <= i-1 < p+k
+    kept = F.filter(
+        idx, lambda i: ~F.exists(ps, lambda p: (i - 1 >= p) & (i - 1 < p + k))
+    )
+    out = (
+        docs.join(hits, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn("__kept", kept)
+        .withColumn(
+            "clean_text",
+            F.array_join(
+                F.transform(F.col("__kept"), lambda i: F.element_at("__toks", i)),
+                " ",
+            ),
+        )
+        .withColumn("n_spans_hit", F.size(ps))
+        .withColumn(
+            "n_tokens_removed", F.size("__toks") - F.size("__kept")
+        )
+    )
+    return out.select(*docs.columns, "clean_text", "n_spans_hit", "n_tokens_removed")

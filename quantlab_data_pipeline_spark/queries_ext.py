@@ -558,6 +558,22 @@ def repeated_spans_docs(spark: SparkSession, sf: str) -> DataFrame:
     return repeated_spans(docs, k=8, min_count=2)
 
 
+def scrub_repeated_spans_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Removal half of exact-substring dedup (Lee et al. 2021): cut every
+    corpus-frequent 8-token span occurrence out of each doc and rebuild;
+    rebuilt text is md5'd so the oracle compares full content without
+    megabyte rows."""
+    from .llm.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf, "documents")
+    return remove_repeated_spans(docs, k=8, min_count=2).select(
+        "doc_id",
+        F.col("n_spans_hit").cast("long").alias("n_spans_hit"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition stats + keep flag (Rae et al. 2021 table A1):
     duplicate line/paragraph fractions and n-gram coverage fractions,
@@ -669,6 +685,7 @@ SPARK_QUERIES_EXT = {
     "mix_corpus_docs": mix_corpus_docs,
     "top_ngrams_docs": top_ngrams_docs,
     "repeated_spans_docs": repeated_spans_docs,
+    "scrub_repeated_spans": scrub_repeated_spans_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
     "decontaminate_docs": decontaminate_docs,
@@ -990,6 +1007,42 @@ ORACLE_SQL_EXT = {
         HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, span ASC
         LIMIT 1000
+    """,
+    "scrub_repeated_spans": f"""
+        WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+        g AS (
+            SELECT doc_id, i AS p, array_to_string(words[i:i+7], ' ') AS span
+            FROM w, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+            WHERE len(words) >= 8
+        ),
+        freq AS (
+            SELECT span FROM (
+                SELECT span, count(DISTINCT doc_id) AS n_docs
+                FROM g GROUP BY span
+                HAVING count(DISTINCT doc_id) >= 2
+                ORDER BY n_docs DESC, span ASC LIMIT 1000
+            )
+        ),
+        hits AS (
+            SELECT g.doc_id, list(DISTINCT g.p) AS ps,
+                   count(DISTINCT g.p) AS nh
+            FROM g JOIN freq USING (span) GROUP BY g.doc_id
+        ),
+        clean AS (
+            SELECT w.doc_id,
+                   CASE WHEN h.ps IS NULL THEN words
+                   ELSE list_transform(
+                       list_filter(generate_series(1, len(words)),
+                           i -> len(list_filter(h.ps,
+                                    p -> i >= p AND i < p + 8)) = 0),
+                       i -> words[i]) END AS kept,
+                   len(words) AS n0, coalesce(h.nh, 0) AS nh
+            FROM w LEFT JOIN hits h USING (doc_id)
+        )
+        SELECT doc_id, CAST(nh AS BIGINT) AS n_spans_hit,
+               CAST(n0 - len(kept) AS BIGINT) AS n_tokens_removed,
+               md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        FROM clean
     """,
     "gopher_repetition": f"""
         WITH lcle AS (

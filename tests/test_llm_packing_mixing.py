@@ -705,3 +705,65 @@ def test_repeated_spans_finds_boilerplate(spark):
     assert spans[boiler]["example_id"] == 1
     # nothing from the unshared doc
     assert all("whatsoever" not in s for s in spans)
+
+
+def test_remove_repeated_spans_scrubs_boilerplate(spark):
+    """The removal half of exact-substring dedup: frequent spans are cut
+    from every carrier, pass-through docs and empty docs are untouched,
+    and the rebuilt text matches a python recomputation exactly."""
+    import re
+
+    from quantlab_data_pipeline_spark.llm import remove_repeated_spans
+
+    boiler = "subscribe to our newsletter for daily updates and offers today"
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta epsilon"),
+        (1, f"{boiler} unique one text body here now for sure ok"),
+        (2, "totally unrelated content with plenty of distinct words in it"),
+        (3, None),
+        (4, ""),
+        (5, f"prefix words {boiler} and again {boiler} twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, k=8, min_count=2).collect()}
+
+    k = 8
+    toks = {i: re.findall(r"[a-z0-9]+", (t or "").lower()) for i, t in rows}
+    grams: dict[str, set[int]] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[p : p + k]), set()).add(i)
+    freq = {g for g, s in grams.items() if len(s) >= 2}
+    for i, ts in toks.items():
+        hit = [p for p in range(len(ts) - k + 1) if " ".join(ts[p : p + k]) in freq]
+        cov = {q for p in hit for q in range(p, p + k)}
+        kept = [ts[j] for j in range(len(ts)) if j not in cov]
+        assert out[i]["clean_text"] == " ".join(kept)
+        assert out[i]["n_spans_hit"] == len(hit)
+        assert out[i]["n_tokens_removed"] == len(ts) - len(kept)
+    # the boilerplate really is gone from every carrier
+    for i in (0, 1, 5):
+        assert "newsletter" not in out[i]["clean_text"]
+    # the clean doc passes through with its tokens intact
+    assert out[2]["n_tokens_removed"] == 0
+
+
+def test_remove_repeated_spans_accepts_external_span_list(spark):
+    """Spans mined on one corpus (or curated by hand) scrub another —
+    the report/removal split is the production shape: mine once, scrub
+    many shards."""
+    from quantlab_data_pipeline_spark.llm import remove_repeated_spans
+
+    span = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, f"head {span} tail words"), (2, "nothing to scrub here")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame([(span,)], "span string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(docs, k=4, spans=spans).collect()
+    }
+    assert out[1]["clean_text"] == "head tail words"
+    assert out[1]["n_tokens_removed"] == 4
+    assert out[2]["n_tokens_removed"] == 0
