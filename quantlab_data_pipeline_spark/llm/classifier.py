@@ -1,0 +1,113 @@
+"""Learned document-quality classifier (distillation pattern).
+
+Production pretraining pipelines (CCNet, DCLM, FineWeb-Edu) filter with a
+*trained* classifier — a cheap linear model over bag-of-words features,
+fasttext-style — rather than hand-tuned heuristics alone. The heuristics
+bootstrap the labels (distillation): label a sample with the rule-based
+filter (:func:`..text.with_quality_score` / ``with_gopher_keep``), fit a
+logistic regression on hashed token features, then score the full corpus
+with the model. The learned model generalizes past the exact rule
+thresholds and its score is a smooth ranking signal for quality-ordered
+curricula, not just a boolean gate.
+
+Scale shape:
+
+- **Training** runs on a hash-sampled slice (``hash_uniform`` — rerun- and
+  partition-stable); MLlib's LogisticRegression is itself distributed
+  (treeAggregate gradient), so even the sample can be millions of rows.
+- **Featurization** is HashingTF (feature hashing): no vocabulary build,
+  no dictionary broadcast, fixed-width vectors — the only corpus pass is
+  the scoring pass itself.
+- **Scoring** is a JVM-side ``PipelineModel.transform`` — tokenizer,
+  hashing, and the dot product all execute in the executors with zero
+  Python in the plan (verified by test: no BatchEvalPython/ArrowEval in
+  the scored plan).
+
+The reference pipeline has no analogue (its quality control is schema
+validation only); this is part of the beyond-parity training-data
+surface. No proprietary models or weights involved — labels come from
+the published Gopher/C4-style rules implemented in :mod:`.text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"  # mirrors text._tokens: lowercase [a-z0-9]+ runs
+
+
+def _pipeline(text_col: str, num_features: int, max_iter: float, reg: float):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col,
+        outputCol="__words",
+        pattern=TOKEN_SPLIT,
+        gaps=True,
+        toLowercase=True,
+    )
+    tf = HashingTF(
+        inputCol="__words", outputCol="features", numFeatures=num_features
+    )
+    lr = LogisticRegression(
+        maxIter=int(max_iter),
+        regParam=reg,
+        labelCol="label",
+        featuresCol="features",
+        probabilityCol="__prob",
+        rawPredictionCol="__raw",
+        predictionCol="__pred",
+    )
+    return Pipeline(stages=[tok, tf, lr])
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    sample_frac: float = 1.0,
+    num_features: int = 1 << 18,
+    max_iter: int = 30,
+    reg: float = 1e-3,
+):
+    """Fit the quality model. Returns an MLlib ``PipelineModel``.
+
+    ``label_col``: an existing boolean/0-1 teacher column. When ``None``
+    the rule-based :func:`..text.with_quality_score` ``keep`` flag labels
+    the data (distillation of the heuristic). ``sample_frac`` < 1 trains
+    on a deterministic md5-hash slice — the same rows on every rerun and
+    any partitioning, unlike ``DataFrame.sample``.
+    """
+    from .text import hash_uniform, with_quality_score
+
+    d = docs.filter(F.col(text_col).isNotNull())
+    if sample_frac < 1.0:
+        d = d.filter(hash_uniform("qc-train", d.columns[0]) < sample_frac)
+    if label_col is None:
+        d = with_quality_score(d, text_col)
+        label_col = "keep"
+    d = d.withColumn("label", F.col(label_col).cast("double"))
+    return _pipeline(text_col, num_features, max_iter, reg).fit(d)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score a corpus with a trained model: adds ``ml_quality_prob``
+    (P(keep), a smooth ranking signal) and ``ml_keep``. Null text scores
+    as empty text (tokenizer contract) rather than erroring. The whole
+    transform is JVM-side — safe in the hot path of a 100 TB scan."""
+    d = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(d)
+    return scored.select(
+        *docs.columns,
+        F.round(vector_to_array("__prob")[1], 6).alias("ml_quality_prob"),
+    ).withColumn("ml_keep", F.col("ml_quality_prob") >= threshold)

@@ -574,6 +574,21 @@ def scrub_repeated_spans_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality classifier (distilled from the rule-based filter,
+    fasttext-style): trains MLlib LogisticRegression over hashed token
+    features on the corpus, then scores it JVM-side. Model weights are
+    not SQL-expressible -> rows-only check; the teacher itself is the
+    oracle-checked ``text_quality``."""
+    from .llm.classifier import score_quality, train_quality_classifier
+
+    docs = load_table(spark, sf, "documents")
+    model = train_quality_classifier(docs, num_features=1 << 16, max_iter=20)
+    return score_quality(docs, model).select(
+        "doc_id", "ml_quality_prob", "ml_keep"
+    )
+
+
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition stats + keep flag (Rae et al. 2021 table A1):
     duplicate line/paragraph fractions and n-gram coverage fractions,
@@ -686,6 +701,7 @@ SPARK_QUERIES_EXT = {
     "top_ngrams_docs": top_ngrams_docs,
     "repeated_spans_docs": repeated_spans_docs,
     "scrub_repeated_spans": scrub_repeated_spans_docs,
+    "ml_quality_docs": ml_quality_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
     "decontaminate_docs": decontaminate_docs,

@@ -629,3 +629,97 @@ def test_ivf_pq_index_two_stage_query(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
+
+
+# ---------------------------------------------------------------- classifier
+
+
+def _clf_fixture(spark):
+    clean = [
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "a database engine that scans parquet files is efficient in the cloud",
+        "we measured the throughput of the query and it was fast in practice",
+        "spark is a distributed engine that executes declarative plans well",
+        "the cat sat on the mat and the dog slept in the sun all afternoon",
+        "reading a book in the evening is a fine way to end the day quietly",
+    ]
+    spam = [
+        "$$$ !!! %%% ### @@@ ^^^ &&& *** ((( ))) ~~~",
+        "zz zz zz zz zz zz zz zz zz zz zz zz",
+        "!?!?!?!?!? #### $$$$ %%%% ^^^^",
+        "qqq qqq qqq qqq qqq qqq qqq qqq",
+        "#### //// \\\\ ;;;; :::: ....",
+        "xx yy xx yy xx yy xx yy xx yy",
+    ]
+    rows = [(i, t) for i, t in enumerate(clean + spam)]
+    return spark.createDataFrame(rows, "doc_id long, text string"), len(clean)
+
+
+def test_quality_classifier_distills_teacher(spark):
+    """Distillation contract: the model's keep decision reproduces the
+    rule-based teacher's keep flag on the training corpus, and the
+    teacher actually provides both classes here (punct-soup docs are
+    rejected, prose is kept)."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from quantlab_data_pipeline_spark.llm.text import with_quality_score
+
+    df, _ = _clf_fixture(spark)
+    teacher = {
+        r["doc_id"]: r["keep"]
+        for r in with_quality_score(df).select("doc_id", "keep").collect()
+    }
+    assert len(set(teacher.values())) == 2  # both classes present
+    model = train_quality_classifier(df, num_features=1 << 12, max_iter=30)
+    out = {r["doc_id"]: r for r in score_quality(df, model).collect()}
+    assert all(out[i]["ml_keep"] == teacher[i] for i in teacher)
+
+
+def test_quality_classifier_deterministic_and_jvm_side(spark):
+    """Two independent fits give identical scores (LBFGS from a fixed
+    init on identical data), and the scoring plan contains no Python
+    eval node — the transform is safe in a 100 TB scan's hot path."""
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    df, _ = _clf_fixture(spark)
+    kw = dict(num_features=1 << 12, max_iter=20)
+    m1 = train_quality_classifier(df, **kw)
+    m2 = train_quality_classifier(df, **kw)
+    s1 = sorted(map(tuple, score_quality(df, m1).select("doc_id", "ml_quality_prob").collect()))
+    s2 = sorted(map(tuple, score_quality(df, m2).select("doc_id", "ml_quality_prob").collect()))
+    assert s1 == s2
+    plan = (
+        score_quality(df, m1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_quality_classifier_null_text_and_external_labels(spark):
+    """Null text scores as empty (no crash); a caller-provided teacher
+    column overrides the built-in heuristic labels."""
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    df, n_clean = _clf_fixture(spark)
+    labeled = df.withColumn("my_label", df.doc_id < n_clean)
+    model = train_quality_classifier(
+        labeled, label_col="my_label", num_features=1 << 12
+    )
+    with_null = df.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    out = {r["doc_id"]: r for r in score_quality(with_null, model).collect()}
+    assert 99 in out and out[99]["ml_quality_prob"] is not None
+    assert out[0]["ml_quality_prob"] > out[n_clean]["ml_quality_prob"]
