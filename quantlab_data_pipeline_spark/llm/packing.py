@@ -267,3 +267,67 @@ def shuffle_rows(
     """
     h = F.xxhash64(F.lit(salt), F.col(id_col))
     return df.orderBy(h.asc(), F.col(id_col).asc())
+
+
+SENTENCE_SPLIT = r"(?<=[.!?])\s+"
+
+
+def chunk_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 400,
+) -> DataFrame:
+    """Sentence-boundary-aware greedy chunking via a Python UDTF — the
+    RAG/context-window splitter: sentences accumulate into a chunk until
+    the next one would cross ``max_chars``; an oversized single sentence
+    becomes its own (over-budget) chunk, never split mid-sentence.
+
+    This is the repo's one deliberate Python UDTF (SURVEY §2.10): greedy
+    per-row accumulation emitting a variable number of rows is the
+    use-case the UDTF surface exists for — a native-expression fold
+    (``aggregate`` over the sentence array) can compute the *boundaries*
+    but not emit rows, and ``posexplode`` alone can't carry the
+    accumulation state. The eval is Arrow-batched
+    (``useArrow=True``), and everything around it (the lateral join,
+    downstream filters) stays JVM-side; per-row work is O(len(text)).
+
+    Returns (id, chunk_idx, n_sentences, chunk) — one row per chunk, in
+    document order, deterministic.
+    """
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    split_pat = SENTENCE_SPLIT
+    budget = int(max_chars)
+
+    @udtf(returnType="chunk_idx int, n_sentences int, chunk string", useArrow=True)
+    class _SentenceChunker:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF contract
+            sents = [
+                s for s in re.split(split_pat, text or "") if s.strip()
+            ]
+            buf: list[str] = []
+            size = 0
+            idx = 0
+            for s in sents:
+                add = len(s) if not buf else len(s) + 1
+                if buf and size + add > budget:
+                    yield idx, len(buf), " ".join(buf)
+                    idx += 1
+                    buf, size = [s], len(s)
+                else:
+                    buf.append(s)
+                    size += add
+            if buf:
+                yield idx, len(buf), " ".join(buf)
+
+    spark = docs.sparkSession
+    name = f"__sentence_chunker_{budget}"
+    spark.udtf.register(name, _SentenceChunker)
+    docs.select(id_col, text_col).createOrReplaceTempView("__chunk_input")
+    return spark.sql(
+        f"SELECT {id_col}, c.chunk_idx, c.n_sentences, c.chunk "
+        f"FROM __chunk_input, LATERAL {name}({text_col}) AS c"
+    )

@@ -589,6 +589,19 @@ def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
+    per-row variable-arity imperative output is the one legitimate UDTF
+    case; rows-only check since greedy accumulation is not
+    SQL-expressible)."""
+    from .llm.packing import chunk_sentences
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_sentences(docs, max_chars=200).select(
+        "doc_id", "chunk_idx", "n_sentences", F.md5("chunk").alias("chunk_md5")
+    )
+
+
 def gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition stats + keep flag (Rae et al. 2021 table A1):
     duplicate line/paragraph fractions and n-gram coverage fractions,
@@ -702,6 +715,7 @@ SPARK_QUERIES_EXT = {
     "repeated_spans_docs": repeated_spans_docs,
     "scrub_repeated_spans": scrub_repeated_spans_docs,
     "ml_quality_docs": ml_quality_docs,
+    "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
     "decontaminate_docs": decontaminate_docs,

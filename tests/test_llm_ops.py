@@ -723,3 +723,37 @@ def test_quality_classifier_null_text_and_external_labels(spark):
     out = {r["doc_id"]: r for r in score_quality(with_null, model).collect()}
     assert 99 in out and out[99]["ml_quality_prob"] is not None
     assert out[0]["ml_quality_prob"] > out[n_clean]["ml_quality_prob"]
+
+
+def test_distributed_centroids_drive_ivf(spark):
+    """MLlib-KMeans centroids plug into the same IVF contract as the
+    driver-sample trainer: k unit-length centers, and full-probe IVF
+    over them still equals the exact top-k (exhaustiveness doesn't
+    depend on which trainer made the lists)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids_distributed(emb, k=8, max_iter=5)
+    assert len(cents) == 8
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-6
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, emb, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(qs, emb, centroids=cents, k=5, nprobe=8).collect()
+    }
+    assert full == exact

@@ -767,3 +767,59 @@ def test_remove_repeated_spans_accepts_external_span_list(spark):
     assert out[1]["clean_text"] == "head tail words"
     assert out[1]["n_tokens_removed"] == 4
     assert out[2]["n_tokens_removed"] == 0
+
+
+def test_chunk_sentences_matches_python_oracle(spark):
+    """UDTF chunker: greedy sentence accumulation matches a direct
+    python recomputation; no sentence is ever split, chunks stay within
+    budget unless a single sentence exceeds it."""
+    import re
+
+    from quantlab_data_pipeline_spark.llm.packing import (
+        SENTENCE_SPLIT,
+        chunk_sentences,
+    )
+
+    texts = {
+        1: "First sentence here. Second one follows! Third is a bit longer "
+           "than the others? Fourth ends it.",
+        2: "x" * 500 + ". Short tail.",
+        5: "One. Two. Three. Four. Five. Six. Seven. Eight. Nine. Ten.",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()] + [(3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    budget = 60
+    out = chunk_sentences(docs, max_chars=budget).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_sentences"], r["chunk"])
+        )
+
+    def oracle(text):
+        sents = [s for s in re.split(SENTENCE_SPLIT, text) if s.strip()]
+        chunks, buf = [], []
+        for s in sents:
+            cand = " ".join(buf + [s])
+            if buf and len(cand) > budget:
+                chunks.append((len(chunks), len(buf), " ".join(buf)))
+                buf = [s]
+            else:
+                buf.append(s)
+        if buf:
+            chunks.append((len(chunks), len(buf), " ".join(buf)))
+        return chunks
+
+    for i, t in texts.items():
+        assert sorted(got[i]) == oracle(t), f"doc {i}"
+        # no sentence split: rejoining chunks reproduces every sentence
+        rejoined = " ".join(c for _, _, c in sorted(got[i]))
+        for s in re.split(SENTENCE_SPLIT, t):
+            if s.strip():
+                assert s in rejoined
+        for _, n, c in got[i]:
+            assert len(c) <= budget or n == 1
+    # null/empty docs emit no chunks (lateral join over an empty yield)
+    assert 3 not in got and 4 not in got

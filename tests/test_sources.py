@@ -200,3 +200,51 @@ def test_sql_date_validation_rejects_injection(spark):
     with pytest.raises(ValueError, match="YYYY-MM-DD"):
         src.benchmark("01/02/2020", "2020-12-31")
     assert src.attempted == []  # rejected before any SQL was built
+
+
+# ------------------------------------------------------------ corpus intake
+
+
+def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL intake: clean docs parse with the declared
+    schema, malformed lines land in quarantine verbatim, nothing is
+    silently dropped."""
+    from quantlab_data_pipeline_spark.sources.corpus import (
+        read_jsonl_corpus,
+        split_corrupt,
+    )
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "web", "n_chars": 11}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "second doc", "lang": "en", '
+        '"source": "web", "n_chars": 10}\n'
+        '{"doc_id": 3, "text": "unclosed\n',
+    )
+    clean, quarantine = split_corrupt(read_jsonl_corpus(spark, str(p)))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "hello world" and rows[1]["n_chars"] == 11
+    assert len(bad) == 2
+    assert "this is not json at all" in bad
+    assert clean.count() + quarantine.count() == 4
+
+
+def test_csv_corpus_reads_declared_schema(spark, tmp_path):
+    from quantlab_data_pipeline_spark.sources.corpus import (
+        read_csv_corpus,
+        split_corrupt,
+    )
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,hello,en,web,5\n"
+        "2,world,en,web,not_an_int\n"
+    )
+    clean, quarantine = split_corrupt(read_csv_corpus(spark, str(p)))
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    assert quarantine.count() == 1
