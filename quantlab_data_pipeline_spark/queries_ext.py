@@ -508,6 +508,105 @@ def autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger bands (20-row mean ± 2σ envelope) per user over the
+    event value series — the mean-reversion indicator; one window sort
+    feeds all three outputs, incomplete windows excluded."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    ma = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("ma_20", F.round(ma, 6))
+        .withColumn("upper_band", F.round(ma + 2 * sd, 6))
+        .withColumn("lower_band", F.round(ma - 2 * sd, 6))
+        .withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") == 20)
+        .select("event_id", "user_id", "ma_20", "upper_band", "lower_band")
+    )
+
+
+def vwap_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly value-weighted average per user: price = value, weight =
+    the numeric ``k`` in the props JSON — the VWAP shape (sum(p·w) /
+    sum(w)) with a JSON extraction feeding the weights and a nullif
+    guarding the all-zero-weight hour. Pure partial-aggregable
+    expressions: one shuffle on (user_id, hour)."""
+    ev = load_table(spark, sf, "events")
+    wgt = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.withColumn("__w", wgt)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("__w"))
+                / F.nullif(F.sum("__w"), F.lit(0.0)),
+                6,
+            ).alias("vwap"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def rsi_events(spark: SparkSession, sf: str) -> DataFrame:
+    """RSI-14 (simple-average variant) per user: up/down moves from the
+    lagged diff, 14-row mean gain/loss, RSI = 100·gain/(gain+loss).
+    The algebraically equivalent form of 100 - 100/(1+RS) that needs
+    only ONE zero-guard (a flat window yields null, not a crash —
+    ANSI-safe). Two stacked windows over a single sort."""
+    ev = load_table(spark, sf, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w14 = order.rowsBetween(-13, Window.currentRow)
+    diff = F.col("value") - F.lag("value").over(order)
+    gain = F.when(diff > 0, diff).otherwise(F.lit(0.0))
+    loss = F.when(diff < 0, -diff).otherwise(F.lit(0.0))
+    return (
+        ev.withColumn("__d", diff)
+        .withColumn("__g", F.avg(gain).over(w14))
+        .withColumn("__l", F.avg(loss).over(w14))
+        .withColumn("__n", F.count("__d").over(w14))
+        .filter(F.col("__n") == 14)
+        .withColumn(
+            "rsi_14",
+            F.round(
+                100.0 * F.col("__g")
+                / F.nullif(F.col("__g") + F.col("__l"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("event_id", "user_id", "rsi_14")
+    )
+
+
+def ewma_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially weighted moving average (span 20) per user — the
+    one quant window that is genuinely recursive (EWMA_t depends on
+    EWMA_{t-1} with no finite-frame rewrite), so it runs as an
+    applyInPandas grouped map: one shuffle keys each user's series to
+    an executor, pandas ``ewm`` runs the recursion vectorized per
+    group, and nothing touches the driver. Rows-only check (the
+    recursion is not ANSI-SQL-expressible); the pytest cross-checks
+    against pandas on a driver-computed oracle."""
+    import pandas as pd
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma_20"] = (
+            pdf["value"].ewm(span=20, adjust=False).mean().round(6)
+        )
+        return pdf[["event_id", "user_id", "ewma_20"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "event_id long, user_id long, ewma_20 double"
+    )
+
+
 def chunk_plan_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk layout plan (GPT-style) at max_tokens=512: the
     distributed prefix sum must equal the single-window running sum the
@@ -707,6 +806,10 @@ SPARK_QUERIES_EXT = {
     "autocorr_lag1": autocorr_lag1,
     "ohlc_bars": ohlc_bars,
     "rolling_beta": rolling_beta,
+    "bollinger_bands": bollinger_bands,
+    "vwap_events": vwap_events,
+    "rsi_events": rsi_events,
+    "ewma_events": ewma_events,
     # LLM corpus ops
     "chunk_plan_docs": chunk_plan_docs,
     "deterministic_split_docs": deterministic_split_docs,
@@ -937,6 +1040,47 @@ ORACLE_SQL_EXT = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         ) t WHERE n = 20
+    """,
+    "bollinger_bands": """
+        SELECT event_id, user_id, ma_20, upper_band, lower_band FROM (
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS ma_20,
+                   round(avg(value) OVER w
+                         + 2 * stddev_samp(value) OVER w, 6) AS upper_band,
+                   round(avg(value) OVER w
+                         - 2 * stddev_samp(value) OVER w, 6) AS lower_band,
+                   count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ) t WHERE n = 20
+    """,
+    "vwap_events": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               round(sum(value * w) / nullif(sum(w), 0.0), 6) AS vwap,
+               count(*) AS n_events
+        FROM (SELECT user_id, ts, value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS w
+              FROM events)
+        GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "rsi_events": """
+        SELECT event_id, user_id,
+               round(100.0 * g / nullif(g + l, 0.0), 6) AS rsi_14
+        FROM (
+            SELECT event_id, user_id,
+                   avg(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w14 AS g,
+                   avg(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w14 AS l,
+                   count(d) OVER w14 AS n
+            FROM (
+                SELECT event_id, user_id, ts,
+                       value - lag(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS d
+                FROM events
+            )
+            WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ) t WHERE n = 14
     """,
     "max_drawdown": """
         WITH c AS (

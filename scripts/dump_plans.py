@@ -37,6 +37,10 @@ HEADLINE = [
     "q18_large_volume",
     "max_drawdown",
     "decontaminate_docs",
+    # round-2 late additions
+    "scrub_repeated_spans",
+    "ml_quality_docs",
+    "chunk_sentences_docs",
 ]
 
 

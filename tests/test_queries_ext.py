@@ -137,3 +137,52 @@ def test_decimal_revenue_is_partitioning_invariant(spark):
         F.round(F.sum(vol), 2).cast("double").alias("revenue")
     ).collect()[0]["revenue"]
     assert base == other
+
+
+def test_ewma_matches_pandas(spark, events_pd):
+    """applyInPandas EWMA must equal a straight driver-side pandas ewm
+    over the identically-ordered series — the grouped-map shuffle and
+    per-group recursion add nothing but distribution."""
+    from quantlab_data_pipeline_spark.queries_ext import ewma_events
+
+    got = {
+        r["event_id"]: r["ewma_20"]
+        for r in ewma_events(spark, SF).collect()
+    }
+    want = (
+        events_pd.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(span=20, adjust=False).mean())
+        .round(6)
+    )
+    assert len(got) == len(events_pd)
+    for eid, w in zip(events_pd["event_id"], want):
+        assert got[eid] == pytest.approx(w, abs=1e-9), eid
+
+
+def test_rsi_bounds_and_flat_series(spark):
+    """RSI stays in [0, 100]; an all-up series pins to 100, a flat
+    series yields null (0/0 guarded by nullif, not a crash)."""
+    import datetime as dt
+
+    from quantlab_data_pipeline_spark.queries_ext import rsi_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):  # user 1: strictly rising; user 2: flat
+        rows.append((100 + i, t0 + dt.timedelta(hours=i), 1, "c", float(i), None))
+        rows.append((200 + i, t0 + dt.timedelta(hours=i), 2, "c", 5.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r["user_id"], r["event_id"]): r["rsi_14"] for r in rsi_events(spark, d).collect()}
+    rising = [v for (u, _), v in out.items() if u == 1]
+    flat = [v for (u, _), v in out.items() if u == 2]
+    assert rising and all(v == 100.0 for v in rising)
+    assert flat and all(v is None for v in flat)
