@@ -785,6 +785,214 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Cross-sectional / event-analytics operators (round-2 additions)
+# --------------------------------------------------------------------------
+
+
+def zscore_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-sectional winsorization + z-score per hour — the standard
+    factor-hygiene pass (clamp to [p05, p95], then standardize against
+    the winsorized cross-section). Two tiny per-hour aggregate frames
+    (exact interpolated percentiles, then mean/std of the clamped
+    values) broadcast back onto the fact — no window sort over the full
+    table, so the only full-data shuffles are the two partial-aggregable
+    groupBys. At 100 TB the stats frames stay one-row-per-hour and both
+    joins remain broadcasts."""
+    ev = load_table(spark, sf, "events")
+    hour = F.date_trunc("hour", "ts")
+    pct = (
+        ev.groupBy(hour.alias("h"))
+        .agg(
+            F.percentile("value", F.lit(0.05)).alias("p05"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+    )
+    clamped = (
+        ev.withColumn("h", hour)
+        .join(F.broadcast(pct), "h")
+        .withColumn(
+            "__w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+        )
+    )
+    stats = clamped.groupBy("h").agg(
+        F.avg("__w").alias("mu"), F.stddev_samp("__w").alias("sd")
+    )
+    return (
+        clamped.join(F.broadcast(stats), "h")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("__w", 6).alias("w_value"),
+            F.round(
+                (F.col("__w") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+def decile_portfolio(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile-portfolio construction: rank each hour's cross-section
+    into ntile(10) buckets (ordered by value with the unique event_id
+    as the deterministic tie-break) and aggregate each bucket — the
+    quantile-portfolio step of every factor backtest. One window sort
+    per hour partition plus a map-side-combined shuffle on
+    (hour, decile)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy(F.date_trunc("hour", "ts").alias("bar_ts"), "decile")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """21-row rolling median per user — the robust (outlier-immune)
+    smoother quant pipelines prefer over the mean for spike-laden
+    series. Odd complete windows only, so the median is the exact
+    middle order statistic: sort the 21-element window array and take
+    element 11 — pure native expressions (collect_list over the frame +
+    array_sort + element_at), no Python and no per-row percentile
+    state."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    return (
+        ev.withColumn("__a", arr)
+        .filter(F.size("__a") == 21)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.element_at(F.array_sort("__a"), 11), 6).alias("med_21"),
+        )
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    converts at each stage only with a strictly-later event of the next
+    type. Three stage frames, each one row per user (so every join
+    after the first aggregation is broadcast-sized relative to the
+    event fact), folded into one summary row. The event scan is
+    filtered to the three funnel types before any shuffle."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_click"),
+            F.count("p_ts").alias("n_purchase"),
+        )
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted at day offsets 0..7. Two aggregations (per-user cohort
+    day, distinct per-user activity days) and a broadcast of the
+    one-row-per-user cohort frame; the (cohort, offset) output is tiny
+    at any scale."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_trunc("day", "ts")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "day_offset", F.datediff(F.col("d"), F.col("cohort_day"))
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def source_quota_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota capping — the 'downsample over-represented
+    domains' pass of corpus curation. Keeps at most 15 docs per source,
+    chosen by md5 order so the subsample is deterministic, uniform, and
+    reproducible by any engine (same trick as deterministic_split).
+    One window sort per source partition; at 100 TB a skewed mega-
+    domain is bounded by the quota itself — rank early, cap, and the
+    heavy tail never leaves the exchange."""
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 15)
+        .select("doc_id", "source")
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS aggregation — per-returnflag, per-linestatus, and
+    grand-total sums in one scan (the general form of the rollup/cube
+    operators already registered). Spark's native groupingSets plan
+    expands then partial-aggregates, so the fact is still read once."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filling via last-observation-carried-forward: 'error' events
+    are treated as missing readings and take the most recent non-error
+    value in their user's series (null before the first observation).
+    last(..., ignorenulls) over an unbounded-preceding frame — one
+    window sort, no self-join, no Python."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(masked, ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
 SPARK_QUERIES_EXT = {
     # TPC-H completion
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -825,6 +1033,15 @@ SPARK_QUERIES_EXT = {
     "dedup_clusters": dedup_clusters,
     "pack_documents_docs": pack_documents_docs,
     "semantic_dedup_docs": semantic_dedup_docs,
+    # cross-sectional / event analytics
+    "zscore_winsorize": zscore_winsorize,
+    "decile_portfolio": decile_portfolio,
+    "rolling_median": rolling_median,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "source_quota_docs": source_quota_docs,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "forward_fill": forward_fill,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1397,5 +1614,106 @@ ORACLE_SQL_EXT = {
                coalesce(h, 0) >= 1 AS contaminated
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
         LEFT JOIN hits USING (doc_id)
+    """,
+    "zscore_winsorize": """
+        WITH pct AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY date_trunc('hour', ts)
+        ), clamped AS (
+            SELECT event_id, user_id, h,
+                   least(greatest(value, p05), p95) AS w
+            FROM events JOIN pct ON date_trunc('hour', ts) = h
+        ), stats AS (
+            SELECT h, avg(w) AS mu, stddev_samp(w) AS sd
+            FROM clamped GROUP BY h
+        )
+        SELECT event_id, user_id, round(w, 6) AS w_value,
+               round((w - mu) / nullif(sd, 0.0), 6) AS zscore
+        FROM clamped JOIN stats USING (h)
+    """,
+    "decile_portfolio": """
+        SELECT bar_ts, decile,
+               round(avg(value), 6) AS avg_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT date_trunc('hour', ts) AS bar_ts, value,
+                   ntile(10) OVER (PARTITION BY date_trunc('hour', ts)
+                                   ORDER BY value, event_id) AS decile
+            FROM events
+        ) t
+        GROUP BY bar_ts, decile
+    """,
+    "rolling_median": """
+        SELECT event_id, user_id, round(med, 6) AS med_21 FROM (
+            SELECT event_id, user_id,
+                   quantile_cont(value, 0.5) OVER w AS med,
+                   count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        ) t WHERE n = 21
+    """,
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT CAST(count(v_ts) AS BIGINT) AS n_view,
+               CAST(count(c_ts) AS BIGINT) AS n_click,
+               CAST(count(p_ts) AS BIGINT) AS n_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    "retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        )
+        SELECT cohort_day,
+               date_diff('day', cohort_day, d) AS day_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        WHERE date_diff('day', cohort_day, d) <= 7
+        GROUP BY cohort_day, date_diff('day', cohort_day, d)
+    """,
+    "source_quota_docs": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) t WHERE rn <= 15
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "forward_fill": """
+        SELECT event_id, user_id,
+               round(last_value(
+                   CASE WHEN event_type <> 'error' THEN value END
+                   IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   6) AS filled_value
+        FROM events
     """,
 }

@@ -186,3 +186,144 @@ def test_rsi_bounds_and_flat_series(spark):
     flat = [v for (u, _), v in out.items() if u == 2]
     assert rising and all(v == 100.0 for v in rising)
     assert flat and all(v is None for v in flat)
+
+
+def test_rolling_median_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import rolling_median
+
+    got = {
+        r["event_id"]: r["med_21"] for r in rolling_median(spark, SF).collect()
+    }
+    g = events_pd.groupby("user_id")["value"]
+    exp_series = g.rolling(21, min_periods=21).median()
+    exp = {
+        int(events_pd.loc[i, "event_id"]): round(v, 6)
+        for (_, i), v in exp_series.items()
+        if not np.isnan(v)
+    }
+    assert got == pytest.approx(exp)
+
+
+def test_forward_fill_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import forward_fill
+
+    got = {
+        r["event_id"]: r["filled_value"]
+        for r in forward_fill(spark, SF).collect()
+    }
+    df = events_pd.copy()
+    df.loc[df["event_type"] == "error", "value"] = np.nan
+    filled = df.groupby("user_id")["value"].ffill()
+    for i, eid in enumerate(df["event_id"]):
+        v = filled.iloc[i]
+        if np.isnan(v):
+            assert got[int(eid)] is None, eid
+        else:
+            assert got[int(eid)] == pytest.approx(round(v, 6)), eid
+
+
+def test_zscore_winsorize_matches_numpy(spark, events_pd):
+    """Winsorized values are clamped to the hour's exact interpolated
+    [p05, p95] and z-scores standardize the clamped cross-section."""
+    from quantlab_data_pipeline_spark.queries_ext import zscore_winsorize
+
+    got = {
+        r["event_id"]: (r["w_value"], r["zscore"])
+        for r in zscore_winsorize(spark, SF).collect()
+    }
+    df = events_pd.copy()
+    df["h"] = df["ts"].dt.floor("h")
+    for _, grp in df.groupby("h"):
+        p05 = np.percentile(grp["value"], 5, method="linear")
+        p95 = np.percentile(grp["value"], 95, method="linear")
+        w = grp["value"].clip(p05, p95)
+        mu, sd = w.mean(), w.std(ddof=1)
+        for eid, wv in zip(grp["event_id"], w):
+            gw, gz = got[int(eid)]
+            assert gw == pytest.approx(round(wv, 6), abs=1e-6), eid
+            if sd > 0:
+                assert gz == pytest.approx(round((wv - mu) / sd, 6), abs=1e-5)
+
+
+def test_funnel_conversion_matches_pandas(spark, events_pd):
+    from quantlab_data_pipeline_spark.queries_ext import funnel_conversion
+
+    row = funnel_conversion(spark, SF).collect()[0]
+    n_view = n_click = n_purchase = 0
+    for _, grp in events_pd.groupby("user_id"):
+        v = grp.loc[grp["event_type"] == "view", "ts"].min()
+        if pd.isna(v):
+            continue
+        n_view += 1
+        c = grp.loc[
+            (grp["event_type"] == "click") & (grp["ts"] > v), "ts"
+        ].min()
+        if pd.isna(c):
+            continue
+        n_click += 1
+        p = grp.loc[
+            (grp["event_type"] == "purchase") & (grp["ts"] > c), "ts"
+        ].min()
+        if not pd.isna(p):
+            n_purchase += 1
+    assert (row["n_view"], row["n_click"], row["n_purchase"]) == (
+        n_view,
+        n_click,
+        n_purchase,
+    )
+    assert row["n_view"] >= row["n_click"] >= row["n_purchase"]
+
+
+def test_decile_portfolio_ntile_semantics(spark, events_pd):
+    """ntile(10) sizes: first (n mod 10) deciles get ceil(n/10) rows,
+    the rest floor(n/10); per-decile means match a pandas rank split."""
+    from quantlab_data_pipeline_spark.queries_ext import decile_portfolio
+
+    got = {
+        (r["bar_ts"], r["decile"]): (r["avg_value"], r["n"])
+        for r in decile_portfolio(spark, SF).collect()
+    }
+    df = events_pd.copy()
+    df["h"] = df["ts"].dt.floor("h")
+    for h, grp in df.groupby("h"):
+        grp = grp.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(grp)
+        buckets = min(10, n)
+        base, extra = divmod(n, 10)
+        sizes = [base + (1 if i < extra else 0) for i in range(buckets)]
+        start = 0
+        for i, size in enumerate(sizes, start=1):
+            if size == 0:
+                continue
+            chunk = grp.iloc[start : start + size]
+            start += size
+            avg, cnt = got[(h.to_pydatetime(), i)]
+            assert cnt == size, (h, i)
+            assert avg == pytest.approx(round(chunk["value"].mean(), 6))
+
+
+def test_source_quota_cap_and_determinism(spark):
+    from quantlab_data_pipeline_spark.queries_ext import source_quota_docs
+
+    first = source_quota_docs(spark, SF).collect()
+    again = source_quota_docs(spark, SF).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    per_source: dict[str, int] = {}
+    for r in first:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert per_source and all(v <= 15 for v in per_source.values())
+
+
+def test_retention_cohort_offsets_monotone(spark):
+    """Offset-0 retention counts every cohort member; later offsets
+    can never exceed the cohort size."""
+    from quantlab_data_pipeline_spark.queries_ext import retention_cohorts
+
+    rows = retention_cohorts(spark, SF).collect()
+    day0 = {
+        r["cohort_day"]: r["n_users"] for r in rows if r["day_offset"] == 0
+    }
+    assert day0  # every cohort has its day-0 row
+    for r in rows:
+        assert 0 <= r["day_offset"] <= 7
+        assert r["n_users"] <= day0[r["cohort_day"]]
