@@ -64,6 +64,40 @@ def _pipeline(text_col: str, num_features: int, max_iter: float, reg: float):
     return Pipeline(stages=[tok, tf, lr])
 
 
+def _detach_training_summary(model, model_path: str | None = None):
+    """Return ``model`` without its training summary, via a save/load
+    roundtrip (``PipelineModel.load`` never attaches one).
+
+    Why: Spark 4's ``LogisticRegressionModel`` keeps the training
+    summary — which holds the live ``SparkSession`` — reachable from
+    the model object, and the scoring UDF captures the model into task
+    closures. ``SparkSession.observationManager`` is a lazy val; the
+    moment ANY ``df.observe()`` action initializes it (the ingest
+    pipeline's write-count observation does), the session object stops
+    being Java-serializable and every closure holding a summary-bearing
+    model dies with ``Task not serializable: ObservationManager``. The
+    roundtrip costs one tiny model write+read at train time and makes
+    the returned model closure-safe regardless of session history.
+
+    ``model_path``: where to persist (kept if given — doubles as model
+    persistence for reuse). Defaults to a driver-local temp dir, which
+    is correct on local[*]; on a multi-node cluster pass a shared
+    filesystem path (executors read the model files during load).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    tmp = model_path or tempfile.mkdtemp(prefix="qc-model-")
+    target = f"{tmp}/quality_model"
+    model.write().overwrite().save(target)
+    reloaded = PipelineModel.load(target)
+    if model_path is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return reloaded
+
+
 def train_quality_classifier(
     docs: DataFrame,
     text_col: str = "text",
@@ -72,6 +106,7 @@ def train_quality_classifier(
     num_features: int = 1 << 18,
     max_iter: int = 30,
     reg: float = 1e-3,
+    model_path: str | None = None,
 ):
     """Fit the quality model. Returns an MLlib ``PipelineModel``.
 
@@ -90,7 +125,8 @@ def train_quality_classifier(
         d = with_quality_score(d, text_col)
         label_col = "keep"
     d = d.withColumn("label", F.col(label_col).cast("double"))
-    return _pipeline(text_col, num_features, max_iter, reg).fit(d)
+    fitted = _pipeline(text_col, num_features, max_iter, reg).fit(d)
+    return _detach_training_summary(fitted, model_path)
 
 
 def score_quality(

@@ -757,3 +757,32 @@ def test_distributed_centroids_drive_ivf(spark):
         for r in ivf_topk(qs, emb, centroids=cents, k=5, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_quality_classifier_survives_observed_session(spark, tmp_path):
+    """Regression: after ANY df.observe() action initializes the
+    session's ObservationManager (the ingest write path does this),
+    a summary-bearing MLlib model captured in a scoring UDF fails
+    closure serialization with `Task not serializable`. The trainer
+    detaches the summary (save/load roundtrip), so scoring must work
+    in a session where observe() has already run."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    obs = Observation()
+    df, _ = _clf_fixture(spark)
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] > 0  # manager initialized for real
+
+    model = train_quality_classifier(
+        df, num_features=1 << 12, max_iter=5, model_path=str(tmp_path)
+    )
+    scored = score_quality(df, model).collect()  # must not raise
+    assert len(scored) == df.count()
+    assert (tmp_path / "quality_model").exists()  # model persisted
