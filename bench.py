@@ -87,10 +87,20 @@ def main() -> None:
     )
 
     names = [n for n in HEADLINE if n in SPARK_QUERIES]
-    # Include any LLM/beyond-parity headline ops if registered.
+    # Two executions per query: the first pays one-time codegen/JIT
+    # compilation for that plan shape (semantically part of the session,
+    # not the query — on a real cluster a plan compiles once and then
+    # runs over thousands of partitions); the second measures the
+    # steady-state plan execution, which is what scales with data volume.
+    # Both are reported: "value"/"queries" are steady-state, "cold_*"
+    # keep the first-execution numbers honest.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -103,6 +113,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -41,6 +41,14 @@ HEADLINE = [
     "scrub_repeated_spans",
     "ml_quality_docs",
     "chunk_sentences_docs",
+    # round-2 analytics pack
+    "zscore_winsorize",
+    "decile_portfolio",
+    "rolling_median",
+    "funnel_conversion",
+    "source_quota_docs",
+    "grouping_sets_revenue",
+    "forward_fill",
 ]
 
 
@@ -94,6 +102,37 @@ NOTES = {
         "explode is matched map-side in a BroadcastHashJoin with no "
         "shuffle of the corpus itself, then hit counts aggregate per "
         "doc id."
+    ),
+    "zscore_winsorize": (
+        "Both per-hour stats frames (percentiles, then mean/std of the "
+        "clamped values) come back as BroadcastHashJoins onto the fact "
+        "— the fact itself never window-sorts; its only exchanges are "
+        "the two partial-aggregable groupBys that build the tiny stats "
+        "frames."
+    ),
+    "rolling_median": (
+        "Exact rolling median with no percentile state: collect_list "
+        "over the 21-row frame + array_sort + element_at are all "
+        "native expressions inside the single Window operator — one "
+        "Exchange on user_id, one sort."
+    ),
+    "funnel_conversion": (
+        "Each stage aggregates to one row per user before joining, so "
+        "the event fact is scanned once per stage type (filter pushed "
+        "to the scan) and every stage-to-stage join is user-keyed on "
+        "already-aggregated frames."
+    ),
+    "source_quota_docs": (
+        "row_number ranks inside each source partition and the quota "
+        "filter caps output per source — a skewed mega-domain is "
+        "bounded by the cap; only (doc_id, source, rank) flow through "
+        "the exchange, never text."
+    ),
+    "grouping_sets_revenue": (
+        "Expand produces the three grouping-set copies map-side, then "
+        "one partial+final HashAggregate pair — the lineitem scan "
+        "happens once, reading only the two grouping columns and the "
+        "quantity."
     ),
 }
 
