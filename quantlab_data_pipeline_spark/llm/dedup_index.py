@@ -1,0 +1,222 @@
+"""Persistent MinHash dedup index — incremental near-dup detection.
+
+At 100 TB you cannot re-mine the whole corpus every time a batch of new
+documents arrives. The reference pipeline has no analogue (its dedup is
+per-snapshot); production corpus curation needs the incremental shape:
+persist the corpus's MinHash state ONCE — signatures plus banded LSH
+buckets, ids and 8-byte hashes only, never text — and check each
+incoming batch against that index with two narrow equi-joins:
+
+1. band the new batch's signatures and equi-join on
+   ``(band_idx, band_hash)`` against the stored buckets. Candidate
+   generation shuffles only the batch's band keys and matching index
+   rows — the corpus itself is never re-read, re-shingled, or shuffled.
+2. estimate Jaccard for each candidate pair as the fraction of equal
+   signature slots (the standard unbiased MinHash estimator) and keep
+   pairs at/above the threshold. No text comparison anywhere: the
+   index stays a few percent of corpus size and the whole check is
+   pure Catalyst expressions.
+
+Accepted batches append their signatures + buckets (:func:`append_to_index`),
+so the index is the only state that grows. Band structure is recorded in
+a one-row ``meta`` table and enforced on every query/append — mixing
+band parameters silently breaks LSH recall, so a mismatch raises.
+
+Index layout (all parquet, engine-agnostic):
+
+- ``{path}/meta``        — (num_hashes, bands, shingle_k), 1 row
+- ``{path}/signatures``  — (doc_id, signature array<long>)
+- ``{path}/buckets``     — (doc_id, band_idx, band_hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import band_buckets, ensure_parallelism, minhash_signatures
+
+__all__ = [
+    "build_dedup_index",
+    "append_to_index",
+    "query_dedup_index",
+    "flag_new_batch",
+    "read_index_meta",
+]
+
+
+def _sig_and_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    sigs = minhash_signatures(
+        ensure_parallelism(docs),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    ).select(id_col, "signature")
+    buckets = band_buckets(sigs, id_col=id_col, bands=bands)
+    return sigs, buckets
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Create the index at ``path`` from the current corpus (overwrite)."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    spark = docs.sparkSession
+    sigs, buckets = _sig_and_buckets(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    # One lineage feeds both tables; persist so shingling runs once.
+    sigs = sigs.persist()
+    try:
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    finally:
+        sigs.unpersist()
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k)],
+        "num_hashes int, bands int, shingle_k int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """(num_hashes, bands, shingle_k) recorded at build time."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return int(row["num_hashes"]), int(row["bands"]), int(row["shingle_k"])
+
+
+def append_to_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add an accepted batch to the index, with the build-time band
+    structure (read from ``meta`` — callers cannot drift the params)."""
+    num_hashes, bands, shingle_k = read_index_meta(docs.sparkSession, path)
+    sigs, buckets = _sig_and_buckets(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    sigs = sigs.persist()
+    try:
+        sigs.write.mode("append").parquet(f"{path}/signatures")
+        buckets.write.mode("append").parquet(f"{path}/buckets")
+    finally:
+        sigs.unpersist()
+
+
+def query_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between a new batch and the indexed corpus.
+
+    Returns ``(new_id, indexed_id, est_jaccard)`` for every candidate
+    pair whose signature-agreement estimate is >= ``threshold``. A pair
+    is a candidate iff some band matches exactly (same S-curve recall
+    as :func:`..dedup.lsh_candidate_pairs`); identical documents always
+    collide in every band, so exact re-ingests are never missed.
+    """
+    spark = new_docs.sparkSession
+    num_hashes, bands, shingle_k = read_index_meta(spark, path)
+    new_sigs, new_buckets = _sig_and_buckets(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    new_sigs = new_sigs.persist()
+    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    idx_sigs = spark.read.parquet(f"{path}/signatures")
+
+    candidates = (
+        new_buckets.select(
+            F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+        )
+        .join(
+            idx_buckets.select(
+                F.col(id_col).alias("indexed_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("new_sig", "idx_sig", lambda a, b: a == b),
+            lambda m: m,
+        )
+    )
+    return (
+        candidates.join(
+            new_sigs.select(
+                F.col(id_col).alias("new_id"), F.col("signature").alias("new_sig")
+            ),
+            "new_id",
+        )
+        .join(
+            idx_sigs.select(
+                F.col(id_col).alias("indexed_id"),
+                F.col("signature").alias("idx_sig"),
+            ),
+            "indexed_id",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(agree / F.lit(float(num_hashes)), 6),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "indexed_id", "est_jaccard")
+    )
+
+
+def flag_new_batch(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate a new batch against the index: ``is_dup`` plus the best
+    indexed match (highest estimate, lowest id tie-break — deterministic).
+    The typical intake loop is ``flag -> keep !is_dup -> append_to_index``."""
+    pairs = query_dedup_index(new_docs, path, threshold, id_col, text_col)
+    # max(struct) picks the highest estimate; negating the id inside the
+    # struct makes ties resolve to the LOWEST indexed id, deterministically.
+    best = pairs.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                "est_jaccard",
+                (-F.col("indexed_id")).alias("__negid"),
+            )
+        ).alias("__b"),
+        F.count("*").alias("n_matches"),
+    ).select(
+        "new_id",
+        F.col("__b.est_jaccard").alias("best_est_jaccard"),
+        (-F.col("__b.__negid")).alias("best_match_id"),
+        "n_matches",
+    )
+    return (
+        new_docs.join(
+            best, new_docs[id_col] == best["new_id"], "left"
+        )
+        .drop("new_id")
+        .withColumn("is_dup", F.col("best_est_jaccard").isNotNull())
+        .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)))
+    )

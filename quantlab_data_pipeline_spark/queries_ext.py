@@ -785,6 +785,27 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental intake dedup: the even-id half of the corpus plays
+    the already-indexed 100 TB corpus (persisted MinHash index — ids
+    and hashes only, no text), the odd-id half plays a new batch
+    checked against it with two narrow equi-joins. Rows-only (xxhash64
+    signatures have no DuckDB twin); the estimator itself is
+    pytest-verified in tests/test_dedup_index.py."""
+    import tempfile
+
+    from .llm.dedup_index import build_dedup_index, flag_new_batch
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="dedup-index-")
+    build_dedup_index(corpus, path, num_hashes=64, bands=16)
+    return flag_new_batch(batch, path, threshold=0.5).select(
+        "doc_id", "is_dup", "n_matches"
+    )
+
+
 # --------------------------------------------------------------------------
 # Cross-sectional / event-analytics operators (round-2 additions)
 # --------------------------------------------------------------------------
@@ -1042,6 +1063,7 @@ SPARK_QUERIES_EXT = {
     "source_quota_docs": source_quota_docs,
     "grouping_sets_revenue": grouping_sets_revenue,
     "forward_fill": forward_fill,
+    "incremental_dedup_docs": incremental_dedup_docs,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
