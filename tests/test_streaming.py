@@ -284,3 +284,78 @@ def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
     assert (1, 2) in got  # exact dup across batches links to keeper 1
     assert (1, 4) in got  # near dup shares at least one band bucket
     assert all(3 not in p for p in got)  # unrelated doc never flagged
+
+
+def test_streaming_forward_fill_matches_batch(spark, tmp_path):
+    """Streamed LOCF must equal the batch forward_fill window on the
+    same rows — including a carry that crosses the micro-batch
+    boundary (user 1's error in file 2 fills from file 1's last good
+    value) and a leading error with nothing to carry (null)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.streaming.locf import streaming_forward_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    mk = lambda i, u, typ, v: (i, t0 + dt.timedelta(minutes=i), u, typ, v, None)
+    batch1 = [
+        mk(1, 1, "error", 111.0),  # leading error: no carry yet -> null
+        mk(2, 1, "view", 10.0),
+        mk(3, 2, "view", 20.0),
+        mk(4, 1, "error", 222.0),  # fills 10.0 within the batch
+    ]
+    batch2 = [
+        mk(5, 1, "error", 333.0),  # fills 10.0 ACROSS the batch boundary
+        mk(6, 2, "error", 444.0),  # fills 20.0 across the boundary
+        mk(7, 1, "click", 30.0),
+        mk(8, 1, "error", 555.0),  # fills 30.0
+    ]
+    d = tmp_path / "locf_src"
+    os.makedirs(d)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        streaming_forward_fill(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_stream")
+        .option("checkpointLocation", str(tmp_path / "locf_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: r["filled_value"]
+        for r in spark.sql("SELECT * FROM locf_stream").collect()
+    }
+
+    # Batch oracle: forward_fill over the combined table.
+    import quantlab_data_pipeline_spark.queries_ext as qx
+
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    tmp_tbl = tmp_path / "locf_batch"
+    os.makedirs(tmp_tbl)
+    all_rows.write.mode("overwrite").parquet(str(tmp_tbl / "events.parquet"))
+    exp = {
+        r["event_id"]: r["filled_value"]
+        for r in qx.forward_fill(spark, str(tmp_tbl)).collect()
+    }
+    assert got == exp
+    assert got[1] is None and got[5] == 10.0 and got[6] == 20.0 and got[8] == 30.0
