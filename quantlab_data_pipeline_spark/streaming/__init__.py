@@ -1,1 +1,31 @@
+"""Structured Streaming operators (SURVEY §2.9: new capability — the
+reference is strictly batch; each streaming op here is the incremental
+twin of an oracle-checked batch operator)."""
 
+from .dedup import (
+    streaming_exact_dedup,
+    streaming_minhash_candidates,
+    with_fingerprint_stream,
+)
+from .events import (
+    clicks_with_recent_purchase,
+    ohlc_bars_stream,
+    run_to_memory,
+    sessionize,
+    stream_events,
+    windowed_aggregate,
+)
+from .locf import streaming_forward_fill
+
+__all__ = [
+    "clicks_with_recent_purchase",
+    "ohlc_bars_stream",
+    "run_to_memory",
+    "sessionize",
+    "stream_events",
+    "streaming_exact_dedup",
+    "streaming_forward_fill",
+    "streaming_minhash_candidates",
+    "windowed_aggregate",
+    "with_fingerprint_stream",
+]
