@@ -785,6 +785,47 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def trend_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend slope per user — the median of all
+    pairwise slopes, the outlier-immune alternative to OLS for spike-
+    laden series. Genuinely beyond SQL windows (quadratic in the group),
+    so this is the package's grouped-aggregate pandas UDF showcase
+    (SURVEY §2.10): one shuffle keys each user's series to an executor,
+    numpy vectorizes the O(n²) pair slopes per group, nothing touches
+    the driver. Oracle-checkable all the same: DuckDB computes the same
+    statistic as a quadratic self-join + median, so the UDAF is hash-
+    compared cross-engine. Per-group cost is quadratic — use on bounded
+    series (per-asset daily bars, per-user sessions), not unbounded
+    logs."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG function type: this module's
+    # `from __future__ import annotations` stringifies type hints, so
+    # pandas_udf cannot infer the UDAF shape from the signature.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def theil_sen(t_us, v):
+        t = t_us.to_numpy(dtype=np.float64)
+        x = v.to_numpy(dtype=np.float64)
+        dt = t[None, :] - t[:, None]
+        dv = x[None, :] - x[:, None]
+        m = dt > 0  # each unordered pair once; drops equal-time pairs
+        if not m.any():
+            return None
+        return float(np.median(dv[m] / (dt[m] / 1e6)))
+
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                theil_sen(F.unix_micros("ts").cast("double"), F.col("value")), 6
+            ).alias("theil_sen_slope")
+        )
+        .orderBy("user_id")
+    )
+
+
 def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental intake dedup: the even-id half of the corpus plays
     the already-indexed 100 TB corpus (persisted MinHash index — ids
@@ -1064,6 +1105,7 @@ SPARK_QUERIES_EXT = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "forward_fill": forward_fill,
     "incremental_dedup_docs": incremental_dedup_docs,
+    "trend_theil_sen": trend_theil_sen,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1737,5 +1779,19 @@ ORACLE_SQL_EXT = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    6) AS filled_value
         FROM events
+    """,
+    "trend_theil_sen": """
+        WITH pairs AS (
+            SELECT e1.user_id,
+                   (e2.value - e1.value)
+                   / ((epoch_us(e2.ts) - epoch_us(e1.ts)) / 1000000.0)
+                       AS slope
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND epoch_us(e1.ts) < epoch_us(e2.ts)
+        )
+        SELECT user_id,
+               round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        FROM pairs GROUP BY user_id ORDER BY user_id
     """,
 }

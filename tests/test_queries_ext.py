@@ -327,3 +327,26 @@ def test_retention_cohort_offsets_monotone(spark):
     for r in rows:
         assert 0 <= r["day_offset"] <= 7
         assert r["n_users"] <= day0[r["cohort_day"]]
+
+
+def test_trend_theil_sen_matches_numpy(spark, events_pd):
+    """Grouped-agg pandas UDAF vs a direct numpy recompute — median of
+    all pairwise slopes per user, equal-time pairs excluded."""
+    from quantlab_data_pipeline_spark.queries_ext import trend_theil_sen
+
+    got = {
+        r["user_id"]: r["theil_sen_slope"]
+        for r in trend_theil_sen(spark, SF).collect()
+    }
+    exp = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        # normalize to ns first — the parquet fixture loads as
+        # datetime64[us] under pandas 2, where astype(int64) yields µs
+        t = grp["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        v = grp["value"].to_numpy()
+        dt = t[None, :] - t[:, None]
+        dv = v[None, :] - v[:, None]
+        m = dt > 0
+        if m.any():
+            exp[int(uid)] = round(float(np.median(dv[m] / dt[m])), 6)
+    assert got == pytest.approx(exp, abs=1e-6)
