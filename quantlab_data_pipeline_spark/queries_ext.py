@@ -785,6 +785,40 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer activity years (SURVEY §2.7
+    completion beyond the reference's union-only surface): customers
+    ordering in both 1996 and 1997 (intersect) vs 1996-only (except),
+    tagged and unioned. Spark plans both as left-semi/anti joins over
+    the two year slices — the orders scan is shared and each set op is
+    one keyed shuffle."""
+    orders = load_table(spark, sf, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    both = y96.intersect(y97).withColumn("cohort", F.lit("both_years"))
+    only96 = y96.exceptAll(y97).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only96).select(
+        F.col("o_custkey").alias("custkey"), "cohort"
+    )
+
+
+def rank_family_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining rank-family window functions in one pass —
+    percent_rank, cume_dist, and nth_value(3) over each user's value
+    series (dense_rank/ntile/row_number are covered elsewhere). One
+    window sort serves all three outputs."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("value", 3).over(wf), 6).alias("third_lowest"),
+    )
+
+
 def trend_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     """Theil–Sen robust trend slope per user — the median of all
     pairwise slopes, the outlier-immune alternative to OLS for spike-
@@ -1106,6 +1140,8 @@ SPARK_QUERIES_EXT = {
     "forward_fill": forward_fill,
     "incremental_dedup_docs": incremental_dedup_docs,
     "trend_theil_sen": trend_theil_sen,
+    "set_ops_customers": set_ops_customers,
+    "rank_family_events": rank_family_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1793,5 +1829,30 @@ ORACLE_SQL_EXT = {
         SELECT user_id,
                round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
         FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+    "set_ops_customers": """
+        WITH y96 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1996
+        ), y97 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1997
+        )
+        SELECT o_custkey AS custkey, 'both_years' AS cohort
+        FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        UNION ALL
+        SELECT o_custkey AS custkey, 'only_1996' AS cohort
+        FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "rank_family_events": """
+        SELECT event_id, user_id,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(nth_value(value, 3) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING), 6) AS third_lowest
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
     """,
 }
