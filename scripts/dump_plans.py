@@ -49,6 +49,9 @@ HEADLINE = [
     "source_quota_docs",
     "grouping_sets_revenue",
     "forward_fill",
+    "incremental_dedup_docs",
+    "trend_theil_sen",
+    "set_ops_customers",
 ]
 
 
@@ -133,6 +136,24 @@ NOTES = {
         "one partial+final HashAggregate pair — the lineitem scan "
         "happens once, reading only the two grouping columns and the "
         "quantity."
+    ),
+    "incremental_dedup_docs": (
+        "The intake check's joins touch only (id, band_idx, band_hash) "
+        "and (id, signature) — the indexed corpus's TEXT never appears "
+        "in the plan; the only text scan is the new batch's own "
+        "shingling. Candidate generation exchanges on the band key, "
+        "the estimator joins signatures by id."
+    ),
+    "trend_theil_sen": (
+        "The grouped-agg pandas UDF shows as one AggregateInPandas "
+        "after a single Exchange on user_id — the O(n^2) pair work "
+        "happens vectorized inside each group's Arrow batch, never as "
+        "a join."
+    ),
+    "set_ops_customers": (
+        "INTERSECT plans as a left-semi HashAggregate+join, EXCEPT ALL "
+        "as left-anti — both over the two year slices of one shared "
+        "orders scan; no distinct-then-join-then-distinct stacking."
     ),
 }
 
