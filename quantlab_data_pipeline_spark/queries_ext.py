@@ -785,6 +785,18 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bigram_lm_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring: add-alpha bigram model counted
+    from the corpus itself, each doc scored by its mean bigram
+    log-probability — three shuffles (two count aggs + the score join),
+    no model artifact, fully SQL-expressible so the whole train+score
+    path is oracle-checked."""
+    from .llm.lm import bigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    return bigram_logprob(docs)
+
+
 def set_ops_customers(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT / EXCEPT over customer activity years (SURVEY §2.7
     completion beyond the reference's union-only surface): customers
@@ -1142,6 +1154,7 @@ SPARK_QUERIES_EXT = {
     "trend_theil_sen": trend_theil_sen,
     "set_ops_customers": set_ops_customers,
     "rank_family_events": rank_family_events,
+    "bigram_lm_docs": bigram_lm_docs,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1843,6 +1856,32 @@ ORACLE_SQL_EXT = {
         UNION ALL
         SELECT o_custkey AS custkey, 'only_1996' AS cohort
         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "bigram_lm_docs": f"""
+        WITH toks AS (SELECT doc_id, {_W} AS w FROM documents),
+        db AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM toks WHERE len(w) >= 2
+        ),
+        bc AS (SELECT bigram, CAST(count(*) AS DOUBLE) AS c12
+               FROM db GROUP BY bigram),
+        uc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                      CAST(count(*) AS DOUBLE) AS c1
+               FROM db GROUP BY 1),
+        vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+               FROM (SELECT unnest(w) AS tok FROM toks)),
+        lp AS (
+            SELECT bc.bigram, ln((c12 + 0.5) / (c1 + 0.5 * v)) AS lp
+            FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1
+            CROSS JOIN vv
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logprob
+        FROM db JOIN lp USING (bigram)
+        GROUP BY doc_id
     """,
     "rank_family_events": """
         SELECT event_id, user_id,

@@ -786,3 +786,56 @@ def test_quality_classifier_survives_observed_session(spark, tmp_path):
     scored = score_quality(df, model).collect()  # must not raise
     assert len(scored) == df.count()
     assert (tmp_path / "quality_model").exists()  # model persisted
+
+
+def test_bigram_lm_prefers_fluent_text(spark):
+    """Self-scored LM: a doc repeating the corpus's dominant phrasing
+    scores higher than a same-length word-salad doc; docs with < 2
+    tokens are absent (unscorable, not good)."""
+    from quantlab_data_pipeline_spark.llm.lm import bigram_logprob
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zeppelin quartz memo violet daffodil ember nine oak"))
+    rows.append((101, "x"))  # single token: no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 101 not in got
+    assert got[0]["avg_logprob"] > got[100]["avg_logprob"]
+    assert got[0]["n_bigrams"] == 8  # 9 tokens -> 8 bigrams
+
+
+def test_bigram_lm_external_train_backoff(spark):
+    """Scoring against a separate training corpus: an unseen bigram
+    with a seen prefix takes the smoothed prefix floor, a wholly
+    unseen prefix takes ln(1/V); both finite, ordered sanely."""
+    import math
+
+    from quantlab_data_pipeline_spark.llm.lm import bigram_logprob
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "alpha beta"),      # seen bigram
+            (11, "alpha zeta"),      # seen prefix, unseen bigram
+            (12, "omega psi"),       # unseen prefix
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob(score, train_docs=train).collect()
+    }
+    # train counts: C(alpha beta)=2, C1(alpha)=2, V=3, a=0.5
+    assert got[10] == round(math.log((2 + 0.5) / (2 + 0.5 * 3)), 6)
+    assert got[11] == round(math.log(0.5 / (2 + 0.5 * 3)), 6)
+    assert got[12] == round(math.log(1 / 3), 6)
+    # The seen bigram beats both fallbacks. Note the two fallbacks'
+    # order: ln(1/V) is the prefix floor evaluated at C1=0, so a
+    # FREQUENT prefix with an unseen continuation (more surprising)
+    # scores below a wholly unseen prefix — intended un-normalized
+    # add-alpha behavior.
+    assert got[10] > got[11] and got[10] > got[12]
+    assert got[12] > got[11]
