@@ -52,6 +52,7 @@ HEADLINE = [
     "incremental_dedup_docs",
     "trend_theil_sen",
     "set_ops_customers",
+    "bigram_lm_docs",
 ]
 
 
@@ -154,6 +155,13 @@ NOTES = {
         "INTERSECT plans as a left-semi HashAggregate+join, EXCEPT ALL "
         "as left-anti — both over the two year slices of one shared "
         "orders scan; no distinct-then-join-then-distinct stacking."
+    ),
+    "bigram_lm_docs": (
+        "LM training and scoring in one DAG: the bigram/prefix count "
+        "aggs are partial+final HashAggregate pairs, the vocabulary "
+        "size and the two fallback tables come back as broadcasts, and "
+        "the score join exchanges on the bigram key. No Python, no "
+        "model artifact."
     ),
 }
 
