@@ -785,6 +785,20 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer pairs whose names are within Levenshtein distance 1 —
+    exact fuzzy matching via the deletion-neighborhood equi-join
+    (operators.fuzzy), never a cross join. The oracle uses the same
+    identity in SQL (unnest variants -> join -> verify), so both
+    engines prove the blocking is lossless."""
+    from .operators.fuzzy import fuzzy_pairs_distance1
+
+    cust = load_table(spark, sf, "customer")
+    return fuzzy_pairs_distance1(cust, "c_custkey", "c_name").withColumnsRenamed(
+        {"id_a": "custkey_a", "id_b": "custkey_b"}
+    )
+
+
 def bigram_lm_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring: add-alpha bigram model counted
     from the corpus itself, each doc scored by its mean bigram
@@ -1155,6 +1169,7 @@ SPARK_QUERIES_EXT = {
     "set_ops_customers": set_ops_customers,
     "rank_family_events": rank_family_events,
     "bigram_lm_docs": bigram_lm_docs,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1856,6 +1871,23 @@ ORACLE_SQL_EXT = {
         UNION ALL
         SELECT o_custkey AS custkey, 'only_1996' AS cohort
         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "fuzzy_name_pairs": """
+        WITH v AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   unnest(list_prepend(c_name,
+                       list_transform(generate_series(1, len(c_name)),
+                           i -> substr(c_name, 1, i - 1)
+                                || substr(c_name, i + 1)))) AS var
+            FROM customer
+        ), cand AS (
+            SELECT DISTINCT a.id AS custkey_a, b.id AS custkey_b,
+                            a.name AS na, b.name AS nb
+            FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+        )
+        SELECT custkey_a, custkey_b,
+               CAST(levenshtein(na, nb) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(na, nb) <= 1
     """,
     "bigram_lm_docs": f"""
         WITH toks AS (SELECT doc_id, {_W} AS w FROM documents),
