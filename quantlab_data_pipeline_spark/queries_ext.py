@@ -785,6 +785,38 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rollup_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup maintenance invariant, oracle-checked: build
+    the (day, event_type) rollup from the first half of the month,
+    additively refresh with the second half (only those day partitions
+    are read back and rewritten), and the merged store must equal a
+    one-shot aggregation of the whole fact — which is exactly what the
+    DuckDB oracle computes."""
+    import tempfile
+
+    from .storage.rollup import build_rollup, read_rollup, refresh_rollup
+
+    ev = load_table(spark, sf, "events")
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    path = tempfile.mkdtemp(prefix="rollup-") + "/events_daily"
+    build_rollup(
+        ev.filter(F.col("ts") < split), path, "ts", ["event_type"], "value"
+    )
+    refresh_rollup(
+        ev.filter(F.col("ts") >= split), path, "ts", ["event_type"], "value"
+    )
+    r = read_rollup(spark, path)
+    return r.select(
+        "grain_key",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
 def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Customer pairs whose names are within Levenshtein distance 1 —
     exact fuzzy matching via the deletion-neighborhood equi-join
@@ -1170,6 +1202,7 @@ SPARK_QUERIES_EXT = {
     "rank_family_events": rank_family_events,
     "bigram_lm_docs": bigram_lm_docs,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "rollup_incremental_events": rollup_incremental_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1871,6 +1904,17 @@ ORACLE_SQL_EXT = {
         UNION ALL
         SELECT o_custkey AS custkey, 'only_1996' AS cohort
         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "rollup_incremental_events": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS grain_key,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS sum_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(avg(value), 6) AS avg_v
+        FROM events
+        GROUP BY 1, 2
     """,
     "fuzzy_name_pairs": """
         WITH v AS (

@@ -1,0 +1,120 @@
+"""Incremental materialized rollup (storage/rollup.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, days):
+    rows = []
+    i = 0
+    for d, types in days:
+        for typ, v in types:
+            i += 1
+            rows.append((i, dt.datetime(2024, 3, d, 10, i % 50), 1, typ, v, None))
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_refresh_equals_full_recompute(spark, tmp_path):
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    first = _events(
+        spark, [(1, [("a", 1.0), ("a", 3.0), ("b", 5.0)]), (2, [("a", 7.0)])]
+    )
+    late = _events(spark, [(2, [("a", 9.0), ("b", 2.0)]), (3, [("b", 4.0)])])
+    path = str(tmp_path / "rollup")
+    build_rollup(first, path, "ts", ["event_type"], "value")
+    keys = refresh_rollup(late, path, "ts", ["event_type"], "value")
+    assert keys == ["2024-03-02", "2024-03-03"]  # only touched days
+
+    got = {
+        (r["grain_key"], r["event_type"]): (
+            r["n"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"]
+        )
+        for r in read_rollup(spark, path).collect()
+    }
+    full = first.unionByName(late)
+    exp = {
+        (r["k"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"], r["s"] / r["n"])
+        for r in full.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("k"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_refresh_leaves_history_partitions_untouched(spark, tmp_path):
+    """Dynamic partition overwrite must rewrite ONLY the refreshed
+    grain partitions — day-1 files keep their mtimes."""
+    import time
+
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_rollup,
+        refresh_rollup,
+    )
+
+    first = _events(spark, [(1, [("a", 1.0)]), (2, [("a", 2.0)])])
+    late = _events(spark, [(2, [("a", 3.0)])])
+    path = str(tmp_path / "rollup")
+    build_rollup(first, path, "ts", ["event_type"], "value")
+
+    day1 = os.path.join(path, "grain_key=2024-03-01")
+    before = {
+        f: os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
+    }
+    time.sleep(1.1)
+    refresh_rollup(late, path, "ts", ["event_type"], "value")
+    after = {
+        f: os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
+    }
+    assert after == before  # same files, same mtimes
+
+
+def test_bad_grain_raises(spark, tmp_path):
+    import pytest
+
+    from quantlab_data_pipeline_spark.storage.rollup import build_rollup
+
+    df = _events(spark, [(1, [("a", 1.0)])])
+    with pytest.raises(ValueError, match="grain"):
+        build_rollup(df, str(tmp_path / "r"), "ts", [], "value", grain="week")
+
+
+def test_time_ranged_read_prunes_partitions(spark, tmp_path):
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_rollup,
+        read_rollup,
+    )
+
+    df = _events(
+        spark, [(d, [("a", float(d))]) for d in (1, 2, 3, 4, 5)]
+    )
+    path = str(tmp_path / "rollup")
+    build_rollup(df, path, "ts", ["event_type"], "value")
+    ranged = read_rollup(spark, path, since="2024-03-02", until="2024-03-04")
+    assert sorted(r["grain_key"] for r in ranged.collect()) == [
+        "2024-03-02",
+        "2024-03-03",
+    ]
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(grain_key" in plan  # filter reached the scan
