@@ -16,6 +16,7 @@ from .events import (
     windowed_aggregate,
 )
 from .locf import streaming_forward_fill
+from .rollup_sink import last_applied_batch, rollup_sink
 
 __all__ = [
     "clicks_with_recent_purchase",
@@ -25,6 +26,8 @@ __all__ = [
     "stream_events",
     "streaming_exact_dedup",
     "streaming_forward_fill",
+    "rollup_sink",
+    "last_applied_batch",
     "streaming_minhash_candidates",
     "windowed_aggregate",
     "with_fingerprint_stream",

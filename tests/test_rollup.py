@@ -118,3 +118,72 @@ def test_time_ranged_read_prunes_partitions(spark, tmp_path):
     plan = ranged._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "isnotnull(grain_key" in plan  # filter reached the scan
+
+
+def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
+    """Stream -> foreachBatch rollup maintenance equals a one-shot
+    aggregation, and a replayed micro-batch id is skipped (no double
+    counting)."""
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.storage.rollup import read_rollup
+    from quantlab_data_pipeline_spark.streaming.rollup_sink import (
+        last_applied_batch,
+        rollup_sink,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b1 = _events(spark, [(1, [("a", 1.0), ("b", 5.0)]), (2, [("a", 7.0)])])
+    b2 = _events(spark, [(2, [("a", 9.0)]), (3, [("b", 4.0)])])
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    b2.coalesce(1).write.parquet(str(src / "b2.parquet"))
+
+    path = str(tmp_path / "live_rollup")
+    sink = rollup_sink(path, "ts", ["event_type"], "value")
+    stream = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["grain_key"], r["event_type"]): (r["n"], r["sum_v"])
+        for r in read_rollup(spark, path).collect()
+    }
+    full = b1.unionByName(b2)
+    from pyspark.sql import functions as FF
+
+    exp = {
+        (r["k"], r["event_type"]): (r["n"], r["s"])
+        for r in full.groupBy(
+            FF.date_format(FF.date_trunc("day", "ts"), "yyyy-MM-dd").alias("k"),
+            "event_type",
+        )
+        .agg(FF.count("*").alias("n"), FF.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+    # Replay: re-applying an already-folded batch id must be a no-op.
+    applied = last_applied_batch(spark, path)
+    assert applied >= 1
+    sink(b2, applied)  # same id -> skipped
+    again = {
+        (r["grain_key"], r["event_type"]): (r["n"], r["sum_v"])
+        for r in read_rollup(spark, path).collect()
+    }
+    assert again == got
