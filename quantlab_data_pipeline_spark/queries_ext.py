@@ -785,6 +785,24 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bpe_tokenize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE: train 20 merges on the corpus (one corpus pass
+    for word freqs, then vocabulary-sized iterations with a native
+    array-fold merge apply), encode every doc under the learned ranks.
+    Rows-only (iterative training is not single-query SQL); the trainer
+    and encoder are pytest-verified against a from-scratch python BPE
+    reference (tests/test_bpe.py)."""
+    from .llm.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = train_bpe(docs, num_merges=20)
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "")).alias("tokens_md5"),
+    )
+
+
 def rollup_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
     """Materialized-rollup maintenance invariant, oracle-checked: build
     the (day, event_type) rollup from the first half of the month,
@@ -1203,6 +1221,7 @@ SPARK_QUERIES_EXT = {
     "bigram_lm_docs": bigram_lm_docs,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "rollup_incremental_events": rollup_incremental_events,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
