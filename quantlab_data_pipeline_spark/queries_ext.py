@@ -785,6 +785,39 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER reconciliation — the 'compare two systems' join shape
+    (here: hourly click totals vs hourly view totals per user; either
+    side may be missing). Completes the join-type surface: inner/left/
+    semi/anti/interval/as-of are registered elsewhere. Coalesced keys,
+    null-safe deltas."""
+    ev = load_table(spark, sf, "events")
+    hour = F.date_trunc("hour", "ts").alias("h")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", hour)
+        .agg(F.round(F.sum("value"), 6).alias("click_v"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", hour)
+        .agg(F.round(F.sum("value"), 6).alias("view_v"))
+    )
+    j = clicks.join(views, ["user_id", "h"], "full_outer")
+    return j.select(
+        "user_id",
+        "h",
+        "click_v",
+        "view_v",
+        F.round(
+            F.coalesce("click_v", F.lit(0.0)) - F.coalesce("view_v", F.lit(0.0)),
+            6,
+        ).alias("delta"),
+        F.col("click_v").isNull().alias("click_missing"),
+        F.col("view_v").isNull().alias("view_missing"),
+    )
+
+
 def bpe_tokenize_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE: train 20 merges on the corpus (one corpus pass
     for word freqs, then vocabulary-sized iterations with a native
@@ -1222,6 +1255,7 @@ SPARK_QUERIES_EXT = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "rollup_incremental_events": rollup_incremental_events,
     "bpe_tokenize_docs": bpe_tokenize_docs,
+    "full_outer_reconcile": full_outer_reconcile,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1923,6 +1957,28 @@ ORACLE_SQL_EXT = {
         UNION ALL
         SELECT o_custkey AS custkey, 'only_1996' AS cohort
         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "full_outer_reconcile": """
+        WITH c AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   round(sum(value), 6) AS click_v
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, date_trunc('hour', ts)
+        ), v AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   round(sum(value), 6) AS view_v
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, date_trunc('hour', ts)
+        )
+        SELECT coalesce(c.user_id, v.user_id) AS user_id,
+               coalesce(c.h, v.h) AS h,
+               click_v, view_v,
+               round(coalesce(click_v, 0.0) - coalesce(view_v, 0.0), 6)
+                   AS delta,
+               click_v IS NULL AS click_missing,
+               view_v IS NULL AS view_missing
+        FROM c FULL OUTER JOIN v
+          ON c.user_id = v.user_id AND c.h = v.h
     """,
     "rollup_incremental_events": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS grain_key,

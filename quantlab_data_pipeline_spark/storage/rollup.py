@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 __all__ = ["build_rollup", "refresh_rollup", "read_rollup"]
 
@@ -96,11 +97,15 @@ def refresh_rollup(
         # (implicitly coerced) keeps the scan partition-pruned to the
         # affected days. The cast to the canonical string form happens
         # after, so the merge keys line up with the batch's.
-        existing = (
-            _read_raw(spark, path, F.col("grain_key").isin(keys))
-            if keys
-            else None
-        )
+        existing = None
+        if keys:
+            try:
+                existing = _read_raw(spark, path, F.col("grain_key").isin(keys))
+            except AnalysisException:
+                # A build from an empty frame leaves a file-less store
+                # (no partitions to infer a schema from) — treat the
+                # refresh as the initial load.
+                existing = None
         merged = batch if existing is None else (
             batch.unionByName(existing)
             .groupBy("grain_key", *dims)

@@ -444,3 +444,65 @@ def test_chunk_plan_property_offsets(spark, sizes, budget, parts):
         assert r["first_chunk"] == r["offset"] // budget
         end = r["offset"] + r["n_tokens"] + 1 - 1
         assert r["last_chunk"] == max(end // budget, r["offset"] // budget)
+
+
+@st.composite
+def rollup_batches(draw):
+    """Random event rows split into 1-3 refresh batches at random."""
+    n = draw(st.integers(1, 24))
+    rows = [
+        (
+            i,
+            draw(st.integers(1, 4)),   # day
+            draw(st.sampled_from(["a", "b"])),
+            float(draw(st.integers(-5, 5))),
+        )
+        for i in range(n)
+    ]
+    cut1 = draw(st.integers(0, n))
+    cut2 = draw(st.integers(cut1, n))
+    return rows, cut1, cut2
+
+
+@given(rollup_batches())
+@SETTINGS
+def test_rollup_refresh_is_split_invariant(spark, tmp_path_factory, data):
+    """Any split of the fact into build + refreshes yields the same
+    store as a one-shot aggregation (additive-merge associativity)."""
+    import datetime as dt
+
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    rows, cut1, cut2 = data
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def df(slice_rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 5, d, 12, 0), 1, t, v, None)
+                for (i, d, t, v) in slice_rows
+            ],
+            schema,
+        )
+
+    path = str(tmp_path_factory.mktemp("prop_rollup") / "r")
+    first, second, third = rows[:cut1], rows[cut1:cut2], rows[cut2:]
+    build_rollup(df(first), path, "ts", ["event_type"], "value")
+    for batch in (second, third):
+        if batch:
+            refresh_rollup(df(batch), path, "ts", ["event_type"], "value")
+
+    got = {
+        (r["grain_key"], r["event_type"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in read_rollup(spark, path).collect()
+    }
+    exp = {}
+    for (_, d, t, v) in rows:
+        k = (f"2024-05-{d:02d}", t)
+        n, s, mn, mx = exp.get(k, (0, 0.0, float("inf"), float("-inf")))
+        exp[k] = (n + 1, s + v, min(mn, v), max(mx, v))
+    assert got == exp
