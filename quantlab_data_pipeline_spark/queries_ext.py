@@ -785,6 +785,90 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def seasonal_decompose_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition of each user's hourly series:
+    trend = centered 25-hour moving average, seasonal = per-(user,
+    hour-of-day) mean of the detrended values, residual = the rest.
+    The classic-decomposition shape (statsmodels 'additive') as two
+    aggregations and one window — the seasonal profile is a tiny
+    broadcast frame, never a second pass over the fact."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    detr = (
+        hourly.withColumn("trend", F.avg("v").over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") == 25)  # complete centered windows only
+        .withColumn("detrended", F.col("v") - F.col("trend"))
+        .withColumn("hod", F.hour("h"))
+    )
+    seasonal = detr.groupBy("user_id", "hod").agg(
+        F.avg("detrended").alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seasonal), ["user_id", "hod"])
+        .select(
+            "user_id",
+            "h",
+            F.round("v", 6).alias("value"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+
+
+def robust_anomalies_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per user: a point is
+    anomalous when |x - rolling_median| > 3 * rolling_MAD over the
+    21-row window. Both order statistics come from ONE collect_list
+    window via pure array expressions (sort + middle element, then the
+    same on absolute deviations) — outlier-immune flagging with no
+    Python and no second window sort."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    # try_element_at (not element_at): the median expressions must stay
+    # null-safe under ANSI even if the optimizer evaluates them beside
+    # (rather than strictly after) the complete-window filter.
+    with_m = (
+        ev.withColumn("__a", arr)
+        .filter(F.size("__a") == 21)
+        .withColumn("__med", F.try_element_at("__a", F.lit(11)))
+    )
+    mad = F.try_element_at(
+        F.array_sort(
+            F.transform("__a", lambda x: F.abs(x - F.col("__med")))
+        ),
+        F.lit(11),
+    )
+    return (
+        with_m.withColumn("__mad", mad)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("__med", 6).alias("med_21"),
+            F.round("__mad", 6).alias("mad_21"),
+            (
+                F.abs(F.col("value") - F.col("__med"))
+                > 3.0 * F.col("__mad")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER reconciliation — the 'compare two systems' join shape
     (here: hourly click totals vs hourly view totals per user; either
@@ -1076,7 +1160,11 @@ def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.element_at(F.array_sort("__a"), 11), 6).alias("med_21"),
+            # try_element_at: null-safe under ANSI even if the optimizer
+            # ever evaluates the projection beside the size filter
+            F.round(
+                F.try_element_at(F.array_sort("__a"), F.lit(11)), 6
+            ).alias("med_21"),
         )
     )
 
@@ -1256,6 +1344,8 @@ SPARK_QUERIES_EXT = {
     "rollup_incremental_events": rollup_incremental_events,
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "full_outer_reconcile": full_outer_reconcile,
+    "seasonal_decompose_events": seasonal_decompose_events,
+    "robust_anomalies_events": robust_anomalies_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -1957,6 +2047,52 @@ ORACLE_SQL_EXT = {
         UNION ALL
         SELECT o_custkey AS custkey, 'only_1996' AS cohort
         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+    "seasonal_decompose_events": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT user_id, h, v,
+                   avg(v) OVER w AS trend,
+                   count(*) OVER w AS n
+            FROM hourly
+            WINDOW w AS (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), d AS (
+            SELECT user_id, h, v, trend, v - trend AS detrended,
+                   hour(h) AS hod
+            FROM t WHERE n = 25
+        ), s AS (
+            SELECT user_id, hod, avg(detrended) AS seasonal
+            FROM d GROUP BY 1, 2
+        )
+        SELECT d.user_id, h,
+               round(v, 6) AS value,
+               round(trend, 6) AS trend,
+               round(seasonal, 6) AS seasonal,
+               round(v - trend - seasonal, 6) AS residual
+        FROM d JOIN s ON d.user_id = s.user_id AND d.hod = s.hod
+    """,
+    "robust_anomalies_events": """
+        SELECT event_id, user_id,
+               round(m, 6) AS med_21,
+               round(mad, 6) AS mad_21,
+               abs(value - m) > 3.0 * mad AS is_anomaly
+        FROM (
+            SELECT event_id, user_id, value, len(l) AS n,
+                   list_aggregate(l, 'median') AS m,
+                   list_aggregate(
+                       list_transform(
+                           l, x -> abs(x - list_aggregate(l, 'median'))),
+                       'median') AS mad
+            FROM (
+                SELECT event_id, user_id, value, list(value) OVER w AS l
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+            )
+        ) WHERE n = 21
     """,
     "full_outer_reconcile": """
         WITH c AS (
