@@ -22,6 +22,7 @@ from .intervals import (
 )
 from .asof import as_of_join
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
+from .scd2 import merge_intervals, scd2_from_changelog
 from .skew import salted_join
 
 __all__ = [
@@ -43,7 +44,9 @@ __all__ = [
     "interval_overlap_join",
     "join_momentum",
     "melt_factors",
+    "merge_intervals",
     "pct_change",
+    "scd2_from_changelog",
     "point_in_time_join",
     "risk_free",
     "trading_calendar",

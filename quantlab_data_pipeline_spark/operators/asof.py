@@ -34,15 +34,27 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row (by event
-    time, backward-inclusive) with the same key columns ``on``.
+    """For each left row, attach the nearest right row by event time
+    with the same key columns ``on``.
+
+    ``direction="backward"`` (default) attaches the most recent right
+    row at or before the left timestamp; ``direction="forward"``
+    attaches the earliest right row at or after it (both inclusive,
+    pandas ``merge_asof`` semantics). ``tolerance_seconds`` nulls the
+    attached payload when the time gap exceeds it — applied AFTER the
+    single-shuffle window pass, so the tolerance is a cheap projection,
+    never a join predicate that would force a range join.
 
     ``right_cols`` are the right-side payload columns to carry (default:
     everything except keys and timestamp). Output = all left columns +
     ``<prefix><right_ts>`` + ``<prefix><col>`` for each payload column,
-    null when no right row precedes the left row.
+    null when no right row qualifies.
     """
+    if direction not in {"backward", "forward"}:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {*on, right_ts}]
 
@@ -62,14 +74,29 @@ def as_of_join(
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # Forward = the same running-window pass traversed in reverse time
+    # order; at equal timestamps the right row (side 0) still sorts
+    # before the left row, keeping "as of" inclusive in both directions.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(
         "__asof", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        # cast("double") is seconds-since-epoch for timestamps and the
+        # identity for numeric time axes, so the tolerance is "same
+        # units as the ts column" (seconds when it's a timestamp).
+        matched = F.col("__asof")[f"{prefix}{right_ts}"].cast("double")
+        own = F.col("__ts").cast("double")
+        gap = own - matched if direction == "backward" else matched - own
+        filled = filled.withColumn(
+            "__asof",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__asof")),
+        )
     out_cols = [*left.columns]
     asof_fields = [f"{prefix}{right_ts}", *[f"{prefix}{c}" for c in right_cols]]
     return filled.filter(F.col("__side") == 1).select(

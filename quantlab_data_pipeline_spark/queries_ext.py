@@ -1286,6 +1286,105 @@ def forward_fill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def asof_forward_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join with tolerance: each view event attaches the
+    next click by the same user within one hour (pandas ``merge_asof``
+    ``direction='forward'`` semantics — the time-to-conversion join).
+    Same single-shuffle union+window plan as the backward as-of
+    (operators/asof.py), traversed in reverse time order; the tolerance
+    is a post-window projection, never a range-join predicate."""
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = as_of_join(
+        views,
+        clicks,
+        on=["user_id"],
+        direction="forward",
+        tolerance_seconds=3600.0,
+        prefix="next_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "next_ts",
+        F.round("next_value", 6).alias("next_click_value"),
+        F.round(
+            (F.unix_micros("next_ts") - F.unix_micros("ts")) / 1e6, 3
+        ).alias("gap_s"),
+    )
+
+
+def merge_intervals_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic gaps-and-islands interval merge: give every event a
+    30-minute activity window and collapse each user's overlapping or
+    touching windows into maximal disjoint spans (operators/scd2.py).
+    One keyed shuffle; the merge itself is two window passes, so the
+    plan is a single exchange on user_id at any corpus size."""
+    from .operators.scd2 import merge_intervals
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("span_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("span_end"),
+    )
+    return merge_intervals(
+        iv, ["user_id"], "span_start", "span_end"
+    ).select("user_id", "span_start", "span_end", "n_merged")
+
+
+def scd2_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 dimension build from a change log: collapse each user's
+    event_type sequence into versioned runs with half-open
+    [valid_from, valid_to) windows and an is_current flag
+    (operators/scd2.py — the generalized form of the reference's
+    validity-window derivation, wrds_ingestion.py:558-585). event_type
+    itself pins equal-timestamp order (same tiebreak in the oracle) so
+    the runs are deterministic."""
+    from .operators.scd2 import scd2_from_changelog
+
+    ev = load_table(spark, sf, "events")
+    return scd2_from_changelog(
+        ev.select("user_id", "ts", "event_type"),
+        keys=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak=["event_type"],
+    )
+
+
+def approx_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch per event_type: ``approx_percentile`` (Greenwald-
+    Khanna summaries, mergeable across partitions — the quantile member
+    of the sketch family next to HLL in distinct_users_sketch). Rows-
+    only: the sketch's merge order is partitioning-dependent, so values
+    are not hash-stable cross-engine; tests/test_queries_ext.py bounds
+    the error against the exact percentiles instead."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("q")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 6).alias("p25"),
+            F.round(F.col("q")[1], 6).alias("p50"),
+            F.round(F.col("q")[2], 6).alias("p75"),
+            F.round(F.col("q")[3], 6).alias("p95"),
+        )
+    )
+
+
 SPARK_QUERIES_EXT = {
     # TPC-H completion
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -1346,6 +1445,10 @@ SPARK_QUERIES_EXT = {
     "full_outer_reconcile": full_outer_reconcile,
     "seasonal_decompose_events": seasonal_decompose_events,
     "robust_anomalies_events": robust_anomalies_events,
+    "asof_forward_events": asof_forward_events,
+    "merge_intervals_events": merge_intervals_events,
+    "scd2_events": scd2_events,
+    "approx_quantiles_events": approx_quantiles_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -2180,5 +2283,90 @@ ORACLE_SQL_EXT = {
                             AND UNBOUNDED FOLLOWING), 6) AS third_lowest
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    # Forward as-of via the same union+reverse-window identity the Spark
+    # plan uses (traversal order: ts DESC, right rows before left rows
+    # at equal ts, so "next click" is forward-inclusive).
+    "asof_forward_events": """
+        WITH clicks AS (
+            SELECT user_id, ts, max(value) AS cvalue
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), u AS (
+            SELECT user_id, ts, NULL::BIGINT AS event_id,
+                   ts AS cts, cvalue, 0 AS side
+            FROM clicks
+            UNION ALL
+            SELECT user_id, ts, event_id,
+                   NULL::TIMESTAMP, NULL::DOUBLE, 1
+            FROM events WHERE event_type = 'view'
+        ), filled AS (
+            SELECT *,
+                   last_value(cts IGNORE NULLS) OVER w AS nts,
+                   last_value(cvalue IGNORE NULLS) OVER w AS nval
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN nts - ts <= INTERVAL 3600 SECONDS THEN nts END
+                   AS next_ts,
+               CASE WHEN nts - ts <= INTERVAL 3600 SECONDS
+                    THEN round(nval, 6) END AS next_click_value,
+               CASE WHEN nts - ts <= INTERVAL 3600 SECONDS
+                    THEN round(date_diff('microsecond', ts, nts) / 1e6, 3)
+               END AS gap_s
+        FROM filled WHERE side = 1
+    """,
+    "merge_intervals_events": """
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTES AS e
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ), isl AS (
+            SELECT *, sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        )
+        SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM isl GROUP BY user_id, island
+    """,
+    "scd2_events": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN event_type IS DISTINCT FROM
+                             lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ), runs AS (
+            SELECT *, sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ver
+            FROM ordered
+        ), versions AS (
+            SELECT user_id, min(event_type) AS event_type,
+                   min(ts) AS valid_from
+            FROM runs GROUP BY user_id, ver
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               lead(valid_from) OVER w2 IS NULL AS is_current
+        FROM versions
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
     """,
 }

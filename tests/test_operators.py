@@ -628,3 +628,147 @@ def test_fuzzy_pairs_distance1_matches_bruteforce(spark):
         for r in fuzzy_pairs_distance1(df, "id", "name").collect()
     }
     assert got == expected
+
+
+def test_as_of_join_forward_with_tolerance(spark):
+    from quantlab_data_pipeline_spark.operators.asof import as_of_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 4, 50.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 5), ("A", 6), ("A", 20), ("B", 3), ("C", 7)],
+        "sym string, ts long",
+    )
+    fwd = {
+        (r["sym"], r["ts"]): (r["asof_ts"], r["asof_px"])
+        for r in as_of_join(
+            trades, quotes, on=["sym"], direction="forward"
+        ).collect()
+    }
+    assert fwd[("A", 0)] == (1, 10.0)    # earliest following
+    assert fwd[("A", 5)] == (5, 11.0)    # forward-INCLUSIVE tie
+    assert fwd[("A", 6)] == (9, 12.0)
+    assert fwd[("A", 20)] == (None, None)  # nothing after
+    assert fwd[("B", 3)] == (4, 50.0)
+    assert fwd[("C", 7)] == (None, None)
+
+    # tolerance nulls matches farther than 2 time units
+    tol = {
+        (r["sym"], r["ts"]): (r["asof_ts"], r["asof_px"])
+        for r in as_of_join(
+            trades, quotes, on=["sym"], direction="forward",
+            tolerance_seconds=2,
+        ).collect()
+    }
+    assert tol[("A", 0)] == (1, 10.0)      # gap 1 <= 2
+    assert tol[("A", 6)] == (None, None)   # gap 3 > 2
+    assert tol[("B", 3)] == (4, 50.0)      # gap 1 <= 2
+
+    with pytest.raises(ValueError):
+        as_of_join(trades, quotes, on=["sym"], direction="nearest")
+
+
+def test_as_of_join_forward_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from quantlab_data_pipeline_spark.operators.asof import as_of_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 200).astype(str),
+            "t": rng.integers(0, 1000, 200),
+        }
+    ).drop_duplicates(["k", "t"])
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 100).astype(str),
+            "t": rng.integers(0, 1000, 100),
+            "v": rng.normal(size=100).round(6),
+        }
+    ).drop_duplicates(["k", "t"])
+    exp = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="forward",
+        tolerance=50,
+    )
+    got = as_of_join(
+        spark.createDataFrame(left.astype({"t": "int64"})),
+        spark.createDataFrame(right.astype({"t": "int64"})),
+        on=["k"],
+        left_ts="t",
+        right_ts="t",
+        direction="forward",
+        tolerance_seconds=50,
+    ).toPandas()
+    e = {
+        (r.k, r.t): (None if pd.isna(r.v) else round(r.v, 6))
+        for r in exp.itertuples()
+    }
+    g = {
+        (r.k, r.t): (None if pd.isna(r.asof_v) else round(r.asof_v, 6))
+        for r in got.itertuples()
+    }
+    assert g == e
+
+
+def test_merge_intervals(spark):
+    from quantlab_data_pipeline_spark.operators import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            # overlapping + touching chain -> one span [0, 12)
+            ("u1", 0, 5), ("u1", 3, 8), ("u1", 8, 12),
+            # nested interval swallowed
+            ("u1", 20, 30), ("u1", 22, 25),
+            # disjoint singleton
+            ("u2", 1, 2),
+        ],
+        "k string, start long, end long",
+    )
+    got = {
+        (r["k"], r["start"], r["end"], r["n_merged"])
+        for r in merge_intervals(iv, ["k"], "start", "end").collect()
+    }
+    assert got == {
+        ("u1", 0, 12, 3),
+        ("u1", 20, 30, 2),
+        ("u2", 1, 2, 1),
+    }
+
+
+def test_scd2_from_changelog(spark):
+    from quantlab_data_pipeline_spark.operators import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [
+            ("u1", 1, "gold", "US"),
+            ("u1", 3, "gold", "US"),   # no change -> same version
+            ("u1", 5, "silver", "US"),  # tier change
+            ("u1", 9, "silver", "DE"),  # country change
+            ("u2", 2, None, "FR"),      # null attr is a value
+            ("u2", 4, None, "FR"),
+            ("u2", 6, "gold", "FR"),
+        ],
+        "k string, ts long, tier string, country string",
+    )
+    rows = {
+        (r["k"], r["tier"], r["country"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in scd2_from_changelog(
+            log, ["k"], "ts", ["tier", "country"]
+        ).collect()
+    }
+    assert rows == {
+        ("u1", "gold", "US", 1, 5, False),
+        ("u1", "silver", "US", 5, 9, False),
+        ("u1", "silver", "DE", 9, None, True),
+        ("u2", None, "FR", 2, 6, False),
+        ("u2", "gold", "FR", 6, None, True),
+    }

@@ -350,3 +350,24 @@ def test_trend_theil_sen_matches_numpy(spark, events_pd):
         if m.any():
             exp[int(uid)] = round(float(np.median(dv[m] / dt[m])), 6)
     assert got == pytest.approx(exp, abs=1e-6)
+
+
+def test_approx_quantiles_within_rank_error(spark, events_pd):
+    """GK sketch at accuracy=10000 must land within a tight rank band
+    of the exact per-group percentiles (rows-only query, so this bound
+    is its correctness evidence)."""
+    from quantlab_data_pipeline_spark.queries_ext import approx_quantiles_events
+
+    got = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in approx_quantiles_events(spark, SF).collect()
+    }
+    assert set(got) == set(events_pd["event_type"].unique())
+    for etype, vals in got.items():
+        xs = np.sort(events_pd.loc[events_pd.event_type == etype, "value"].to_numpy())
+        n = len(xs)
+        for q, v in zip((0.25, 0.5, 0.75, 0.95), vals):
+            # rank of the sketch answer must be within 1/accuracy*n + 1
+            # positions of the target rank
+            rank = np.searchsorted(xs, v, side="right")
+            assert abs(rank - q * n) <= n / 10000 + 2, (etype, q, v)
