@@ -118,3 +118,125 @@ def dedup_cluster_assignments(
         .drop("component")
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations of PageRank over a
+    directed edge list (parallel edges collapse to one).
+
+    Spark-first shape: every iteration is contribs = ranks ⋈ out-degree
+    ⋈ edges (one keyed shuffle join — the edge list is the big frame and
+    it shuffles on src, which AQE re-uses), then a groupBy(dst) sum.
+    Dangling-node mass (nodes with no outgoing edges) is redistributed
+    uniformly each iteration via a one-row aggregate attached with a
+    broadcast cross join — the loop stays fully lazy, no per-iteration
+    driver collect. Lineage is cut with localCheckpoint every
+    ``checkpoint_every`` rounds (same discipline as
+    connected_components above). The only driver-side scalar is the
+    node count, computed once up front.
+
+    Rank mass is conserved to float precision: sum(rank) == 1 at every
+    iteration, which the tests assert alongside a numpy power-iteration
+    oracle.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("in_mass", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, triangles): the number of triangles each node belongs to
+    in the undirected graph of ``edges`` (self-loops and duplicate /
+    reverse edges collapse).
+
+    The standard canonical-orientation enumeration: keep each edge once
+    as (a < b), join wedges a<b<c on the shared middle node, close them
+    with a semi-equi-join back to the edge list — three keyed shuffles,
+    never a cartesian product, and each triangle is found exactly once.
+    At scale the wedge join is the hot stage; its size is sum(deg²),
+    the known cost of exact triangle enumeration (cap degrees upstream
+    if a celebrity node makes it quadratic).
+    """
+    canon = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # wedge a-b-c with a<b<c: (a,b) join (b,c)
+    wedges = canon.alias("e1").join(
+        canon.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tri = wedges.join(
+        canon.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    per_node = (
+        tri.selectExpr("stack(3, a, b, c) AS node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

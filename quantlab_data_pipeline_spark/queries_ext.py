@@ -1360,6 +1360,97 @@ def scd2_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _supplier_copart_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected supplier graph: an edge links two suppliers that ship
+    the same part (distinct (part, supplier) projection, per-part
+    self-join — keyed on the part, never a cross join)."""
+    ps = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, "l_partkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-node triangle counts over the supplier co-part graph
+    (operators/graph.py triangle_count — canonical wedge enumeration,
+    three keyed shuffles). The DuckDB oracle runs the same a<b<c
+    three-way self-join, so the enumeration is hash-compared
+    cross-engine."""
+    from .operators.graph import triangle_count
+
+    edges = _supplier_copart_edges(spark, sf)
+    return triangle_count(edges).select(
+        F.col("node").cast("long").alias("suppkey"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
+
+
+def pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the supplier co-part graph, both edge directions
+    (operators/graph.py pagerank — lazy loop, one keyed shuffle per
+    iteration, broadcast dangling-mass redistribution). Rows-only:
+    power iteration is not single-query SQL; tests/test_graph.py checks
+    the ranks against a numpy power-iteration oracle and asserts mass
+    conservation."""
+    from .operators.graph import pagerank
+
+    e = _supplier_copart_edges(spark, sf)
+    both = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(both, iters=10).select(
+        F.col("node").cast("long").alias("suppkey"),
+        F.round("rank", 8).alias("rank"),
+    )
+
+
+# Irregular value bands for the keyless range join (shared with the
+# DuckDB oracle below — deliberately NOT uniform so the join cannot be
+# faked with a floor-division bucket).
+_VALUE_BANDS = [
+    ("tiny", 0.0, 7.5),
+    ("small", 7.5, 31.0),
+    ("mid", 31.0, 96.5),
+    ("large", 96.5, 220.0),
+    ("huge", 220.0, 333.3),
+    ("whale", 333.3, 1000.0),
+]
+
+
+def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyless point-in-interval join: classify every event's value into
+    irregular bands via ``bucketed_range_join`` (operators/rangejoin.py)
+    — the manufactured-bucket equi-join that replaces the
+    BroadcastNestedLoopJoin Spark would otherwise plan for
+    ``value BETWEEN lo AND hi`` with no equi key. Aggregated per band so
+    the result is small and hash-stable."""
+    from .operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        _VALUE_BANDS, "band string, lo double, hi double"
+    )
+    joined = bucketed_range_join(
+        ev, bands, point_col="value", start_col="lo", end_col="hi",
+        bucket_width=50.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def approx_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch per event_type: ``approx_percentile`` (Greenwald-
     Khanna summaries, mergeable across partitions — the quantile member
@@ -1449,6 +1540,9 @@ SPARK_QUERIES_EXT = {
     "merge_intervals_events": merge_intervals_events,
     "scd2_events": scd2_events,
     "approx_quantiles_events": approx_quantiles_events,
+    "range_join_value_bands": range_join_value_bands,
+    "triangle_count_suppliers": triangle_count_suppliers,
+    "pagerank_suppliers": pagerank_suppliers,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -2368,5 +2462,37 @@ ORACLE_SQL_EXT = {
                lead(valid_from) OVER w2 IS NULL AS is_current
         FROM versions
         WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+    # plain theta range join — proves the bucket blocking is lossless
+    "range_join_value_bands": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('tiny', 0.0, 7.5), ('small', 7.5, 31.0),
+                   ('mid', 31.0, 96.5), ('large', 96.5, 220.0),
+                   ('huge', 220.0, 333.3), ('whale', 333.3, 1000.0)
+        )
+        SELECT band, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    "triangle_count_suppliers": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                              AND a.l_suppkey < b.l_suppkey
+        ), tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+            SELECT a AS suppkey FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
+        FROM nodes GROUP BY suppkey
     """,
 }

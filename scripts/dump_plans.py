@@ -53,6 +53,11 @@ HEADLINE = [
     "trend_theil_sen",
     "set_ops_customers",
     "bigram_lm_docs",
+    # round-2 asof/scd2/sketch additions
+    "asof_forward_events",
+    "merge_intervals_events",
+    "scd2_events",
+    "approx_quantiles_events",
 ]
 
 

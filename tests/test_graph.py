@@ -69,3 +69,66 @@ def test_cluster_assignments_keeper_policy(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         7: (7, True), 9: (9, True),  # singletons are their own keepers
     }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (3 has no out-edges) and a
+    # celebrity sink
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 2), (4, 3), (1, 3)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iters=25
+        ).collect()
+    }
+
+    n, d = 5, 0.85
+    out = {u: [v for (s, v) in edges if s == u] for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[u] for u in range(n) if not out[u])
+        nxt += d * dangling / n
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        r = nxt
+    assert got == pytest.approx({u: r[u] for u in range(n)}, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    # random graph incl. duplicate + reversed edges and a self-loop
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 12, size=(60, 2))
+    }
+    edges |= {(b, a) for (a, b) in list(edges)[:10]} | {(5, 5)}
+    undirected = {frozenset(e) for e in edges if e[0] != e[1]}
+    expected: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(12), 3):
+        if (
+            frozenset((x, y)) in undirected
+            and frozenset((y, z)) in undirected
+            and frozenset((x, z)) in undirected
+        ):
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(list(edges), "src long, dst long")
+        ).collect()
+    }
+    assert got == expected

@@ -772,3 +772,92 @@ def test_scd2_from_changelog(spark):
         ("u2", None, "FR", 2, 6, False),
         ("u2", "gold", "FR", 6, None, True),
     }
+
+
+def test_bucketed_range_join_matches_theta_join(spark):
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 100, 500))],
+        "pid long, x double",
+    )
+    # random intervals incl. overlapping, degenerate (end < start), and
+    # zero-width ones
+    lo = rng.uniform(0, 100, 60)
+    span = rng.uniform(-2, 15, 60)
+    iv = spark.createDataFrame(
+        [(int(i), float(a), float(a + s)) for i, (a, s) in enumerate(zip(lo, span))],
+        "iid long, lo double, hi double",
+    )
+    expected = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (pts.x >= iv.lo) & (pts.x < iv.hi), "inner"
+        ).collect()
+    }
+    for width in (0.5, 7.0, 1000.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in bucketed_range_join(
+                pts, iv, "x", "lo", "hi", bucket_width=width
+            ).collect()
+        }
+        assert got == expected, width
+
+    # inclusive end bound
+    incl = {
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            pts, iv, "x", "lo", "hi", bucket_width=7.0, end_inclusive=True
+        ).collect()
+    }
+    exp_incl = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (pts.x >= iv.lo) & (pts.x <= iv.hi), "inner"
+        ).collect()
+    }
+    assert incl == exp_incl
+
+    # left join keeps pointless points with null interval columns
+    left = bucketed_range_join(
+        pts, iv, "x", "lo", "hi", bucket_width=7.0, how="left"
+    )
+    rows = left.collect()
+    assert {r["pid"] for r in rows} == {r["pid"] for r in pts.collect()}
+    matched_pids = {p for (p, _) in expected}
+    for r in rows:
+        if r["pid"] not in matched_pids:
+            assert r["iid"] is None and r["lo"] is None
+
+    with pytest.raises(ValueError):
+        bucketed_range_join(pts, iv, "x", "lo", "hi", 7.0, how="full")
+    with pytest.raises(ValueError):
+        bucketed_range_join(pts, iv, "x", "lo", "hi", 0.0)
+
+
+def test_bucketed_range_join_plans_hash_join_not_nested_loop(spark):
+    from quantlab_data_pipeline_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    pts = spark.range(1000).selectExpr("id AS pid", "CAST(id % 97 AS DOUBLE) AS x")
+    iv = spark.range(200).selectExpr(
+        "id AS iid", "CAST(id % 90 AS DOUBLE) AS lo",
+        "CAST(id % 90 + 3 AS DOUBLE) AS hi",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = bucketed_range_join(
+            pts, iv, "x", "lo", "hi", bucket_width=5.0
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
