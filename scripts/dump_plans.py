@@ -58,6 +58,8 @@ HEADLINE = [
     "merge_intervals_events",
     "scd2_events",
     "approx_quantiles_events",
+    "range_join_value_bands",
+    "triangle_count_suppliers",
 ]
 
 

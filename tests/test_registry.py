@@ -61,3 +61,32 @@ def test_entry_contract_exposes_full_registry():
 
     assert set(entry.queries()) == set(SPARK_QUERIES)
     assert entry.oracle_sql() == dict(ORACLE_SQL)
+
+
+def test_no_cartesian_and_only_whitelisted_nested_loops(spark):
+    """Scale-discipline gate (mirrors scripts/plan_audit.py): no query
+    may plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+    only where a documented driver-scale frame is broadcast. Runs on a
+    cheap non-iterative subset so the full suite stays fast; the script
+    covers all 113."""
+    import __spark_entry__ as entry
+    from scripts.plan_audit import BNLJ_WHITELIST
+
+    SUBSET = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q8_market_share", "q11_important_nations", "q22_global_sales",
+        "interval_validity_join", "asof_join_events", "asof_forward_events",
+        "merge_intervals_events", "scd2_events", "range_join_value_bands",
+        "triangle_count_suppliers", "ngram_jaccard_dedup",
+        "exact_dedup_docs", "zscore_winsorize", "sessionize_batch",
+        "window_cumprod", "forward_fill", "topk_per_group",
+    ]
+    qs = entry.queries()
+    for name in SUBSET:
+        plan = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in BNLJ_WHITELIST, name
