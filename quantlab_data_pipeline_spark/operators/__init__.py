@@ -22,7 +22,8 @@ from .intervals import (
 )
 from .asof import as_of_join
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
-from .scd2 import merge_intervals, scd2_from_changelog
+from .rangejoin import bucketed_range_join
+from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
 from .skew import salted_join
 
 __all__ = [
@@ -44,7 +45,9 @@ __all__ = [
     "interval_overlap_join",
     "join_momentum",
     "melt_factors",
+    "bucketed_range_join",
     "merge_intervals",
+    "scd2_apply_changes",
     "pct_change",
     "scd2_from_changelog",
     "point_in_time_join",

@@ -115,3 +115,49 @@ def scd2_from_changelog(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally fold a batch of change-log rows into an existing
+    SCD2 dimension — the warehouse MERGE-into-dimension pattern.
+
+    Only keys present in the batch are rebuilt: their current version
+    rows are replayed as change events (one per ``valid_from``),
+    unioned with the batch, and re-run through
+    :func:`scd2_from_changelog`; untouched keys pass through verbatim
+    (a left-anti join, no rewrite). At 100 TB this means the merge
+    cost scales with the CHANGED key set, not the dimension — the same
+    touched-partition-only discipline as the rollup refresh
+    (storage/rollup.py).
+
+    Contract: batch rows must be at-or-after the key's latest
+    ``valid_from`` in ``dim`` (the normal CDC-append case — any split
+    of a change log at a time threshold satisfies it). Under that
+    contract the tested invariant holds:
+    ``scd2_apply_changes(scd2(initial), batch) == scd2(initial +
+    batch)`` — a batch row inside the open current version splits it
+    exactly as a full recompute would, and same-value runs collapse
+    across the split. Mid-HISTORY corrections (a row older than an
+    already-closed version) need a rebuild from the retained change
+    log: the dim keeps only each version's first row, so the
+    information to re-split a closed run is gone.
+    """
+    touched = changes.select(*keys).distinct()
+    replayed = dim.join(touched, keys, "left_semi").select(
+        *keys, F.col("valid_from").alias(ts_col), *attr_cols
+    )
+    merged_log = replayed.unionByName(
+        changes.select(*keys, ts_col, *attr_cols)
+    )
+    rebuilt = scd2_from_changelog(
+        merged_log, keys, ts_col, attr_cols, order_tiebreak
+    )
+    untouched = dim.join(touched, keys, "left_anti")
+    return untouched.unionByName(rebuilt)

@@ -1451,6 +1451,33 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scd2_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 MERGE invariant, oracle-checked: build the type-2 dimension
+    from the first half of the month, fold the second half in with
+    ``scd2_apply_changes`` (only touched keys rebuilt — the
+    merge-into-dimension pattern), and the result must equal the
+    one-shot build, which is exactly what the DuckDB oracle computes."""
+    from .operators.scd2 import scd2_apply_changes, scd2_from_changelog
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    dim = scd2_from_changelog(
+        ev.filter(F.col("ts") < split),
+        keys=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak=["event_type"],
+    )
+    return scd2_apply_changes(
+        dim,
+        ev.filter(F.col("ts") >= split),
+        keys=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak=["event_type"],
+    )
+
+
 def approx_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch per event_type: ``approx_percentile`` (Greenwald-
     Khanna summaries, mergeable across partitions — the quantile member
@@ -1539,6 +1566,7 @@ SPARK_QUERIES_EXT = {
     "asof_forward_events": asof_forward_events,
     "merge_intervals_events": merge_intervals_events,
     "scd2_events": scd2_events,
+    "scd2_incremental_events": scd2_incremental_events,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2496,3 +2524,4 @@ ORACLE_SQL_EXT = {
         FROM nodes GROUP BY suppkey
     """,
 }
+ORACLE_SQL_EXT["scd2_incremental_events"] = ORACLE_SQL_EXT["scd2_events"]

@@ -2,6 +2,7 @@
 reference is strictly batch; each streaming op here is the incremental
 twin of an oracle-checked batch operator)."""
 
+from .asof import streaming_as_of
 from .dedup import (
     streaming_exact_dedup,
     streaming_minhash_candidates,
@@ -20,6 +21,7 @@ from .rollup_sink import last_applied_batch, rollup_sink
 
 __all__ = [
     "clicks_with_recent_purchase",
+    "streaming_as_of",
     "ohlc_bars_stream",
     "run_to_memory",
     "sessionize",

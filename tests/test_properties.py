@@ -506,3 +506,61 @@ def test_rollup_refresh_is_split_invariant(spark, tmp_path_factory, data):
         n, s, mn, mx = exp.get(k, (0, 0.0, float("inf"), float("-inf")))
         exp[k] = (n + 1, s + v, min(mn, v), max(mx, v))
     assert got == exp
+
+
+@st.composite
+def scd2_changelogs(draw):
+    """Per-key change logs split at a time threshold (the CDC-append
+    contract scd2_apply_changes documents)."""
+    n = draw(st.integers(1, 14))
+    rows = [
+        (
+            draw(st.sampled_from(["k1", "k2"])),
+            draw(st.integers(0, 20)),          # ts
+            draw(st.sampled_from(["A", "B", None])),
+        )
+        for _ in range(n)
+    ]
+    cut_ts = draw(st.integers(0, 21))
+    return rows, cut_ts
+
+
+@given(scd2_changelogs())
+@SETTINGS
+def test_scd2_apply_changes_is_split_invariant(spark, data):
+    """scd2(initial) + apply(batch) == scd2(all) for ANY time-threshold
+    split of the change log (the documented CDC-append contract)."""
+    from quantlab_data_pipeline_spark.operators.scd2 import (
+        scd2_apply_changes,
+        scd2_from_changelog,
+    )
+
+    rows, cut_ts = data
+    schema = "k string, ts long, val string"
+    all_df = spark.createDataFrame(rows, schema)
+    initial = [r for r in rows if r[1] < cut_ts]
+    batch = [r for r in rows if r[1] >= cut_ts]
+
+    def canon(df):
+        return {
+            (r["k"], r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.collect()
+        }
+
+    one_shot = canon(
+        scd2_from_changelog(all_df, ["k"], "ts", ["val"], ["val"])
+    )
+    dim = scd2_from_changelog(
+        spark.createDataFrame(initial, schema) if initial
+        else all_df.limit(0),
+        ["k"], "ts", ["val"], ["val"],
+    )
+    merged = canon(
+        scd2_apply_changes(
+            dim,
+            spark.createDataFrame(batch, schema) if batch
+            else all_df.limit(0),
+            ["k"], "ts", ["val"], ["val"],
+        )
+    )
+    assert merged == one_shot

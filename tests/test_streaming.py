@@ -359,3 +359,74 @@ def test_streaming_forward_fill_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert got[1] is None and got[5] == 10.0 and got[6] == 20.0 and got[8] == 30.0
+
+
+def test_streaming_as_of_matches_batch_join(spark, tmp_path):
+    """Streamed as-of enrichment must equal the batch as_of_join on the
+    same rows — including a reference carry across the micro-batch
+    boundary, the backward-INCLUSIVE same-timestamp tie, and an event
+    with no reference yet (nulls)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.operators.asof import as_of_join
+    from quantlab_data_pipeline_spark.streaming.asof import streaming_as_of
+
+    t0 = dt.datetime(2024, 3, 1)
+    ts = lambda m: t0 + dt.timedelta(minutes=m)
+    ev_schema = "event_id long, user_id long, ts timestamp"
+    ref_schema = "user_id long, ts timestamp, ref_value double"
+    ev1 = [(1, 1, ts(0)), (2, 1, ts(10)), (3, 2, ts(5))]
+    ev2 = [(4, 1, ts(20)), (5, 2, ts(25)), (6, 1, ts(30))]
+    ref1 = [(1, ts(10), 100.0)]            # same-ts tie with event 2
+    ref2 = [(1, ts(25), 200.0), (2, ts(24), 50.0)]
+
+    d = tmp_path / "asof_src"
+    for name, rows, schema in (
+        ("ev/b1", ev1, ev_schema), ("ev/b2", ev2, ev_schema),
+        ("ref/b1", ref1, ref_schema), ("ref/b2", ref2, ref_schema),
+    ):
+        p = d / f"{name}.parquet"
+        os.makedirs(p.parent, exist_ok=True)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+
+    ev_src = (
+        spark.readStream.schema(T.StructType.fromDDL(ev_schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "ev" / "*.parquet"))
+    )
+    ref_src = (
+        spark.readStream.schema(T.StructType.fromDDL(ref_schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "ref" / "*.parquet"))
+    )
+    q = (
+        streaming_as_of(ev_src, ref_src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_stream")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+
+    exp = {
+        r["event_id"]: (r["asof_ts"], r["asof_ref_value"])
+        for r in as_of_join(
+            spark.createDataFrame(ev1 + ev2, ev_schema),
+            spark.createDataFrame(ref1 + ref2, ref_schema),
+            on=["user_id"],
+        ).collect()
+    }
+    assert got == exp
+    assert got[1] == (None, None)            # before any reference
+    assert got[2] == (ts(10), 100.0)         # inclusive same-ts tie
