@@ -22,6 +22,7 @@ from .intervals import (
 )
 from .asof import as_of_join
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
+from .hierarchy import resolve_hierarchy
 from .rangejoin import bucketed_range_join
 from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
 from .skew import salted_join
@@ -46,6 +47,7 @@ __all__ = [
     "join_momentum",
     "melt_factors",
     "bucketed_range_join",
+    "resolve_hierarchy",
     "merge_intervals",
     "scd2_apply_changes",
     "pct_change",

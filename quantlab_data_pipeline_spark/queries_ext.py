@@ -1451,6 +1451,32 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def hierarchy_rollup_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive hierarchy flattening, oracle-checked against DuckDB's
+    WITH RECURSIVE: customers form a synthetic decimal forest
+    (parent(k) = floor(k/10); keys 1-9 are roots), resolved to
+    (node, root, depth) by pointer doubling (operators/hierarchy.py —
+    ceil(log2 depth) keyed self-joins, not depth chained joins), then
+    rolled up: account balance aggregated per subtree root."""
+    from .operators.hierarchy import resolve_hierarchy
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    edges = cust.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    flat = resolve_hierarchy(edges, nodes=cust.select("c_custkey"))
+    return (
+        cust.join(flat, cust["c_custkey"] == flat["node"])
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("depth").cast("int").alias("max_depth"),
+            F.round(F.sum("c_acctbal"), 2).alias("subtree_acctbal"),
+        )
+    )
+
+
 def scd2_incremental_events(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 MERGE invariant, oracle-checked: build the type-2 dimension
     from the first half of the month, fold the second half in with
@@ -1567,6 +1593,7 @@ SPARK_QUERIES_EXT = {
     "merge_intervals_events": merge_intervals_events,
     "scd2_events": scd2_events,
     "scd2_incremental_events": scd2_incremental_events,
+    "hierarchy_rollup_customers": hierarchy_rollup_customers,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2522,6 +2549,23 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    # recursive CTE — the engine-native twin of pointer doubling
+    "hierarchy_rollup_customers": """
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+            FROM customer
+            UNION ALL
+            SELECT node, CAST(floor(cur / 10) AS BIGINT), depth + 1
+            FROM walk WHERE cur >= 10
+        ), flat AS (
+            SELECT node, cur AS root, depth FROM walk WHERE cur < 10
+        )
+        SELECT root, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(depth) AS INTEGER) AS max_depth,
+               round(sum(c_acctbal), 2) AS subtree_acctbal
+        FROM flat JOIN customer ON node = c_custkey
+        GROUP BY root
     """,
 }
 ORACLE_SQL_EXT["scd2_incremental_events"] = ORACLE_SQL_EXT["scd2_events"]

@@ -861,3 +861,32 @@ def test_bucketed_range_join_plans_hash_join_not_nested_loop(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_resolve_hierarchy_pointer_doubling(spark):
+    from quantlab_data_pipeline_spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    # a 9-deep chain (forces several doublings), a bushy tree, and an
+    # isolated node supplied via nodes=
+    chain = [(i + 1, i) for i in range(9)]              # 9<-8<-...<-0
+    tree = [(20, 100), (21, 100), (22, 20)]             # 100 root
+    edges = spark.createDataFrame(chain + tree, "child long, parent long")
+    nodes = spark.createDataFrame([(999,), (0,)], "id long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_hierarchy(edges, nodes=nodes).collect()
+    }
+    for i in range(10):
+        assert got[i] == (0, i)
+    assert got[100] == (100, 0)
+    assert got[20] == (100, 1)
+    assert got[22] == (100, 2)
+    assert got[999] == (999, 0)   # isolated node is its own root
+    assert len(got) == 15
+
+    # cycle -> ValueError, not an infinite loop
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(ValueError):
+        resolve_hierarchy(cyc, max_rounds=5)
