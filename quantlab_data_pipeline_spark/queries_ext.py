@@ -1451,6 +1451,19 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 over inverted postings
+    (llm/search.py) for a fixed 3-term query — the keyword twin of the
+    embedding ANN family. Corpus-sized work is ONE postings shuffle;
+    query-time work touches only the query terms' postings (IN-list
+    filter) plus two broadcast frames (per-term df, 1-row N/avgdl).
+    Fully Catalyst-expressible, so train+query is oracle-checked."""
+    from .llm.search import bm25_search
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_search(docs, ["spark", "window", "merge"])
+
+
 def hierarchy_rollup_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Recursive hierarchy flattening, oracle-checked against DuckDB's
     WITH RECURSIVE: customers form a synthetic decimal forest
@@ -1594,6 +1607,7 @@ SPARK_QUERIES_EXT = {
     "scd2_events": scd2_events,
     "scd2_incremental_events": scd2_incremental_events,
     "hierarchy_rollup_customers": hierarchy_rollup_customers,
+    "bm25_search_docs": bm25_search_docs,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2549,6 +2563,32 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    # same BM25 statistic as llm/search.py, from the same tokenizer
+    "bm25_search_docs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_W} AS w FROM documents
+        ), postings AS (
+            SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks
+        ), tf AS (
+            SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+            FROM postings
+            WHERE term IN ('spark', 'window', 'merge')
+            GROUP BY term, doc_id, dl
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(w)) AS avgdl
+            FROM toks
+        ), dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
     """,
     # recursive CTE — the engine-native twin of pointer doubling
     "hierarchy_rollup_customers": """

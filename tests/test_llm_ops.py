@@ -839,3 +839,51 @@ def test_bigram_lm_external_train_backoff(spark):
     # add-alpha behavior.
     assert got[10] > got[11] and got[10] > got[12]
     assert got[12] > got[11]
+
+
+def test_bm25_matches_python_recompute(spark):
+    """Full BM25 recompute in plain python on sf0.001 — idf, length
+    normalization, and multi-term summation all hash-checked upstream
+    by the DuckDB oracle; this adds an engine-independent third
+    implementation."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from quantlab_data_pipeline_spark.llm.search import bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    terms, k1, b = ["spark", "window", "merge"], 1.2, 0.75
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    tok = {
+        r.doc_id: re.findall(r"[a-z0-9]+", (r.text or "").lower())
+        for r in docs.itertuples()
+    }
+    n = len(tok)
+    avgdl = sum(map(len, tok.values())) / n
+    df_ = {
+        t: sum(1 for w in tok.values() if t in w) for t in terms
+    }
+    exp = {}
+    for d, w in tok.items():
+        score, hits = 0.0, 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - df_[t] + 0.5) / (df_[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if hits:
+            exp[d] = (hits, round(score, 6))
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_search(
+            spark.read.parquet(f"{sf}/documents.parquet"), terms
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert got[d][1] == pytest.approx(exp[d][1], abs=2e-6)
