@@ -5,6 +5,7 @@ twin of an oracle-checked batch operator)."""
 from .asof import streaming_as_of
 from .dedup import (
     streaming_exact_dedup,
+    streaming_exact_dedup_bounded,
     streaming_minhash_candidates,
     with_fingerprint_stream,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "sessionize",
     "stream_events",
     "streaming_exact_dedup",
+    "streaming_exact_dedup_bounded",
     "streaming_forward_fill",
     "rollup_sink",
     "last_applied_batch",

@@ -181,3 +181,30 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup_bounded(
+    docs: DataFrame,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded-state variant of :func:`streaming_exact_dedup` using the
+    built-in ``dropDuplicatesWithinWatermark``.
+
+    The custom stateful dedup above keeps every fingerprint forever —
+    correct, but state grows with distinct-document count, which on an
+    unbounded feed eventually needs a TTL policy. When duplicates are
+    known to arrive within a bounded window (the common log-replay /
+    at-least-once-delivery case), the engine-native operator is the
+    right tool: state for a fingerprint is dropped once the watermark
+    passes it, so state size tracks the duplicate-arrival window, not
+    corpus history. Trade-off (documented, not hidden): a duplicate
+    arriving later than ``watermark_delay`` after the original is
+    re-emitted — choose this variant per the source's delivery bound.
+    """
+    return (
+        with_fingerprint_stream(docs, text_col)
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

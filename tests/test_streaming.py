@@ -430,3 +430,57 @@ def test_streaming_as_of_matches_batch_join(spark, tmp_path):
     assert got == exp
     assert got[1] == (None, None)            # before any reference
     assert got[2] == (ts(10), 100.0)         # inclusive same-ts tie
+
+
+def test_streaming_bounded_dedup_drops_in_window_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark variant: duplicates inside the
+    watermark window are dropped; state is bounded by the window, and
+    the keeper set equals the batch dedup when all duplicates arrive
+    within the delay (the documented delivery-bound contract)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.streaming.dedup import (
+        streaming_exact_dedup_bounded,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    rows1 = [
+        (1, t0, "alpha"),
+        (2, t0 + dt.timedelta(minutes=5), "beta"),
+        (3, t0 + dt.timedelta(minutes=10), "alpha"),   # dup within window
+    ]
+    rows2 = [
+        (4, t0 + dt.timedelta(minutes=20), "beta"),    # dup within window
+        (5, t0 + dt.timedelta(minutes=25), "gamma"),
+    ]
+    d = tmp_path / "bounded_src"
+    os.makedirs(d)
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        streaming_exact_dedup_bounded(src, watermark_delay="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bounded_dedup")
+        .option("checkpointLocation", str(tmp_path / "bd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM bounded_dedup").collect()
+    }
+    assert kept == {1, 2, 5}
