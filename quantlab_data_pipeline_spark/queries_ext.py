@@ -1451,6 +1451,27 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def hll_distinct_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable COUNT DISTINCT via materialized HLL sketches
+    (storage/rollup.py build_distinct_rollup): per-day sketches of the
+    user set are stored once, then unioned across the whole range to
+    estimate per-event_type distinct users — the fact is never re-read
+    at query time. Oracle-checkable here because at this cardinality
+    the datasketches HLL stays in sparse mode and the estimate is
+    EXACT (the bound pytest in tests/test_rollup.py covers the general
+    case)."""
+    import tempfile
+
+    from .storage.rollup import build_distinct_rollup, estimate_distinct
+
+    ev = load_table(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="dsk-") + "/events_users"
+    build_distinct_rollup(ev, path, "ts", ["event_type"], "user_id")
+    return estimate_distinct(spark, path, ["event_type"]).select(
+        "event_type", F.col("n_distinct").cast("long").alias("n_distinct")
+    )
+
+
 def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Lexical retrieval: Okapi BM25 over inverted postings
     (llm/search.py) for a fixed 3-term query — the keyword twin of the
@@ -1608,6 +1629,7 @@ SPARK_QUERIES_EXT = {
     "scd2_incremental_events": scd2_incremental_events,
     "hierarchy_rollup_customers": hierarchy_rollup_customers,
     "bm25_search_docs": bm25_search_docs,
+    "hll_distinct_rollup_events": hll_distinct_rollup_events,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2563,6 +2585,13 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    # exact COUNT DISTINCT — the sketch union must reproduce it at
+    # sparse-mode cardinalities
+    "hll_distinct_rollup_events": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
     """,
     # same BM25 statistic as llm/search.py, from the same tokenizer
     "bm25_search_docs": f"""

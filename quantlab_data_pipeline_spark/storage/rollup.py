@@ -164,3 +164,60 @@ def read_rollup(
     return _read_raw(spark, path, flt).withColumn(
         "avg_v", F.col("sum_v") / F.col("n")
     )
+
+
+def build_distinct_rollup(
+    df: DataFrame,
+    path: str,
+    time_col: str,
+    dims: list[str],
+    id_col: str,
+    grain: str = "day",
+    lgk: int = 12,
+) -> None:
+    """Materialize per-(grain, dims) HyperLogLog sketches of
+    ``id_col`` — the mergeable answer to COUNT DISTINCT over rollups.
+
+    Plain count-distinct partials are NOT additive (you cannot sum
+    per-day distinct users into monthly distinct users), which is why
+    the algebraic rollup above excludes it. Datasketches HLL objects
+    ARE mergeable: store one binary sketch per cell
+    (``hll_sketch_agg``), union sketches at read time across any time
+    range (``hll_union_agg``), estimate once — a 100 TB fact collapses
+    to KB-scale sketch cells, and re-aggregation to coarser grains or
+    longer windows never touches the fact again. Same hive layout as
+    the value rollup so time-range reads prune partitions.
+    """
+    if grain not in _GRAIN_FMT:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_FMT)}")
+    key = F.date_format(
+        F.date_trunc(grain, F.col(time_col)), _GRAIN_FMT[grain]
+    ).alias("grain_key")
+    (
+        df.groupBy(key, *dims)
+        .agg(F.hll_sketch_agg(F.col(id_col).cast("string"), F.lit(lgk)).alias("sketch"))
+        .write.mode("overwrite")
+        .partitionBy("grain_key")
+        .parquet(path)
+    )
+
+
+def estimate_distinct(
+    spark: SparkSession,
+    path: str,
+    dims: list[str],
+    start_key: str | None = None,
+    end_key: str | None = None,
+) -> DataFrame:
+    """(dims..., n_distinct) across a grain-key range, by unioning the
+    stored sketches — never re-reading the fact. The range filter hits
+    the hive partition column, so only the requested grain partitions
+    are scanned."""
+    r = spark.read.parquet(path)
+    if start_key is not None:
+        r = r.filter(F.col("grain_key") >= start_key)
+    if end_key is not None:
+        r = r.filter(F.col("grain_key") <= end_key)
+    return r.groupBy(*dims).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct")
+    )

@@ -187,3 +187,56 @@ def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     assert again == got
+
+
+def test_distinct_rollup_union_matches_exact(spark, tmp_path):
+    """Per-day HLL sketches unioned across the month must estimate the
+    month's exact distinct count (exact at these cardinalities — the
+    sketch stays in sparse mode), and a range read must only union the
+    requested days."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_distinct_rollup,
+        estimate_distinct,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        for u in range(day * 7):          # growing overlapping user sets
+            rows.append(
+                (dt.datetime(2024, 7, day, 12), "a" if u % 2 else "b", u)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, seg string, user_id long")
+    path = str(tmp_path / "dsk")
+    build_distinct_rollup(df, path, "ts", ["seg"], "user_id")
+
+    got = {
+        r["seg"]: r["n_distinct"]
+        for r in estimate_distinct(spark, path, ["seg"]).collect()
+    }
+    exact = {
+        r["seg"]: r["n"]
+        for r in df.groupBy("seg")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact  # sparse-mode HLL is exact at this cardinality
+
+    # pruned range: first 3 days only
+    got3 = {
+        r["seg"]: r["n_distinct"]
+        for r in estimate_distinct(
+            spark, path, ["seg"], "2024-07-01", "2024-07-03"
+        ).collect()
+    }
+    exact3 = {
+        r["seg"]: r["n"]
+        for r in df.filter(F.dayofmonth("ts") <= 3)
+        .groupBy("seg")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got3 == exact3
