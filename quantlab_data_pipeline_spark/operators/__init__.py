@@ -22,6 +22,7 @@ from .intervals import (
 )
 from .asof import as_of_join
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
+from .diff import snapshot_diff
 from .hierarchy import resolve_hierarchy
 from .rangejoin import bucketed_range_join
 from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
@@ -48,6 +49,7 @@ __all__ = [
     "melt_factors",
     "bucketed_range_join",
     "resolve_hierarchy",
+    "snapshot_diff",
     "merge_intervals",
     "scd2_apply_changes",
     "pct_change",

@@ -1451,6 +1451,35 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def snapshot_diff_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-feed derivation from two full snapshots
+    (operators/diff.py): the 'old' dump drops every 13th customer, the
+    'new' dump drops every 11th and bumps every 7th balance — the diff
+    must classify exactly the deletes, inserts, and balance updates.
+    One full-outer keyed join + expressions; oracle is the same
+    classification in SQL."""
+    from .operators.diff import snapshot_diff
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.filter(F.col("c_custkey") % 13 != 0)
+    new = cust.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 10.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    d = snapshot_diff(
+        old, new, ["c_custkey"], compare_cols=["c_acctbal", "c_name"]
+    )
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+        F.round("old_c_acctbal", 2).alias("old_c_acctbal"),
+        F.round("new_c_acctbal", 2).alias("new_c_acctbal"),
+    )
+
+
 def hll_distinct_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable COUNT DISTINCT via materialized HLL sketches
     (storage/rollup.py build_distinct_rollup): per-day sketches of the
@@ -1630,6 +1659,7 @@ SPARK_QUERIES_EXT = {
     "hierarchy_rollup_customers": hierarchy_rollup_customers,
     "bm25_search_docs": bm25_search_docs,
     "hll_distinct_rollup_events": hll_distinct_rollup_events,
+    "snapshot_diff_customers": snapshot_diff_customers,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2585,6 +2615,43 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    # same classification in SQL: full outer join + CASE
+    "snapshot_diff_customers": """
+        WITH old AS (
+            SELECT c_custkey, c_acctbal, c_name FROM customer
+            WHERE c_custkey % 13 <> 0
+        ), new AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN round(c_acctbal + 10.0, 2)
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_name
+            FROM customer WHERE c_custkey % 11 <> 0
+        ), j AS (
+            SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+                   old.c_custkey IS NOT NULL AS in_old,
+                   new.c_custkey IS NOT NULL AS in_new,
+                   old.c_acctbal AS old_bal, new.c_acctbal AS new_bal,
+                   old.c_name AS old_name, new.c_name AS new_name
+            FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+        )
+        SELECT c_custkey,
+               CASE WHEN NOT in_old THEN 'insert'
+                    WHEN NOT in_new THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               CASE WHEN NOT in_old OR NOT in_new THEN ''
+                    ELSE concat_ws(',',
+                        CASE WHEN old_bal IS DISTINCT FROM new_bal
+                             THEN 'c_acctbal' END,
+                        CASE WHEN old_name IS DISTINCT FROM new_name
+                             THEN 'c_name' END) END AS changed_cols,
+               round(old_bal, 2) AS old_c_acctbal,
+               round(new_bal, 2) AS new_c_acctbal
+        FROM j
+        WHERE NOT in_old OR NOT in_new
+           OR old_bal IS DISTINCT FROM new_bal
+           OR old_name IS DISTINCT FROM new_name
     """,
     # exact COUNT DISTINCT — the sketch union must reproduce it at
     # sparse-mode cardinalities

@@ -890,3 +890,46 @@ def test_resolve_hierarchy_pointer_doubling(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
     with pytest.raises(ValueError):
         resolve_hierarchy(cyc, max_rounds=5)
+
+
+def test_snapshot_diff_classification(spark):
+    from quantlab_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", None),     # null -> value is an update
+            (4, "d", 40.0),     # deleted
+            (5, "e", 50.0),     # unchanged
+        ],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11.0),         # bal update
+            (2, "bb", 21.0),        # both cols update
+            (3, "c", 30.0),
+            (5, "e", 50.0),
+            (6, "f", 60.0),         # insert
+        ],
+        "k long, name string, bal double",
+    )
+    rows = {
+        r["k"]: (r["change_type"], tuple(r["changed_cols"]))
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {
+        1: ("update", ("bal",)),
+        2: ("update", ("bal", "name")),
+        3: ("update", ("bal",)),
+        4: ("delete", ()),
+        6: ("insert", ()),
+    }
+    # include_unchanged surfaces row 5 too
+    all_rows = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert all_rows.count() == 6
+    unchanged = {
+        r["k"] for r in all_rows.filter("change_type = 'unchanged'").collect()
+    }
+    assert unchanged == {5}
