@@ -1451,6 +1451,89 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def twap_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so the daily average weights values by holding time —
+    the irregular-sampling statistic VWAP/avg get wrong. One window
+    (lead per user-day) + one aggregation; the last observation of a
+    day holds until midnight. Single-shuffle plan keyed on
+    (user, day)."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    withgap = (
+        ev.select("user_id", day, "ts", "event_id", "value")
+        .withColumn(
+            "hold_s",
+            (
+                F.unix_micros(
+                    F.coalesce(
+                        F.lead("ts").over(w),
+                        F.col("day") + F.expr("INTERVAL 1 DAY"),
+                    )
+                )
+                - F.unix_micros("ts")
+            )
+            / 1e6,
+        )
+    )
+    return (
+        withgap.groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("hold_s")) / F.sum("hold_s"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+
+
+def resample_grid_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Irregular→regular resampling: project each user's value series
+    onto an hourly grid with LOCF fill — the composition of the
+    calendar-explode, per-bucket-last, and forward-fill primitives.
+    The grid is generated distributively (sequence+explode per user,
+    spanning the user's own [first, last] observation window), the
+    per-hour last value comes from one keyed aggregation (max_by), and
+    the fill is one last(ignorenulls) window — two shuffles total,
+    both on user_id."""
+    ev = load_table(spark, sf, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly_last = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("hour_value")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly_last, ["user_id", "hour"], "left")
+        .withColumn(
+            "value_filled",
+            F.round(F.last("hour_value", ignorenulls=True).over(w), 6),
+        )
+        .select(
+            "user_id",
+            "hour",
+            "value_filled",
+            F.col("hour_value").isNull().alias("was_gap"),
+        )
+    )
+
+
 def snapshot_diff_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Change-feed derivation from two full snapshots
     (operators/diff.py): the 'old' dump drops every 13th customer, the
@@ -1660,6 +1743,8 @@ SPARK_QUERIES_EXT = {
     "bm25_search_docs": bm25_search_docs,
     "hll_distinct_rollup_events": hll_distinct_rollup_events,
     "snapshot_diff_customers": snapshot_diff_customers,
+    "twap_events": twap_events,
+    "resample_grid_events": resample_grid_events,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2615,6 +2700,51 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "twap_events": """
+        WITH g AS (
+            SELECT user_id, date_trunc('day', ts) AS day, ts, value,
+                   date_diff('microsecond', ts,
+                       coalesce(
+                           lead(ts) OVER (
+                               PARTITION BY user_id, date_trunc('day', ts)
+                               ORDER BY ts, event_id),
+                           date_trunc('day', ts) + INTERVAL 1 DAY
+                       )) / 1e6 AS hold_s
+            FROM events
+        )
+        SELECT user_id, day,
+               round(sum(value * hold_s) / sum(hold_s), 6) AS twap,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM g GROUP BY user_id, day
+    """,
+    "resample_grid_events": """
+        WITH bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1,
+                       INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), hourly_last AS (
+            SELECT user_id, hour, value AS hour_value FROM (
+                SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT g.user_id, g.hour,
+               round(last_value(hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS value_filled,
+               hour_value IS NULL AS was_gap
+        FROM grid g LEFT JOIN hourly_last h
+          ON g.user_id = h.user_id AND g.hour = h.hour
     """,
     # same classification in SQL: full outer join + CASE
     "snapshot_diff_customers": """

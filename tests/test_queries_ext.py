@@ -371,3 +371,30 @@ def test_approx_quantiles_within_rank_error(spark, events_pd):
             # positions of the target rank
             rank = np.searchsorted(xs, v, side="right")
             assert abs(rank - q * n) <= n / 10000 + 2, (etype, q, v)
+
+
+def test_twap_matches_pandas(spark, events_pd):
+    """Holding-time-weighted recompute in pandas: each value holds
+    until the next same-(user, day) observation, the day's last until
+    midnight."""
+    from quantlab_data_pipeline_spark.queries_ext import twap_events
+
+    got = {
+        (r["user_id"], r["day"].date()): (r["twap"], r["n_obs"])
+        for r in twap_events(spark, SF).collect()
+    }
+    exp = {}
+    df = events_pd.assign(day=events_pd["ts"].dt.floor("D"))
+    for (u, d), g in df.groupby(["user_id", "day"]):
+        g = g.sort_values(["ts", "event_id"])
+        nxt = g["ts"].shift(-1)
+        nxt.iloc[-1] = d + pd.Timedelta(days=1)
+        hold = (nxt - g["ts"]).dt.total_seconds()
+        exp[(u, d.date())] = (
+            round(float((g["value"] * hold).sum() / hold.sum()), 6),
+            len(g),
+        )
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][1] == exp[k][1]
+        assert got[k][0] == pytest.approx(exp[k][0], abs=2e-6)
