@@ -1451,6 +1451,64 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality audit: holes in the order-key sequence — one lag
+    window over the sorted keys, emitting each gap's [missing_from,
+    missing_to] range and size. The completeness check every ingest
+    pipeline runs against an id-assigning upstream; one global-order
+    range exchange (acceptable: the output is audit-sized). The
+    driver's keys are dense, so the audited slice drops every 97th key
+    — the detector must report exactly those singleton gaps (the
+    oracle drops the same keys)."""
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 97 != 0
+    )
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey")
+        .withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("o_orderkey") - F.col("prev") > 1)
+        )
+        .select(
+            (F.col("prev") + 1).alias("missing_from"),
+            (F.col("o_orderkey") - 1).alias("missing_to"),
+            (F.col("o_orderkey") - F.col("prev") - 1).alias("n_missing"),
+        )
+    )
+
+
+def mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period BI pattern: monthly order revenue per
+    market segment with month-over-month absolute and percent change
+    (lag window over the aggregated frame — the window runs on
+    months × segments rows, never the fact)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            "c_mktsegment",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)) * 100, 4
+        ).alias("mom_pct"),
+    )
+
+
 def twap_events(spark: SparkSession, sf: str) -> DataFrame:
     """Time-weighted average (TWAP): each observation holds until the
     next one, so the daily average weights values by holding time —
@@ -1745,6 +1803,8 @@ SPARK_QUERIES_EXT = {
     "snapshot_diff_customers": snapshot_diff_customers,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
+    "sequence_gaps_orders": sequence_gaps_orders,
+    "mom_revenue_growth": mom_revenue_growth,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2700,6 +2760,33 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "sequence_gaps_orders": """
+        SELECT prev + 1 AS missing_from,
+               o_orderkey - 1 AS missing_to,
+               o_orderkey - prev - 1 AS n_missing
+        FROM (
+            SELECT o_orderkey,
+                   lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+            FROM orders WHERE o_orderkey % 97 <> 0
+        )
+        WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+    """,
+    "mom_revenue_growth": """
+        WITH monthly AS (
+            SELECT c_mktsegment,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, month, revenue,
+               round(revenue - lag(revenue) OVER w, 2) AS mom_delta,
+               round((revenue - lag(revenue) OVER w)
+                     / nullif(lag(revenue) OVER w, 0.0) * 100, 4) AS mom_pct
+        FROM monthly
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
     """,
     "twap_events": """
         WITH g AS (

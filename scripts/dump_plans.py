@@ -60,6 +60,12 @@ HEADLINE = [
     "approx_quantiles_events",
     "range_join_value_bands",
     "triangle_count_suppliers",
+    "scd2_incremental_events",
+    "hierarchy_rollup_customers",
+    "bm25_search_docs",
+    "snapshot_diff_customers",
+    "twap_events",
+    "resample_grid_events",
 ]
 
 
