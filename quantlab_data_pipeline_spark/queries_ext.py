@@ -1451,6 +1451,37 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): priority = u^(1/w) with u a cross-engine md5
+    uniform draw (llm.text.hash_uniform) and w = n_chars, keep the
+    top-200 priorities — the quality-weighted corpus-selection op, as
+    a single top-k (TakeOrderedAndProject at scale, no global sort).
+    Deterministic across runs, partitionings, AND engines, so the
+    SELECTED SET itself is oracle-checked, not just its size."""
+    from .llm.text import hash_uniform
+
+    docs = load_table(spark, sf, "documents")
+    pri = F.pow(
+        hash_uniform("doc_id", "wsample-v1"),
+        1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps
+    # + driver merge of 200-row tails) — NOT a single-partition global
+    # sort; only the 200 survivors see the rank window.
+    top = (
+        docs.select("doc_id", "n_chars", F.round(pri, 10).alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).select(
+        "doc_id", "n_chars", F.round("priority", 6).alias("priority"), "rk"
+    )
+
+
 def sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Data-quality audit: holes in the order-key sequence — one lag
     window over the sorted keys, emitting each gap's [missing_from,
@@ -1805,6 +1836,7 @@ SPARK_QUERIES_EXT = {
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
     "mom_revenue_growth": mom_revenue_growth,
+    "weighted_sample_docs": weighted_sample_docs,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2760,6 +2792,20 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "weighted_sample_docs": f"""
+        WITH pri AS (
+            SELECT doc_id, n_chars,
+                   round(pow({_hash_uniform_sql('wsample-v1')},
+                             1.0 / greatest(n_chars, 1)), 10) AS priority
+            FROM documents
+        )
+        SELECT doc_id, n_chars, round(priority, 6) AS priority,
+               CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM pri
+        ORDER BY priority DESC, doc_id
+        LIMIT 200
     """,
     "sequence_gaps_orders": """
         SELECT prev + 1 AS missing_from,
