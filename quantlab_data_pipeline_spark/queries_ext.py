@@ -1451,6 +1451,46 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fama_macbeth_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Fama-MacBeth two-stage regression, the cross-sectional asset-
+    pricing workhorse: stage 1 runs one OLS slope PER DAY across users
+    — each user's day-t mean value regressed on their day-(t-1) mean
+    (the momentum characteristic; the regressor must vary WITHIN the
+    day, which is exactly what a per-user lag provides). slope =
+    covar_samp/var_samp, a grouped aggregation, no quadratic stage.
+    Stage 2 treats the daily slopes as a time series: mean, std, and
+    the Fama-MacBeth t-statistic. One user-keyed window + two
+    aggregations; no stage sees more than (days × users) rows."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    user_daily = ev.groupBy("user_id", day).agg(
+        F.avg("value").alias("y")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    panel = user_daily.withColumn("x", F.lag("y").over(wlag)).filter(
+        F.col("x").isNotNull()
+    )
+    stage1 = (
+        panel.groupBy("day")
+        .agg(
+            (F.covar_samp("y", "x") / F.nullif(F.var_samp("x"), F.lit(0.0)))
+            .alias("slope"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .filter(F.col("slope").isNotNull())
+    )
+    return stage1.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("slope"), 6).alias("mean_slope"),
+        F.round(F.stddev_samp("slope"), 6).alias("sd_slope"),
+        F.round(
+            F.avg("slope")
+            / (F.stddev_samp("slope") / F.sqrt(F.count(F.lit(1)))),
+            4,
+        ).alias("t_stat"),
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES): priority = u^(1/w) with u a cross-engine md5
@@ -1837,6 +1877,7 @@ SPARK_QUERIES_EXT = {
     "sequence_gaps_orders": sequence_gaps_orders,
     "mom_revenue_growth": mom_revenue_growth,
     "weighted_sample_docs": weighted_sample_docs,
+    "fama_macbeth_events": fama_macbeth_events,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2792,6 +2833,29 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "fama_macbeth_events": """
+        WITH user_daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   avg(value) AS y
+            FROM events GROUP BY 1, 2
+        ), panel AS (
+            SELECT day, y,
+                   lag(y) OVER (PARTITION BY user_id ORDER BY day) AS x
+            FROM user_daily
+        ), stage1 AS (
+            SELECT day,
+                   covar_samp(y, x) / nullif(var_samp(x), 0.0) AS slope,
+                   count(*) AS n_users
+            FROM panel WHERE x IS NOT NULL
+            GROUP BY day
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(slope), 6) AS mean_slope,
+               round(stddev_samp(slope), 6) AS sd_slope,
+               round(avg(slope) / (stddev_samp(slope) / sqrt(count(*))), 4)
+                   AS t_stat
+        FROM stage1 WHERE slope IS NOT NULL
     """,
     "weighted_sample_docs": f"""
         WITH pri AS (

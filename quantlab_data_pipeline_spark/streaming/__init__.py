@@ -11,6 +11,7 @@ from .dedup import (
 )
 from .events import (
     clicks_with_recent_purchase,
+    enrich_with_static_dim,
     ohlc_bars_stream,
     run_to_memory,
     sessionize,
@@ -22,6 +23,7 @@ from .rollup_sink import last_applied_batch, rollup_sink
 
 __all__ = [
     "clicks_with_recent_purchase",
+    "enrich_with_static_dim",
     "streaming_as_of",
     "ohlc_bars_stream",
     "run_to_memory",

@@ -193,3 +193,22 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def enrich_with_static_dim(
+    stream: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the CURRENT
+    state of a static/batch dimension — the standard enrichment for
+    slowly-refreshed reference data (user profiles, symbol masters).
+
+    Completes the streaming join surface next to the watermarked
+    stream-stream join (clicks_with_recent_purchase) and the stateful
+    latest-value as-of (streaming/asof.py): unlike those, this needs
+    NO state store at all — Spark re-plans the dim side per micro-batch,
+    so a broadcast-sized dim costs one broadcast per batch and a parquet
+    -backed dim is re-scanned (pointing it at a path picks up refreshes
+    between batches). Stream side must be the left/outer side — Spark
+    rejects shapes that would need unbounded stream buffering.
+    """
+    return stream.join(dim, on, how)

@@ -484,3 +484,51 @@ def test_streaming_bounded_dedup_drops_in_window_duplicates(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM bounded_dedup").collect()
     }
     assert kept == {1, 2, 5}
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment across two micro-batches equals the
+    batch join, including a stream row with no dim match (left join
+    nulls)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.streaming.events import (
+        enrich_with_static_dim,
+    )
+
+    schema = "event_id long, user_id long, v double"
+    b1 = [(1, 10, 1.0), (2, 20, 2.0)]
+    b2 = [(3, 10, 3.0), (4, 99, 4.0)]   # 99 has no dim row
+    d = tmp_path / "ss_src"
+    os.makedirs(d)
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        enrich_with_static_dim(src, dim, ["user_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == {1: "gold", 2: "silver", 3: "gold", 4: None}
