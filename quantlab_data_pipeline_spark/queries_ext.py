@@ -1451,6 +1451,114 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rank_ic_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily rank information coefficient (Spearman IC): per day, the
+    correlation between users' ranked lagged value and ranked current
+    value — the signal-quality metric quant desks track alongside the
+    Fama-MacBeth slope. Ranks are made unique with a user_id tiebreak
+    so the correlation is deterministic cross-engine; per-day ranking
+    windows are keyed on the day (days × users rows, never the raw
+    fact)."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    user_daily = ev.groupBy("user_id", day).agg(F.avg("value").alias("y"))
+    wlag = Window.partitionBy("user_id").orderBy("day")
+    panel = user_daily.withColumn("x", F.lag("y").over(wlag)).filter(
+        F.col("x").isNotNull()
+    )
+    rx = F.rank().over(
+        Window.partitionBy("day").orderBy("x", "user_id")
+    )
+    ry = F.rank().over(
+        Window.partitionBy("day").orderBy("y", "user_id")
+    )
+    daily_ic = (
+        panel.withColumn("rx", rx)
+        .withColumn("ry", ry)
+        .groupBy("day")
+        .agg(
+            F.corr("rx", "ry").alias("ic"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .filter(F.col("ic").isNotNull())
+    )
+    return daily_ic.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("ic"), 6).alias("mean_ic"),
+        F.round(F.stddev_samp("ic"), 6).alias("sd_ic"),
+        F.round(
+            F.avg("ic") / (F.stddev_samp("ic") / F.sqrt(F.count(F.lit(1)))),
+            4,
+        ).alias("ic_t"),
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition estimation over each user's
+    event-type sequence: one lag window keyed on the user, then a
+    global (from, to) count with row-normalized probabilities via a
+    window sum — the sequence-analytics primitive behind funnel and
+    next-action models."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+def source_divergence_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus QA: per-source token-distribution divergence from the
+    corpus-wide distribution — KL(source ‖ corpus) over the shared
+    word tokenizer, the drift metric that catches a source gone
+    off-distribution before it poisons a training mix. Smoothing-free
+    because every source term exists in the corpus distribution by
+    construction. Two keyed aggregations; the corpus marginals join
+    back on the term (vocab-sized — NOT broadcast), and both totals
+    attach as broadcast frames (source-count rows / one row — no
+    driver collect)."""
+    from .llm.text import _tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    per_source = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c_st")
+    )
+    src_tot = per_source.groupBy("source").agg(
+        F.sum("c_st").alias("n_s")
+    )
+    corpus = per_source.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    corpus_tot = corpus.agg(F.sum("c_t").alias("n"))
+    joined = (
+        per_source.join(F.broadcast(src_tot), "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(corpus_tot))
+        .withColumn("p", F.col("c_st") / F.col("n_s"))
+        .withColumn("q", F.col("c_t") / F.col("n"))
+    )
+    return joined.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("kl_from_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
 def fama_macbeth_events(spark: SparkSession, sf: str) -> DataFrame:
     """Fama-MacBeth two-stage regression, the cross-sectional asset-
     pricing workhorse: stage 1 runs one OLS slope PER DAY across users
@@ -1878,6 +1986,9 @@ SPARK_QUERIES_EXT = {
     "mom_revenue_growth": mom_revenue_growth,
     "weighted_sample_docs": weighted_sample_docs,
     "fama_macbeth_events": fama_macbeth_events,
+    "rank_ic_events": rank_ic_events,
+    "event_transition_matrix": event_transition_matrix,
+    "source_divergence_docs": source_divergence_docs,
     "approx_quantiles_events": approx_quantiles_events,
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
@@ -2833,6 +2944,69 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "rank_ic_events": """
+        WITH user_daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day, avg(value) AS y
+            FROM events GROUP BY 1, 2
+        ), panel AS (
+            SELECT user_id, day, y,
+                   lag(y) OVER (PARTITION BY user_id ORDER BY day) AS x
+            FROM user_daily
+        ), ranked AS (
+            SELECT day,
+                   rank() OVER (PARTITION BY day ORDER BY x, user_id) AS rx,
+                   rank() OVER (PARTITION BY day ORDER BY y, user_id) AS ry
+            FROM panel WHERE x IS NOT NULL
+        ), daily AS (
+            SELECT day, corr(rx, ry) AS ic, count(*) AS n_users
+            FROM ranked GROUP BY day
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(ic), 6) AS mean_ic,
+               round(stddev_samp(ic), 6) AS sd_ic,
+               round(avg(ic) / (stddev_samp(ic) / sqrt(count(*))), 4)
+                   AS ic_t
+        FROM daily WHERE ic IS NOT NULL
+    """,
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type,
+                   event_type AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY from_type)
+                              AS DOUBLE), 6) AS p
+        FROM counts
+    """,
+    "source_divergence_docs": f"""
+        WITH toks AS (
+            SELECT source, unnest({_W}) AS term FROM documents
+        ), per_source AS (
+            SELECT source, term, CAST(count(*) AS DOUBLE) AS c_st
+            FROM toks GROUP BY source, term
+        ), src_tot AS (
+            SELECT source, sum(c_st) AS n_s FROM per_source GROUP BY source
+        ), corpus AS (
+            SELECT term, sum(c_st) AS c_t FROM per_source GROUP BY term
+        ), tot AS (SELECT sum(c_t) AS n FROM corpus)
+        SELECT source,
+               round(sum((c_st / n_s)
+                         * ln((c_st / n_s) / (c_t / n))), 6)
+                   AS kl_from_corpus,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM per_source
+        JOIN src_tot USING (source)
+        JOIN corpus USING (term)
+        CROSS JOIN tot
+        GROUP BY source
     """,
     "fama_macbeth_events": """
         WITH user_daily AS (
