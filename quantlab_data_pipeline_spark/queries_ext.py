@@ -1451,6 +1451,117 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def decile_turnover_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Portfolio-rebalance cost metric: users ranked into weekly value
+    deciles (ntile over each week's cross-section), then the share of
+    users whose decile changed week-over-week — one ranking window per
+    week + one per-user lag, aggregated to (week, turnover). Runs on
+    the weeks × users frame, never the raw fact."""
+    ev = load_table(spark, sf, "events")
+    week = F.date_trunc("week", "ts").alias("week")
+    user_weekly = ev.groupBy("user_id", week).agg(
+        F.avg("value").alias("v")
+    )
+    dec = F.ntile(10).over(
+        Window.partitionBy("week").orderBy("v", "user_id")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("week")
+    paneled = (
+        user_weekly.withColumn("decile", dec)
+        .withColumn("prev_decile", F.lag("decile").over(wlag))
+        .filter(F.col("prev_decile").isNotNull())
+    )
+    return (
+        paneled.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.avg(
+                    (F.col("decile") != F.col("prev_decile")).cast("double")
+                ),
+                6,
+            ).alias("turnover"),
+        )
+    )
+
+
+def kaplan_meier_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime with censoring —
+    the actuarial statistic behind churn curves. A user's lifetime is
+    last-PURCHASE minus first-purchase (days); users still purchasing
+    in the final 3 days of the observation window are CENSORED at
+    window-end minus first-purchase, others are churn events. The
+    estimator needs only: per-time-point death/at-risk counts (one
+    aggregation), a running risk-set subtraction, and the product
+    Π(1 − d/n) computed as exp(Σ ln) — two ordered windows over the
+    distinct-lifetime frame. No stage sees more than user-count rows."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    spans = purchases.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    window_end = ev.agg(F.max("ts").alias("end_ts"))
+    per_user = (
+        spans.crossJoin(F.broadcast(window_end))
+        .withColumn(
+            "is_death",
+            (
+                F.unix_micros("last_ts")
+                < F.unix_micros("end_ts") - 3 * 86400 * 1_000_000
+            ).cast("int"),
+        )
+        .withColumn(
+            "time_d",
+            F.round(
+                (
+                    F.when(
+                        F.col("is_death") == 1, F.unix_micros("last_ts")
+                    ).otherwise(F.unix_micros("end_ts"))
+                    - F.unix_micros("first_ts")
+                )
+                / (86400 * 1e6),
+                6,
+            ),
+        )
+    )
+    at_time = per_user.groupBy("time_d").agg(
+        F.sum("is_death").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("time_d")
+    cum_prev = F.coalesce(
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    stepped = (
+        at_time.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("n_total") - cum_prev)
+        .withColumn(
+            "factor",
+            F.when(
+                F.col("d") > 0, F.log(1.0 - F.col("d") / F.col("n_risk"))
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum("factor").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return stepped.filter(F.col("d") > 0).select(
+        "time_d",
+        F.col("d").cast("long").alias("deaths"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "survival",
+    )
+
+
 def rank_ic_events(spark: SparkSession, sf: str) -> DataFrame:
     """Daily rank information coefficient (Spearman IC): per day, the
     correlation between users' ranked lagged value and ranked current
@@ -1987,6 +2098,8 @@ SPARK_QUERIES_EXT = {
     "weighted_sample_docs": weighted_sample_docs,
     "fama_macbeth_events": fama_macbeth_events,
     "rank_ic_events": rank_ic_events,
+    "decile_turnover_events": decile_turnover_events,
+    "kaplan_meier_users": kaplan_meier_users,
     "event_transition_matrix": event_transition_matrix,
     "source_divergence_docs": source_divergence_docs,
     "approx_quantiles_events": approx_quantiles_events,
@@ -2944,6 +3057,70 @@ ORACLE_SQL_EXT = {
         )
         SELECT suppkey, CAST(count(*) AS BIGINT) AS triangles
         FROM nodes GROUP BY suppkey
+    """,
+    "decile_turnover_events": """
+        WITH user_weekly AS (
+            SELECT user_id, date_trunc('week', ts) AS week,
+                   avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT user_id, week,
+                   ntile(10) OVER (PARTITION BY week
+                                   ORDER BY v, user_id) AS decile
+            FROM user_weekly
+        ), paneled AS (
+            SELECT week, decile,
+                   lag(decile) OVER (PARTITION BY user_id
+                                     ORDER BY week) AS prev_decile
+            FROM ranked
+        )
+        SELECT week, CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(CASE WHEN decile <> prev_decile
+                              THEN 1.0 ELSE 0.0 END), 6) AS turnover
+        FROM paneled WHERE prev_decile IS NOT NULL
+        GROUP BY week
+    """,
+    "kaplan_meier_users": """
+        WITH spans AS (
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), bound AS (SELECT max(ts) AS end_ts FROM events),
+        per_user AS (
+            SELECT CASE WHEN epoch_us(last_ts)
+                             < epoch_us(end_ts) - 259200000000::BIGINT
+                        THEN 1 ELSE 0 END AS is_death,
+                   round((CASE WHEN epoch_us(last_ts)
+                                    < epoch_us(end_ts) - 259200000000::BIGINT
+                               THEN epoch_us(last_ts)
+                               ELSE epoch_us(end_ts) END
+                          - epoch_us(first_ts)) / (86400 * 1e6), 6)
+                       AS time_d
+            FROM spans CROSS JOIN bound
+        ), at_time AS (
+            SELECT time_d, sum(is_death) AS d, count(*) AS c
+            FROM per_user GROUP BY time_d
+        ), tot AS (SELECT count(*) AS n_total FROM per_user),
+        stepped AS (
+            SELECT time_d, d,
+                   n_total - coalesce(sum(c) OVER (
+                       ORDER BY time_d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_risk,
+                   CASE WHEN d > 0
+                        THEN ln(1.0 - d / (n_total - coalesce(sum(c) OVER (
+                            ORDER BY time_d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)))
+                        ELSE 0.0 END AS factor
+            FROM at_time CROSS JOIN tot
+        )
+        SELECT time_d, CAST(d AS BIGINT) AS deaths,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               round(exp(sum(factor) OVER (
+                   ORDER BY time_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   AS survival
+        FROM stepped WHERE d > 0
     """,
     "rank_ic_events": """
         WITH user_daily AS (
