@@ -20,7 +20,7 @@ from .intervals import (
     point_in_time_join,
     trading_calendar,
 )
-from .asof import as_of_join
+from .asof import as_of_join, as_of_join_cogrouped
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
 from .diff import snapshot_diff
 from .hierarchy import resolve_hierarchy
@@ -31,6 +31,7 @@ from .skew import salted_join
 __all__ = [
     "FACTOR_NAME_MAP",
     "as_of_join",
+    "as_of_join_cogrouped",
     "salted_join",
     "attach_close_prices",
     "attach_tickers",

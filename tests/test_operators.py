@@ -933,3 +933,52 @@ def test_snapshot_diff_classification(spark):
         r["k"] for r in all_rows.filter("change_type = 'unchanged'").collect()
     }
     assert unchanged == {5}
+
+
+def test_as_of_join_cogrouped_equals_window_plan(spark):
+    """The cogrouped merge_asof implementation must produce exactly
+    the window-plan results on randomized data, in all four
+    (direction, tolerance) combinations, including keys present on
+    only one side."""
+    import numpy as np
+    import pandas as pd
+
+    from quantlab_data_pipeline_spark.operators.asof import (
+        as_of_join,
+        as_of_join_cogrouped,
+    )
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 300).astype(str),  # key 3: left-only
+            "t": rng.integers(0, 500, 300),
+            "lid": np.arange(300),
+        }
+    ).drop_duplicates(["k", "t"])
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 150).astype(str),
+            "t": rng.integers(0, 500, 150),
+            "px": rng.normal(size=150).round(6),
+        }
+    ).drop_duplicates(["k", "t"])
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        for tol in (None, 40):
+            a = {
+                (r["k"], int(r["t"])): (r["asof_t"], r["asof_px"])
+                for r in as_of_join(
+                    ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                    direction=direction, tolerance_seconds=tol,
+                ).collect()
+            }
+            b = {
+                (r["k"], int(r["t"])): (r["asof_t"], r["asof_px"])
+                for r in as_of_join_cogrouped(
+                    ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                    direction=direction, tolerance_seconds=tol,
+                ).collect()
+            }
+            assert a == b, (direction, tol)
