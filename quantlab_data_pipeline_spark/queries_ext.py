@@ -588,18 +588,21 @@ def ewma_events(spark: SparkSession, sf: str) -> DataFrame:
     EWMA_{t-1} with no finite-frame rewrite), so it runs as an
     applyInPandas grouped map: one shuffle keys each user's series to
     an executor, pandas ``ewm`` runs the recursion vectorized per
-    group, and nothing touches the driver. Rows-only check (the
-    recursion is not ANSI-SQL-expressible); the pytest cross-checks
-    against pandas on a driver-computed oracle."""
+    group, and nothing touches the driver.
+
+    Oracle-checked: for adjust=False pandas computes exactly
+    ``y_t = (1-a)*y_{t-1} + a*x_t`` in IEEE doubles, which a DuckDB
+    recursive CTE reproduces *bitwise* (verified: 10k rows, max diff
+    0.0), so no rounding is needed on either side — the recursion is
+    per-series sequential and both engines execute the identical
+    FP-operation sequence."""
     import pandas as pd
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma_20"] = (
-            pdf["value"].ewm(span=20, adjust=False).mean().round(6)
-        )
+        pdf["ewma_20"] = pdf["value"].ewm(span=20, adjust=False).mean()
         return pdf[["event_id", "user_id", "ewma_20"]]
 
     return ev.groupBy("user_id").applyInPandas(
@@ -691,8 +694,12 @@ def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
-    case; rows-only check since greedy accumulation is not
-    SQL-expressible)."""
+    case). Oracle-checked: the greedy accumulation is a per-row
+    recursion, which the DuckDB oracle replays with a recursive CTE
+    over the numbered sentence list (RE2 lacks the lookbehind in
+    SENTENCE_SPLIT, so the oracle marks boundaries with
+    ``regexp_replace('([.!?])\\s+', '\\1'||chr(1))`` — equivalent on
+    this corpus, which is printable-ASCII-only)."""
     from .llm.packing import chunk_sentences
 
     docs = load_table(spark, sf, "documents")
@@ -1399,10 +1406,13 @@ def triangle_count_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 def pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the supplier co-part graph, both edge directions
     (operators/graph.py pagerank — lazy loop, one keyed shuffle per
-    iteration, broadcast dangling-mass redistribution). Rows-only:
-    power iteration is not single-query SQL; tests/test_graph.py checks
-    the ranks against a numpy power-iteration oracle and asserts mass
-    conservation."""
+    iteration, broadcast dangling-mass redistribution). Oracle-checked:
+    the 10 power iterations unroll into a chain of 10 CTEs in the
+    DuckDB oracle (same update rule; the both-directions edge list
+    makes every node a source, so the dangling term is identically
+    zero on both sides); round(8) absorbs sum-order FP noise.
+    tests/test_graph.py additionally checks against a numpy
+    power-iteration oracle and asserts mass conservation."""
     from .operators.graph import pagerank
 
     e = _supplier_copart_edges(spark, sf)
@@ -3383,3 +3393,111 @@ ORACLE_SQL_EXT = {
     """,
 }
 ORACLE_SQL_EXT["scd2_incremental_events"] = ORACLE_SQL_EXT["scd2_events"]
+
+# EWMA: pandas ewm(adjust=False) computes y_t = (1-a)*y_{t-1} + a*x_t in
+# IEEE doubles; this recursive CTE executes the identical FP-operation
+# sequence per series, so the match is bitwise (no rounding either side).
+# All numeric literals are cast to DOUBLE — DuckDB would otherwise run
+# the recursion in DECIMAL and diverge.
+ORACLE_SQL_EXT["ewma_events"] = """
+    WITH RECURSIVE base AS (
+        SELECT event_id, user_id, value::DOUBLE AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), rec AS (
+        SELECT user_id, rn, event_id, x AS y FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.rn, b.event_id,
+               (1.0::DOUBLE - 2.0::DOUBLE/21.0::DOUBLE) * r.y
+               + (2.0::DOUBLE/21.0::DOUBLE) * b.x AS y
+        FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, y AS ewma_20 FROM rec
+"""
+
+# Greedy sentence chunking: the recursive CTE replays the UDTF's
+# accumulation state (chunk_idx, chars-so-far) sentence by sentence.
+# RE2 has no lookbehind, so the sentence split marks boundaries by
+# rewriting punct+whitespace to punct+\x01 (the corpus is
+# printable-ASCII, so \x01 cannot collide) and splitting on \x01 —
+# exactly re.split(r'(?<=[.!?])\s+', text).
+ORACLE_SQL_EXT["chunk_sentences_docs"] = """
+    WITH RECURSIVE pieces AS (
+        SELECT doc_id,
+               unnest(parts) AS sent,
+               unnest(range(1, len(parts) + 1)) AS idx
+        FROM (
+            SELECT doc_id,
+                   string_split(
+                       regexp_replace(text, '([.!?])\\s+',
+                                      '\\1' || chr(1), 'g'),
+                       chr(1)) AS parts
+            FROM documents
+        )
+    ), k AS (
+        SELECT doc_id, sent, length(sent) AS ln,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+        FROM pieces
+        WHERE trim(sent, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+    ), rec AS (
+        SELECT doc_id, rn, sent, 0 AS chunk_idx, ln AS size
+        FROM k WHERE rn = 1
+        UNION ALL
+        SELECT k.doc_id, k.rn, k.sent,
+               CASE WHEN r.size + k.ln + 1 > 200
+                    THEN r.chunk_idx + 1 ELSE r.chunk_idx END,
+               CASE WHEN r.size + k.ln + 1 > 200
+                    THEN k.ln ELSE r.size + k.ln + 1 END
+        FROM k JOIN rec r ON k.doc_id = r.doc_id AND k.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(count(*) AS INTEGER) AS n_sentences,
+           md5(string_agg(sent, ' ' ORDER BY rn)) AS chunk_md5
+    FROM rec GROUP BY doc_id, chunk_idx
+"""
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled power iteration: r0 .. r{iters} as a CTE chain, same
+    update rule as operators.graph.pagerank. The both-directions edge
+    list makes every node a source (outdeg >= 1), so the dangling term
+    the Spark loop carries is identically 0.0 here and is omitted."""
+    head = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), e0 AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                           AND a.l_suppkey < b.l_suppkey
+    ), e AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+    ), cnt AS (
+        SELECT count(*)::DOUBLE AS n FROM nodes
+    ), deg AS (
+        SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY 1
+    ), r0 AS (
+        SELECT node, 1.0::DOUBLE / (SELECT n FROM cnt) AS rank FROM nodes
+    )"""
+    step = """, r{i} AS (
+        SELECT nd.node,
+               (1.0::DOUBLE - {d}::DOUBLE) / (SELECT n FROM cnt)
+               + {d}::DOUBLE * COALESCE(m.mass, 0.0::DOUBLE) AS rank
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank / d.deg) AS mass
+            FROM e JOIN r{p} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.node
+            GROUP BY e.dst
+        ) m ON nd.node = m.node
+    )"""
+    body = "".join(step.format(i=i, p=i - 1, d=damping) for i in range(1, iters + 1))
+    tail = (
+        f"\n    SELECT node::BIGINT AS suppkey, ROUND(rank, 8) AS rank"
+        f" FROM r{iters}"
+    )
+    return head + body + tail
+
+
+ORACLE_SQL_EXT["pagerank_suppliers"] = _pagerank_oracle_sql()

@@ -152,11 +152,12 @@ def test_ewma_matches_pandas(spark, events_pd):
     want = (
         events_pd.groupby("user_id")["value"]
         .transform(lambda s: s.ewm(span=20, adjust=False).mean())
-        .round(6)
     )
     assert len(got) == len(events_pd)
+    # bitwise: same pandas recursion on both sides (the query no longer
+    # rounds — the DuckDB oracle reproduces the recursion exactly)
     for eid, w in zip(events_pd["event_id"], want):
-        assert got[eid] == pytest.approx(w, abs=1e-9), eid
+        assert got[eid] == w, eid
 
 
 def test_rsi_bounds_and_flat_series(spark):
