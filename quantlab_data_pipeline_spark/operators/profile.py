@@ -1,0 +1,112 @@
+"""ANALYZE-style table profiling: per-column statistics in one pass.
+
+The statistics a warehouse collects before anything else works well at
+scale — null fractions for quality gates, distinct counts for join-side
+selection and shuffle sizing, min/max for partition-prune sanity checks,
+string lengths for memory estimates. The reference pipeline validates
+its outputs with driver-side pandas checks
+(`/root/reference/src/data_pipeline/ingestion/wrds_ingestion.py` run-log
+summaries); this operator is the distributed equivalent: a single
+wide aggregate over the table (one reduce, no per-column jobs), melted
+JVM-side into one tidy row per column.
+
+Distinct counts are exact by default (Spark plans multi-distinct via
+expand — one logical pass). At 100 TB pass ``exact=False`` to use
+``approx_count_distinct`` (HLL++, one real pass, ~2% error) — the
+switch is per-call because the DuckDB correctness oracle needs the
+exact variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["profile_table"]
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """One row per profiled column:
+
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value,
+    min_len, max_len, avg_len)``
+
+    * numeric columns: ``min_value``/``max_value`` as double, length
+      stats null;
+    * string columns: length stats (``avg_len`` from an exact integer
+      sum, so it is engine-reproducible), value bounds null;
+    * other types: counts only.
+
+    Single job: every statistic for every column is one aggregate list
+    on one scan; the 1-row wide result is unpivoted with ``stack`` —
+    still JVM-side, never through the driver.
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    # rsd=0.01 sizes the HLL++ sketch for ~1% relative error — still a
+    # few KB per column, and profiling is run rarely enough that the
+    # tighter sketch is worth it.
+    ndv = (
+        F.countDistinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=0.01))
+    )
+
+    aggs, metrics = [], {}
+    for c in cols:
+        dt = schema[c]
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            ndv(c).alias(f"{c}__ndv"),
+        ]
+        is_num = isinstance(dt, _NUMERIC)
+        is_str = isinstance(dt, T.StringType)
+        if is_num:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+        if is_str:
+            aggs += [
+                F.min(F.length(c)).cast("long").alias(f"{c}__minlen"),
+                F.max(F.length(c)).cast("long").alias(f"{c}__maxlen"),
+                (
+                    F.sum(F.length(c)).cast("double")
+                    / F.count(F.col(c)).cast("double")
+                ).alias(f"{c}__avglen"),
+            ]
+        metrics[c] = (is_num, is_str)
+
+    wide = df.agg(*aggs)
+
+    def q(c: str) -> str:  # stack() literal
+        return "'" + c.replace("'", "''") + "'"
+
+    parts = []
+    for c in cols:
+        is_num, is_str = metrics[c]
+        mn = f"`{c}__min`" if is_num else "cast(null as double)"
+        mx = f"`{c}__max`" if is_num else "cast(null as double)"
+        mnl = f"`{c}__minlen`" if is_str else "cast(null as bigint)"
+        mxl = f"`{c}__maxlen`" if is_str else "cast(null as bigint)"
+        avl = f"`{c}__avglen`" if is_str else "cast(null as double)"
+        parts.append(
+            f"{q(c)}, `{c}__rows`, `{c}__nulls`, `{c}__ndv`, {mn}, {mx}, {mnl}, {mxl}, {avl}"
+        )
+    stack = (
+        f"stack({len(cols)}, " + ", ".join(parts) + ") as "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value, "
+        "min_len, max_len, avg_len)"
+    )
+    return wide.selectExpr(stack)

@@ -2033,6 +2033,38 @@ def approx_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style one-pass table profile (operators/profile.py):
+    per-column rows/nulls/exact-ndv plus numeric bounds and string
+    length stats, one wide aggregate melted JVM-side with ``stack``.
+    avg_len divides an exact integer length-sum by an exact non-null
+    count, so the double is engine-reproducible with no rounding."""
+    from .operators.profile import profile_table
+
+    li = load_table(spark, sf, "lineitem")
+    return profile_table(
+        li,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+        ],
+    )
+
+
+def zorder_layout_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering manifest (storage/layout.py): Morton-interleave
+    (l_partkey, l_suppkey) into a 32-bit key, range-split on the top 6
+    bits into 64 buckets, and emit each bucket's min/max box — the
+    file-skipping metadata that proves both dimensions are bounded per
+    bucket (a single-column sort bounds only one). Pure integer
+    expression tree, one broadcast stats row, one groupBy shuffle; the
+    DuckDB oracle replays the identical scale/interleave bit math."""
+    from .storage.layout import zorder_stats
+
+    li = load_table(spark, sf, "lineitem")
+    return zorder_stats(li, ["l_partkey", "l_suppkey"], bits=16, buckets=64)
+
+
 SPARK_QUERIES_EXT = {
     # TPC-H completion
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -2116,6 +2148,8 @@ SPARK_QUERIES_EXT = {
     "range_join_value_bands": range_join_value_bands,
     "triangle_count_suppliers": triangle_count_suppliers,
     "pagerank_suppliers": pagerank_suppliers,
+    "profile_lineitem": profile_lineitem,
+    "zorder_layout_lineitem": zorder_layout_lineitem,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3501,3 +3535,72 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
 
 
 ORACLE_SQL_EXT["pagerank_suppliers"] = _pagerank_oracle_sql()
+
+# Per-column profile: one SELECT per column UNION ALL'd — the oracle
+# mirror of the single wide aggregate + stack melt. avg_len is an exact
+# integer sum over an exact count, so the double matches bitwise.
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+ORACLE_SQL_EXT["profile_lineitem"] = " UNION ALL ".join(
+    [
+        f"""
+        SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+               count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               min({c})::DOUBLE AS min_value, max({c})::DOUBLE AS max_value,
+               CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+               CAST(NULL AS DOUBLE) AS avg_len
+        FROM lineitem"""
+        for c in _PROFILE_NUM
+    ]
+    + [
+        f"""
+        SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+               count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+               min(length({c}))::BIGINT AS min_len, max(length({c}))::BIGINT AS max_len,
+               sum(length({c}))::DOUBLE / count({c})::DOUBLE AS avg_len
+        FROM lineitem"""
+        for c in _PROFILE_STR
+    ]
+)
+
+
+def _zorder_oracle_sql(bits: int = 16, buckets: int = 64) -> str:
+    """Mirror of storage.layout: min-max scale each dim to [0, 2^bits),
+    Morton-interleave (partkey at even bit positions, suppkey at odd —
+    the column order of the Spark call), take the top log2(buckets)
+    bits as the bucket, then per-bucket min/max boxes."""
+    top = float((1 << bits) - 1)
+    k = buckets.bit_length() - 1
+    shift = 2 * bits - k
+    inter = " | ".join(
+        f"((({z} >> {i}) & 1) << {2 * i + d})"
+        for i in range(bits)
+        for d, z in enumerate(("zp", "zs"))
+    )
+    return f"""
+    WITH stats AS (
+        SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+               min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+        FROM lineitem
+    ), scaled AS (
+        SELECT l_partkey, l_suppkey,
+               COALESCE(CAST(floor(((l_partkey::DOUBLE - mnp::DOUBLE)
+                   / NULLIF(mxp::DOUBLE - mnp::DOUBLE, 0.0)) * {top}) AS BIGINT), 0) AS zp,
+               COALESCE(CAST(floor(((l_suppkey::DOUBLE - mns::DOUBLE)
+                   / NULLIF(mxs::DOUBLE - mns::DOUBLE, 0.0)) * {top}) AS BIGINT), 0) AS zs
+        FROM lineitem CROSS JOIN stats
+    ), keyed AS (
+        SELECT l_partkey, l_suppkey, ({inter}) >> {shift} AS zbucket
+        FROM scaled
+    )
+    SELECT zbucket, count(*)::BIGINT AS n_rows,
+           min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+           min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+    FROM keyed GROUP BY zbucket
+    """
+
+
+ORACLE_SQL_EXT["zorder_layout_lineitem"] = _zorder_oracle_sql()

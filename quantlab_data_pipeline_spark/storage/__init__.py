@@ -1,3 +1,9 @@
+from .layout import with_zorder, zorder_stats, zvalue_column
 from .parquet import LocalParquetDataHandler
 
-__all__ = ["LocalParquetDataHandler"]
+__all__ = [
+    "LocalParquetDataHandler",
+    "with_zorder",
+    "zorder_stats",
+    "zvalue_column",
+]

@@ -1,0 +1,92 @@
+"""Tests for the table profiler (operators/profile.py) and Z-order
+layout (storage/layout.py): a pandas third-opinion on the statistics,
+and a pruning-quality assertion that the Z-order buckets actually bound
+both dimensions (the property the layout exists to provide)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_matches_pandas(spark):
+    from quantlab_data_pipeline_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    got = {r["column"]: r.asDict() for r in profile_table(li, cols).collect()}
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+
+    assert set(got) == set(cols)
+    for c in cols:
+        assert got[c]["n_rows"] == len(pdf)
+        assert got[c]["n_nulls"] == int(pdf[c].isna().sum())
+        assert got[c]["n_distinct"] == pdf[c].nunique()
+    assert got["l_orderkey"]["min_value"] == float(pdf["l_orderkey"].min())
+    assert got["l_quantity"]["max_value"] == float(pdf["l_quantity"].max())
+    assert got["l_orderkey"]["min_len"] is None
+    lens = pdf["l_returnflag"].str.len()
+    assert got["l_returnflag"]["min_len"] == int(lens.min())
+    assert got["l_returnflag"]["max_len"] == int(lens.max())
+    assert got["l_returnflag"]["avg_len"] == lens.sum() / lens.count()
+    assert got["l_returnflag"]["min_value"] is None
+
+
+def test_profile_approx_mode_single_pass(spark):
+    """exact=False swaps countDistinct for HLL++ — values stay within
+    the published ~2% relative error at this cardinality."""
+    from quantlab_data_pipeline_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(li, ["l_orderkey", "l_partkey"]).collect()
+    }
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(li, ["l_orderkey", "l_partkey"], exact=False).collect()
+    }
+    for c, v in exact.items():
+        assert approx[c] == pytest.approx(v, rel=0.05)
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """Each Z-order bucket's min/max box must cover a small cell of the
+    2-D domain: the mean per-bucket area is a small fraction of the full
+    domain area, and BOTH dimensions shrink — the property a
+    single-column sort cannot give (it leaves the secondary column's
+    range at ~full width)."""
+    from quantlab_data_pipeline_spark.storage.layout import zorder_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = zorder_stats(li, ["l_partkey", "l_suppkey"], bits=16, buckets=64).collect()
+    assert 0 < len(rows) <= 64
+
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    full_p = pdf["l_partkey"].max() - pdf["l_partkey"].min()
+    full_s = pdf["l_suppkey"].max() - pdf["l_suppkey"].min()
+
+    p_spans = np.array([r["max_l_partkey"] - r["min_l_partkey"] for r in rows])
+    s_spans = np.array([r["max_l_suppkey"] - r["min_l_suppkey"] for r in rows])
+    # 64 buckets = an 8x8 grid of the 2-D domain: each dim should span
+    # ~1/8 of its range per bucket; allow 2x slack for boundary cells.
+    assert p_spans.mean() <= full_p / 4
+    assert s_spans.mean() <= full_s / 4
+    # row counts conserved
+    assert sum(r["n_rows"] for r in rows) == len(pdf)
+
+
+def test_zorder_validation_and_constant_column(spark):
+    from quantlab_data_pipeline_spark.storage.layout import with_zorder
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(100)
+    with pytest.raises(ValueError, match="power of two"):
+        with_zorder(li, ["l_partkey", "l_suppkey"], buckets=60)
+    # constant column scales to 0 instead of dividing by zero
+    const = li.withColumn("c1", li.l_partkey * 0)
+    out = with_zorder(const, ["c1", "l_suppkey"], bits=8, buckets=4)
+    got = out.select("zvalue", "zbucket").collect()
+    assert all(r["zbucket"] is not None for r in got)
