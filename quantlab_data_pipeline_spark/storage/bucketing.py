@@ -85,40 +85,22 @@ def write_zorder_clustered(
     multi-dimensional space, so footer-statistics skipping works for
     filters on ANY clustered column.
 
-    Mechanics: one agg job fetches each column's min/max; values scale
-    to ``bits``-bit integers; bit i of column j lands at position
-    i*len(cols)+j of the Morton key; repartitionByRange + in-file sort
-    on the key, which is dropped before writing. Numeric columns only
-    (cast dates/timestamps to their epoch day/seconds first).
+    Mechanics: delegates the key computation to
+    :func:`..storage.layout.with_zorder` (min/max stats attached as a
+    broadcast one-row aggregate — no driver ``.first()`` — and the
+    Morton interleave as a pure integer expression tree), then
+    repartitionByRange + in-file sort on the key, which is dropped
+    before writing. Numeric columns only (cast dates/timestamps to
+    their epoch day/seconds first).
     """
-    from pyspark.sql import functions as F
+    from .layout import with_zorder
 
-    mm = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_cols],
-    ).first()
-    top = float((1 << bits) - 1)
-    scaled = []
-    for c in cluster_cols:
-        mn, mx = mm[f"mn_{c}"], mm[f"mx_{c}"]
-        span = (mx - mn) if mx is not None and mx > mn else 1.0
-        scaled.append(
-            ((F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
-             / F.lit(span) * F.lit(top)).cast("bigint")
-        )
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        for j, s in enumerate(scaled):
-            z = z + (
-                F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("bigint")
-                * F.lit(1 << (i * len(cluster_cols) + j)).cast("bigint")
-            )
     parts = n_files or df.sparkSession.sparkContext.defaultParallelism
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(parts, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        with_zorder(df, cluster_cols, bits=bits, buckets=1)
+        .repartitionByRange(parts, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue", "zbucket")
         .write.mode("overwrite")
         .parquet(path)
     )
