@@ -8,7 +8,7 @@ the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lexicons for the n-gram scoring heuristic.
@@ -412,6 +412,54 @@ def deterministic_split(
         cum += w / total
         expr = expr.when(u < F.lit(cum), F.lit(name))
     return df.withColumn("split", expr.otherwise(F.lit(items[-1][0])))
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Exact-count stratified split: every stratum hits its target
+    proportion exactly (to floor rounding), not just in expectation.
+
+    :func:`deterministic_split` assigns each row independently, so a
+    stratum of n rows gets Binomial(n, p) rows per split — fine
+    globally, but a small stratum's val set can be off by ~sqrt(n).
+    Here rows are RANKED within their stratum by the same universal
+    md5 draw (ties broken by id — a total, engine-independent order)
+    and the split boundaries are cut at floor(cum_frac * n): exact
+    counts, still deterministic across runs, partitionings, and
+    engines.
+
+    Cost: one shuffle on ``strata_col`` (the ranking window). A 100 TB
+    corpus with few huge strata should prefer the Bernoulli
+    :func:`deterministic_split` (shuffle-free, per-stratum error is
+    negligible at that n); this operator is for the many-small-strata
+    regime where exactness matters (per-language eval sets, per-domain
+    quotas).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    items = sorted(weights.items())
+    total = sum(weights.values())
+    # Null draws (null id) sort to the very end deterministically on
+    # both engines via the 2.0 sentinel — above every real u in [0,1).
+    u = F.coalesce(hash_uniform(id_col, salt), F.lit(2.0))
+    tie = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    w_rank = Window.partitionBy(strata_col).orderBy(u, tie)
+    w_all = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w_rank)
+    n = F.count(F.lit(1)).over(w_all)
+    expr = None
+    cum = 0.0
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = rn <= F.floor(F.lit(cum) * n)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
 
 
 def dataset_card(

@@ -1208,7 +1208,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints)."""
+    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints).
+    Rows-only: the fingerprint is built from Spark's xxhash64, which
+    DuckDB cannot reproduce; tests/test_llm_ops.py checks the banded
+    blocking recovers every pair a brute-force Hamming scan finds."""
     docs = load_table(spark, sf, "documents")
     return _simhash_pairs(_simhash(docs), max_hamming=3)
 

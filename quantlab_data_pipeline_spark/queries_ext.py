@@ -9,13 +9,15 @@ and is verified by the same oracle discipline via the local mirror
 
 Three groups:
 
-* **TPC-H completion** — the remaining TPC-H query shapes expressible
-  over the driver's trimmed star schema (no ``partsupp`` table, no
-  comment/shipmode/receiptdate columns, so q2/q11/q12/q20/q21 have no
-  faithful mapping; q9/q13/q16/q19/q22 are adapted to the available
-  columns and say so in their docstrings). These exercise scalar
-  subqueries, disjunctive predicates, left-join histograms, HAVING
-  semi-joins, and anti-join aggregation — shapes the core 50 did not.
+* **TPC-H completion** — all 22 TPC-H query shapes over the driver's
+  trimmed star schema. The schema has no ``partsupp`` table and no
+  comment/shipmode/receiptdate columns, so q2/q9/q11/q12/q13/q16/q19/
+  q20/q21/q22 are ADAPTED (each docstring states the deviation: q2/q20
+  derive the supply catalog / surplus predicate from lineitem, q12's
+  mode axis becomes l_returnflag, etc.); the rest map faithfully.
+  Together they exercise scalar + correlated subqueries, disjunctive
+  predicates, left-join histograms, HAVING semi-joins, conditional
+  aggregation, and anti-join aggregation — shapes the core 50 did not.
 * **Time-series / quant windows** — rolling volatility, maximum
   drawdown, and lag-1 autocorrelation over the ``events`` table: the
   window-frame statistics a quant research pipeline (the reference's
@@ -629,6 +631,23 @@ def deterministic_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     return deterministic_split(
         docs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+def stratified_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count stratified split (llm/text.py stratified_split):
+    within each source, rows rank by the universal md5 draw and the
+    80/10/10 boundaries cut at floor(cum_frac*n) — every stratum hits
+    its proportions exactly, unlike the Bernoulli hash split whose
+    per-stratum counts fluctuate ~sqrt(n). One shuffle (the per-source
+    ranking window); the DuckDB oracle replays the identical ranking
+    with the Python-computed cumulative-fraction doubles spliced in, so
+    the floor boundaries agree bit-for-bit."""
+    from .llm.text import stratified_split
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_split(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
 
 
 def mix_corpus_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2033,6 +2052,107 @@ def approx_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 adapted to the partsupp-less schema: the supply catalog
+    (per-(part, supplier) min observed unit cost) is derived from
+    lineitem instead of partsupp.ps_supplycost, then the classic Q2
+    correlated-minimum shape runs unchanged — for STANDARD size-5 parts,
+    the EUROPE suppliers offering each part's regional minimum cost,
+    top 100 by account balance. The correlated scalar subquery becomes
+    a per-part min aggregate joined back (one extra keyed shuffle —
+    Spark's standard decorrelation); unit costs are identical doubles
+    on both engines so the equality match is exact."""
+    li = load_table(spark, sf, "lineitem")
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    sup = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(load_table(spark, sf, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(
+            load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = load_table(spark, sf, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey", "p_brand")
+    offers = (
+        catalog.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(min_cost, F.col("p_partkey") == F.col("mk"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q12_returnflag_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 adapted: no l_shipmode/commitdate/receiptdate in the
+    trimmed schema, so the mode axis becomes l_returnflag and the
+    late-delivery predicate becomes the 1996 ship-date window; the
+    query shape — orders⋈lineitem with CASE-conditional counts grouped
+    by a low-cardinality line attribute — is Q12's."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q20_surplus_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 adapted: partsupp.ps_availqty does not exist, so the
+    surplus predicate becomes self-relative — suppliers whose 1996
+    shipped quantity of 'blue' parts exceeds 0.15x their all-time
+    quantity for those parts, i.e. above the ~1/7 uniform share of the
+    1995-2001 data window (same nested-aggregate-threshold + semi-join
+    shape as Q20's 0.5*sum(l_quantity) test). Quantities are
+    integral doubles, so the sums and the 0.5x comparison are exact on
+    both engines."""
+    li = load_table(spark, sf, "lineitem")
+    blue = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    shipped = li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+    per_supp = shipped.groupBy("l_suppkey").agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+                F.col("l_quantity"),
+            ).otherwise(0.0)
+        ).alias("qty_1996"),
+        F.sum("l_quantity").alias("qty_all"),
+    )
+    keep = per_supp.filter(F.col("qty_1996") > 0.15 * F.col("qty_all"))
+    return (
+        load_table(spark, sf, "supplier")
+        .join(keep, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2150,6 +2270,10 @@ SPARK_QUERIES_EXT = {
     "pagerank_suppliers": pagerank_suppliers,
     "profile_lineitem": profile_lineitem,
     "zorder_layout_lineitem": zorder_layout_lineitem,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_returnflag_priority": q12_returnflag_priority,
+    "q20_surplus_suppliers": q20_surplus_suppliers,
+    "stratified_split_docs": stratified_split_docs,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3604,3 +3728,93 @@ def _zorder_oracle_sql(bits: int = 16, buckets: int = 64) -> str:
 
 
 ORACLE_SQL_EXT["zorder_layout_lineitem"] = _zorder_oracle_sql()
+
+def _stratified_split_oracle_sql(weights: dict[str, float], salt: str = "split") -> str:
+    """Mirror of llm.text.stratified_split — the cumulative-fraction
+    boundaries are computed by the SAME Python float loop and spliced
+    into the SQL via repr(), so floor(cum*n) agrees bit-for-bit (DuckDB
+    literals like 0.1+0.8 would otherwise be exact DECIMALs and round
+    the boundary differently from Python's 0.9000000000000001)."""
+    items = sorted(weights.items())
+    total = sum(weights.values())
+    u = _hash_uniform_sql(salt)
+    cases, cum = [], 0.0
+    for name, w in items[:-1]:
+        cum += w / total
+        cases.append(
+            f"WHEN rn <= floor(CAST({cum!r} AS DOUBLE) * n) THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY coalesce({u}, 2.0),
+                            coalesce(CAST(doc_id AS VARCHAR), '')) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source, {case} AS split FROM ranked
+    """
+
+
+ORACLE_SQL_EXT["stratified_split_docs"] = _stratified_split_oracle_sql(
+    {"train": 0.8, "val": 0.1, "test": 0.1}
+)
+
+# TPC-H q2/q12/q20 adapted to the trimmed schema (see each query's
+# docstring for the documented deviation from the spec text).
+ORACLE_SQL_EXT["q2_min_cost_supplier"] = """
+    WITH catalog AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), offers AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+        FROM catalog
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           round(unit_cost, 6) AS unit_cost
+    FROM offers o
+    WHERE unit_cost = (
+        SELECT min(unit_cost) FROM offers i WHERE i.p_partkey = o.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+ORACLE_SQL_EXT["q12_returnflag_priority"] = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLE_SQL_EXT["q20_surplus_suppliers"] = """
+    WITH shipped AS (
+        SELECT l_suppkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN l_quantity ELSE 0.0 END) AS qty_1996,
+               sum(l_quantity) AS qty_all
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                        WHERE qty_1996 > 0.15 * qty_all)
+    ORDER BY s_name
+"""

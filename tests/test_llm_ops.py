@@ -887,3 +887,41 @@ def test_bm25_matches_python_recompute(spark):
     for d in exp:
         assert got[d][0] == exp[d][0]
         assert got[d][1] == pytest.approx(exp[d][1], abs=2e-6)
+
+
+def test_stratified_split_exact_counts_and_determinism(spark):
+    """Per-stratum counts hit the floor(cum_frac*n) boundaries EXACTLY
+    (the property the Bernoulli split only has in expectation), the
+    assignment is repartition-invariant, and a null id sorts last
+    deterministically instead of crashing the ranking."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.text import stratified_split
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = stratified_split(docs, weights=w).select("doc_id", "source", "split").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], Counter())[r["split"]] += 1
+    for src, c in per.items():
+        n = sum(c.values())
+        # sorted(weights) = test(0.1), train(0.8), val(rest)
+        assert c["test"] == int(0.1 * n // 1), (src, c)
+        assert c["train"] == int((0.1 + 0.8) / 1.0 * n // 1) - c["test"], (src, c)
+        assert c["val"] == n - c["test"] - c["train"]
+    # repartition-invariant
+    again = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(docs.repartition(7), weights=w).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    # null id: assigned (to the last split's tail), not dropped/crashed
+    with_null = docs.limit(20).withColumn(
+        "doc_id", F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("doc_id"))
+    )
+    out = stratified_split(with_null, weights=w).collect()
+    assert len(out) == 20 and all(r["split"] is not None for r in out)
