@@ -52,12 +52,19 @@ def main() -> None:
             .parquet(f"{tmp}/li_part")
         )
         fact = spark.read.parquet(f"{tmp}/li_part")
-        years = (
+        # The dim must carry the selective predicate on a NON-join
+        # column read from storage — a filter Catalyst can constant-fold
+        # onto the join key (e.g. ship_year == 1997) becomes STATIC
+        # partition pruning and DPP never needs to fire. Here the
+        # pruning key values are only known after scanning the dim.
+        (
             fact.select("ship_year").distinct()
-            .withColumn("is_focus", F.col("ship_year") == 1997)
+            .withColumn("tag", F.concat(F.lit("y"), F.col("ship_year")))
+            .write.mode("overwrite").parquet(f"{tmp}/year_dim")
         )
+        years = spark.read.parquet(f"{tmp}/year_dim")
         n_years = years.count()
-        j = fact.join(years.filter("is_focus"), "ship_year")
+        j = fact.join(years.filter(F.col("tag") == "y1997"), "ship_year")
         plan = j._jdf.queryExecution().executedPlan().toString()
         dpp = "dynamicpruning" in plan.lower()
         t0 = time.perf_counter()
@@ -72,21 +79,28 @@ def main() -> None:
             F.col("o_totalprice") > 400000
         )
         with_bloom = {}
+        # Two injection gates default to cluster scale: the application
+        # side must scan > 10GB, and the creation side must NOT be
+        # broadcastable (InjectRuntimeFilter skips probably-broadcast
+        # joins — a broadcast join never shuffles the fact, so a bloom
+        # buys little). At 100 TB both hold automatically (the fact
+        # dwarfs 10GB; a billion-row dim can't broadcast); at sf0.1 the
+        # probe lowers the scan gate and disables auto-broadcast to
+        # stage the same situation (same spirit as the AQE skew probe:
+        # the engine defaults are right at cluster scale, the probe
+        # sizes them to the local data to prove the machinery works).
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for flag in ("true", "false"):
             spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", flag)
-            spark.conf.set(
-                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-                "100MB",
-            )
-            spark.conf.set(
-                "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
-                "false" if flag == "true" else "false",
-            )
             q = li.join(
-                sel.hint("merge"), li.l_orderkey == sel.o_orderkey
+                sel, li.l_orderkey == sel.o_orderkey
             ).groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
-            plan = q._jdf.queryExecution().executedPlan().toString()
-            has_bf = "bloomfilter_might_contain" in plan.lower()
+            plan = q._jdf.queryExecution().optimizedPlan().toString()
+            has_bf = "bloom" in plan.lower()
             t0 = time.perf_counter()
             q.write.format("noop").mode("overwrite").save()
             cold = time.perf_counter() - t0
