@@ -24,6 +24,7 @@ from .asof import as_of_join, as_of_join_cogrouped
 from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
 from .diff import snapshot_diff
 from .hierarchy import resolve_hierarchy
+from .impute import impute_by_group
 from .profile import profile_table
 from .rangejoin import bucketed_range_join
 from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
@@ -54,6 +55,7 @@ __all__ = [
     "snapshot_diff",
     "merge_intervals",
     "scd2_apply_changes",
+    "impute_by_group",
     "pct_change",
     "profile_table",
     "scd2_from_changelog",

@@ -2153,6 +2153,40 @@ def q20_surplus_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def impute_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise imputation (operators/impute.py): a deterministic 10%
+    of event values and types are nulled via the universal md5 draw
+    (simulated sensor dropout the oracle replays exactly), then value
+    fills with the per-user exact median and event_type with the
+    per-user mode (ties to the smallest value — Spark's built-in mode()
+    is tie-nondeterministic, so the operator uses an ordered
+    row_number). One stats aggregate + keyed join per strategy; the
+    was-null flags ride along as model features."""
+    from .llm.text import hash_uniform
+    from .operators.impute import impute_by_group
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    holed = ev.withColumn(
+        "value",
+        F.when(hash_uniform("event_id", "dropv") < 0.1, None).otherwise(
+            F.col("value")
+        ),
+    ).withColumn(
+        "event_type",
+        F.when(hash_uniform("event_id", "dropt") < 0.1, None).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return impute_by_group(
+        holed, ["user_id"], {"value": "median", "event_type": "mode"}
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        "value_was_null", "event_type_was_null",
+    )
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2274,6 +2308,7 @@ SPARK_QUERIES_EXT = {
     "q12_returnflag_priority": q12_returnflag_priority,
     "q20_surplus_suppliers": q20_surplus_suppliers,
     "stratified_split_docs": stratified_split_docs,
+    "impute_events": impute_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3762,6 +3797,39 @@ def _stratified_split_oracle_sql(weights: dict[str, float], salt: str = "split")
 ORACLE_SQL_EXT["stratified_split_docs"] = _stratified_split_oracle_sql(
     {"train": 0.8, "val": 0.1, "test": 0.1}
 )
+
+# Group-wise imputation: replay the deterministic null-out, then fill
+# value with the per-user exact median (interpolated order statistic —
+# engine-identical on identical doubles) and event_type with the
+# per-user mode (ties to the smallest value, same ordered row_number).
+ORACLE_SQL_EXT["impute_events"] = f"""
+    WITH holed AS (
+        SELECT event_id, user_id,
+               CASE WHEN {_hash_uniform_sql('dropt', 'event_id')} < 0.1
+                    THEN NULL ELSE event_type END AS event_type,
+               CASE WHEN {_hash_uniform_sql('dropv', 'event_id')} < 0.1
+                    THEN NULL ELSE value END AS value
+        FROM events
+    ), med AS (
+        SELECT user_id, median(value) AS fill_v FROM holed GROUP BY user_id
+    ), mode_rank AS (
+        SELECT user_id, event_type AS fill_t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM holed WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ), modes AS (
+        SELECT user_id, fill_t FROM mode_rank WHERE rn = 1
+    )
+    SELECT h.event_id, h.user_id,
+           coalesce(h.event_type, m2.fill_t) AS event_type,
+           coalesce(h.value, m1.fill_v) AS value,
+           h.value IS NULL AS value_was_null,
+           h.event_type IS NULL AS event_type_was_null
+    FROM holed h
+    LEFT JOIN med m1 USING (user_id)
+    LEFT JOIN modes m2 USING (user_id)
+"""
 
 # TPC-H q2/q12/q20 adapted to the trimmed schema (see each query's
 # docstring for the documented deviation from the spec text).

@@ -90,3 +90,36 @@ def test_zorder_validation_and_constant_column(spark):
     out = with_zorder(const, ["c1", "l_suppkey"], bits=8, buckets=4)
     got = out.select("zvalue", "zbucket").collect()
     assert all(r["zbucket"] is not None for r in got)
+
+
+def test_impute_by_group_semantics(spark):
+    """Median/mean/mode fills per group, smallest-value tie-break for
+    mode, was-null flags, unknown strategy raises, and an all-null
+    group keeps its nulls (no silent global fallback)."""
+    import pytest as _pytest
+
+    from quantlab_data_pipeline_spark.operators.impute import impute_by_group
+
+    rows = [
+        # g=1: values 1,3,None -> median 2.0; cat a,a,b,None -> mode 'a'
+        (1, 1.0, "a"), (1, 3.0, "a"), (1, None, "b"), (1, None, None),
+        # g=2: tie a:1 b:1 -> mode 'a' (smallest); all values null
+        (2, None, "b"), (2, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, c string")
+    out = {
+        (r["g"], r["v"], r["c"], r["v_was_null"], r["c_was_null"])
+        for r in impute_by_group(
+            df, ["g"], {"v": "median", "c": "mode"}, flag_suffix="_was_null"
+        ).collect()
+    }
+    assert (1, 2.0, "b", True, False) in out     # median fill, observed cat
+    assert (1, 2.0, "a", True, True) in out      # both filled, mode='a'
+    assert (2, None, "b", True, False) in out    # all-null group stays null
+    assert (2, None, "a", True, False) in out
+    with _pytest.raises(ValueError, match="unknown strategies"):
+        impute_by_group(df, ["g"], {"v": "p99"})
+    # mean strategy fills with the group average
+    m = impute_by_group(df, ["g"], {"v": "mean"}, flag_suffix=None)
+    got = {(r["g"], r["v"]) for r in m.collect()}
+    assert (1, 2.0) in got and (1, 1.0) in got and (1, 3.0) in got
