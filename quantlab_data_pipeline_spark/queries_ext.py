@@ -1961,6 +1961,29 @@ def hll_distinct_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kll_quantile_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable percentiles via materialized KLL sketches
+    (storage/rollup.py build_quantile_rollup): per-day sketches of the
+    value distribution are stored once, then fold-merged across the
+    whole range for per-event_type p50/p95/p99 — order statistics are
+    not additive, sketches are, so "p99 for ANY window" never re-reads
+    the fact. Oracle-checkable here because k=8192 exceeds every
+    merged cell's n, so the sketch never compacts and the quantiles
+    are EXACT, equal to DuckDB's quantile_disc (the rank-error pytest
+    in tests/test_rollup.py covers the compacting general case — same
+    trick as the HLL sparse-mode row above)."""
+    import tempfile
+
+    from .storage.rollup import build_quantile_rollup, estimate_quantiles
+
+    ev = load_table(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="kllq-") + "/events_values"
+    build_quantile_rollup(ev, path, "ts", ["event_type"], "value", k=8192)
+    return estimate_quantiles(
+        spark, path, ["event_type"], [0.5, 0.95, 0.99]
+    ).select("event_type", "q_0_5", "q_0_95", "q_0_99")
+
+
 def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Lexical retrieval: Okapi BM25 over inverted postings
     (llm/search.py) for a fixed 3-term query — the keyword twin of the
@@ -2309,6 +2332,7 @@ SPARK_QUERIES_EXT = {
     "q20_surplus_suppliers": q20_surplus_suppliers,
     "stratified_split_docs": stratified_split_docs,
     "impute_events": impute_events,
+    "kll_quantile_rollup_events": kll_quantile_rollup_events,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3797,6 +3821,18 @@ def _stratified_split_oracle_sql(weights: dict[str, float], salt: str = "split")
 ORACLE_SQL_EXT["stratified_split_docs"] = _stratified_split_oracle_sql(
     {"train": 0.8, "val": 0.1, "test": 0.1}
 )
+
+# KLL quantile rollup: at k=8192 the sketch never compacts at this
+# cardinality, so its quantiles are the exact rank statistic —
+# DuckDB's quantile_disc (NOT quantile_cont: KLL returns a retained
+# item, never an interpolation).
+ORACLE_SQL_EXT["kll_quantile_rollup_events"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS q_0_5,
+           quantile_disc(value, 0.95) AS q_0_95,
+           quantile_disc(value, 0.99) AS q_0_99
+    FROM events GROUP BY event_type
+"""
 
 # Group-wise imputation: replay the deterministic null-out, then fill
 # value with the per-user exact median (interpolated order statistic —

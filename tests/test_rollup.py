@@ -240,3 +240,55 @@ def test_distinct_rollup_union_matches_exact(spark, tmp_path):
         .collect()
     }
     assert got3 == exact3
+
+
+def test_quantile_rollup_rank_error_bound(spark, tmp_path):
+    """Compacting case (k small, n >> k): the merged-sketch quantile
+    must sit within the published KLL rank-error band (~1.7% of rank
+    at k=200; assert a conservative 5%) of the exact order statistic,
+    and a grain-key range read must answer a sub-window without
+    touching the fact."""
+    import datetime as dt
+
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.storage.rollup import (
+        build_quantile_rollup,
+        estimate_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    rows = [
+        (
+            dt.datetime(2024, 1, 1 + int(i % 28)),
+            "a" if i % 2 == 0 else "b",
+            float(v),
+        )
+        for i, v in enumerate(rng.lognormal(0.0, 1.0, n))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, seg string, v double")
+    path = str(tmp_path / "kllq")
+    build_quantile_rollup(df, path, "ts", ["seg"], "v", k=200)
+
+    got = {
+        r["seg"]: (r["q_0_5"], r["q_0_99"])
+        for r in estimate_quantiles(spark, path, ["seg"], [0.5, 0.99]).collect()
+    }
+    pdf = df.toPandas()
+    for seg, (g50, g99) in got.items():
+        vals = np.sort(pdf[pdf.seg == seg].v.to_numpy())
+        for q, got_v in ((0.5, g50), (0.99, g99)):
+            # rank of the returned value must be within 5% of q*n
+            rank = np.searchsorted(vals, got_v, side="right") / len(vals)
+            assert abs(rank - q) <= 0.05, (seg, q, rank)
+    # ranged read: only the first week's partitions
+    wk = estimate_quantiles(
+        spark, path, ["seg"], [0.5],
+        start_key="2024-01-01", end_key="2024-01-07",
+    ).collect()
+    sub = pdf[pdf.ts <= dt.datetime(2024, 1, 7)]
+    for r in wk:
+        vals = np.sort(sub[sub.seg == r["seg"]].v.to_numpy())
+        rank = np.searchsorted(vals, r["q_0_5"], side="right") / len(vals)
+        assert abs(rank - 0.5) <= 0.05
