@@ -25,7 +25,7 @@ from .returns import attach_tickers, delist_adjust, pct_change, with_adj_close
 from .diff import snapshot_diff
 from .hierarchy import resolve_hierarchy
 from .impute import impute_by_group
-from .profile import profile_table
+from .profile import cms_frequencies, profile_table
 from .rangejoin import bucketed_range_join
 from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
 from .skew import salted_join
@@ -55,6 +55,7 @@ __all__ = [
     "snapshot_diff",
     "merge_intervals",
     "scd2_apply_changes",
+    "cms_frequencies",
     "impute_by_group",
     "pct_change",
     "profile_table",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["cms_frequencies", "profile_table"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -110,3 +110,41 @@ def profile_table(
         "min_len, max_len, avg_len)"
     )
     return wide.selectExpr(stack)
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    keys: list,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate frequencies of a watchlist of ``keys`` via a
+    Count-Min sketch — the frequency member of the sketch family next
+    to HLL (distinct), KLL (quantiles), and GK (percentile_approx).
+
+    Guarantee: ``true <= estimate <= true + eps * N`` with probability
+    ``confidence`` (N = total rows) — never an undercount, so a
+    watchlist alert on "key seen more than T times" has no false
+    negatives. The sketch itself is a few KB regardless of N: Spark
+    builds one per partition and merges them (`df.stat.countMinSketch`
+    — the merge is associative, so this scales like any treeAggregate;
+    only the final KB-scale sketch reaches the driver, never data).
+
+    Returns a small DataFrame (key, est_count) for the watchlist —
+    driver-built from the merged sketch, sized by ``len(keys)``.
+
+    PySpark 4 removed the Python ``df.stat.countMinSketch`` wrapper
+    (the SQL ``count_min_sketch`` aggregate remains, but ships no probe
+    function), so this goes through the JVM stat API directly —
+    classic-mode only, which is this repo's runtime.
+    """
+    sketch = df._jdf.stat().countMinSketch(
+        col, float(eps), float(confidence), int(seed)
+    )
+    rows = [(k, int(sketch.estimateCount(k))) for k in keys]
+    key_type = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return df.sparkSession.createDataFrame(
+        rows, f"key {key_type}, est_count long"
+    )

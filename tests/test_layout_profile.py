@@ -123,3 +123,27 @@ def test_impute_by_group_semantics(spark):
     m = impute_by_group(df, ["g"], {"v": "mean"}, flag_suffix=None)
     got = {(r["g"], r["v"]) for r in m.collect()}
     assert (1, 2.0) in got and (1, 1.0) in got and (1, 3.0) in got
+
+
+def test_cms_frequencies_bound(spark):
+    """Count-Min guarantee on skewed data: never an undercount, and
+    overcount bounded by eps * N (asserted at the published confidence
+    via a fixed seed, so the test is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.operators.profile import cms_frequencies
+
+    # Zipf-ish skew: key k appears ~30000/(k+1) times
+    df = (
+        spark.range(30_000)
+        .select(F.floor(30_000 / (F.col("id") + 1)).cast("string").alias("k"))
+    )
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    eps = 0.001
+    watch = ["30000", "15000", "1", "2", "42", "nope"]
+    got = {r["key"]: r["est_count"] for r in cms_frequencies(df, "k", watch, eps=eps).collect()}
+    for k in watch:
+        true = exact.get(k, 0)
+        assert got[k] >= true, (k, got[k], true)
+        assert got[k] <= true + eps * n, (k, got[k], true)
