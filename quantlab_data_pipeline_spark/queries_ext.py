@@ -1961,6 +1961,32 @@ def hll_distinct_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative-distinct curve (growth analytics): per event type,
+    the number of distinct users who have performed that action up to
+    each day. COUNT(DISTINCT) OVER a running frame is not directly
+    supported and would be quadratic anyway; the scalable rewrite is
+    dedup-to-first-appearance (one keyed aggregate) → per-(type, day)
+    new-user counts → running sum per type — the ordered window runs on
+    the aggregated types×days frame, never the fact."""
+    ev = load_table(spark, sf, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type", "day", "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 def kll_quantile_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable percentiles via materialized KLL sketches
     (storage/rollup.py build_quantile_rollup): per-day sketches of the
@@ -2333,6 +2359,7 @@ SPARK_QUERIES_EXT = {
     "stratified_split_docs": stratified_split_docs,
     "impute_events": impute_events,
     "kll_quantile_rollup_events": kll_quantile_rollup_events,
+    "cumulative_unique_users": cumulative_unique_users,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3832,6 +3859,21 @@ ORACLE_SQL_EXT["kll_quantile_rollup_events"] = """
            quantile_disc(value, 0.95) AS q_0_95,
            quantile_disc(value, 0.99) AS q_0_99
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL_EXT["cumulative_unique_users"] = """
+    WITH first_seen AS (
+        SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY event_type, user_id
+    ), per_day AS (
+        SELECT event_type, day, count(*)::BIGINT AS new_users
+        FROM first_seen GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_users
+    FROM per_day
 """
 
 # Group-wise imputation: replay the deterministic null-out, then fill
