@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/transform plumbing.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED — ``decoder="fake"`` produces deterministic synthetic pixels
-(so the Spark-side plumbing — schema, batching, partitioning — is real
-and testable), ``decoder="pillow"`` raises NotImplementedError until a
-codec library is present. Everything around the kernel (mapInPandas
-iterator shape, schema contracts, batch sizing) is production-form.
+Decode kernels:
+
+* ``decoder="png"`` — REAL decode via the pure-numpy PNG codec
+  (:mod:`.codecs`, zlib is stdlib): payload bytes are parsed,
+  unfiltered, and reduced to pixels inside the Arrow batch. WAV audio
+  decodes the same way (:func:`.codecs.wav_decode`).
+* ``decoder="fake"`` — deterministic synthetic pixels from a payload
+  hash; kept for plumbing tests where the payload is not an image.
+* ``decoder="pillow"`` — NotImplementedError: JPEG/WebP/etc. need a
+  codec library this container doesn't ship; the mapInPandas plumbing
+  is identical, only the kernel body differs.
 """
 
 from __future__ import annotations
@@ -46,7 +51,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double, not float: band means of uint8 pixels are exact
+        # integer-sum/count doubles, which keeps the PNG round-trip
+        # oracle-comparable bit-for-bit
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -72,22 +80,31 @@ def extract_image_features(
     not expressible in Catalyst). Output schema is fixed and narrow so
     downstream joins don't carry pixels.
     """
-    if decoder not in {"fake", "pillow"}:
+    if decoder not in {"fake", "png", "pillow"}:
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "pillow":
         raise NotImplementedError(
-            "No image codec in this environment; use decoder='fake' "
-            "(deterministic synthetic pixels) — plumbing is identical."
+            "JPEG/WebP need a codec library this container doesn't "
+            "ship; use decoder='png' (real pure-numpy codec) or "
+            "decoder='fake' — the mapInPandas plumbing is identical."
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import png_decode
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 meta = r["meta"]
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                img = _fake_decode(r["content"], w, h)
+                if decoder == "png":
+                    img = png_decode(bytes(r["content"]))
+                    if img.ndim == 3:  # luma plane for RGB
+                        img = img.mean(axis=2).astype(np.uint8)
+                    h, w = img.shape
+                else:
+                    img = _fake_decode(r["content"], w, h)
                 # feature: row-band mean intensities, fixed dim
                 bands = np.array_split(img, feature_dim, axis=0)
                 feat = [float(b.mean()) for b in bands]
@@ -97,7 +114,7 @@ def extract_image_features(
                         "width": w,
                         "height": h,
                         "mean_intensity": float(img.mean()),
-                        "feature": np.array(feat, dtype=np.float32),
+                        "feature": np.array(feat, dtype=np.float64),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -135,19 +152,76 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def media_from_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Encode each document's UTF-8 bytes as a REAL grayscale PNG
+    (pixels = bytes tiled row-major into a doc_id-derived WxH frame,
+    ``np.resize`` cycling semantics; empty text becomes one 0 byte) —
+    the encode half of the codec round-trip, as an Arrow-batched
+    mapInPandas stage emitting MEDIA_SCHEMA rows."""
+    from .codecs import png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                i = int(r[id_col])
+                w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
+                b = (r[text_col] or "").encode("utf-8") or b"\x00"
+                arr = np.resize(np.frombuffer(b, dtype=np.uint8), (h, w))
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "media_type": "image",
+                        "content": png_encode(arr),
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "format": "png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests/demos."""
+    """Deterministic synthetic media table for tests/demos — images are
+    REAL PNG bytes (pure-numpy encoder) and audio REAL mono-PCM16 WAV,
+    so the decode kernels exercise actual byte parsing, not just
+    plumbing; video payloads stay opaque (no container format here)."""
+    from .codecs import png_encode, wav_encode
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
+        if kind == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 7 + yy * 13 + i * 31) % 256).astype(np.uint8)
+            content, fmt = png_encode(img), "png"
+        elif kind == "audio":
+            t = np.arange(800)
+            wave = (3000 * np.sin(2 * np.pi * (220 + 20 * i) * t / 16000)).astype(
+                np.int16
+            )
+            content, fmt = wav_encode(wave, 16000), "wav"
+        else:
+            content, fmt = bytes([i % 256] * 32), "synthetic"
         rows.append(
             (
                 i,
                 kind,
-                bytes([i % 256] * 32),
+                content,
                 (w, h, 90 if kind == "video" else 1,
-                 16000 if kind == "audio" else None, "synthetic"),
+                 16000 if kind == "audio" else None, fmt),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

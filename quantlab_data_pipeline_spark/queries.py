@@ -705,27 +705,27 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal decode path (rows-only check): binary payloads ride
-    mapInPandas through the stubbed Arrow-batched decode kernel
-    (llm/multimodal.py) — the genuinely-Python stage a codec needs."""
-    from .llm.multimodal import extract_image_features
+    """Multimodal decode path, now a REAL codec round-trip and
+    oracle-checked: each document's bytes tile into a WxH frame and
+    encode as an actual PNG (llm/codecs.py, pure numpy + stdlib zlib),
+    then the Arrow-batched decode kernel parses the PNG back and
+    reduces it to luma features. The DuckDB oracle computes the same
+    statistics straight from the text bytes — a hash match therefore
+    PROVES the encode→decode cycle is lossless, upgrading this row
+    from rows-only. Band means are exact integer-sum/count doubles on
+    both sides (heights divide by 8, so array_split bands are flat
+    byte ranges)."""
+    from .llm.multimodal import extract_image_features, media_from_text
 
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.struct(
-            (16 + F.pmod("doc_id", F.lit(5)) * 8).cast("int").alias("width"),
-            (16 + F.pmod("doc_id", F.lit(3)) * 8).cast("int").alias("height"),
-            F.lit(1).alias("n_frames"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit("synthetic").alias("format"),
-        ).alias("meta"),
-    )
-    feats = extract_image_features(media, decoder="fake")
+    media = media_from_text(docs)
+    feats = extract_image_features(media, decoder="png")
     return feats.select(
-        "asset_id", "width", "height", F.round("mean_intensity", 4).alias("mean_intensity")
+        "asset_id",
+        "width",
+        "height",
+        "mean_intensity",
+        *[F.col("feature")[b].alias(f"band_{b}") for b in range(8)],
     )
 
 
@@ -1119,6 +1119,41 @@ ORACLE_SQL: dict[str, str] = {
                CAST(16 + (doc_id % 5) * 8 AS INT) AS width,
                CAST(16 + (doc_id % 3) * 8 AS INT) AS height
         FROM documents
+    """,
+    # Straight byte math over the same tiled pixel layout the Spark
+    # side routes through a REAL PNG encode->decode cycle — a hash
+    # match proves the codec round-trip is lossless. The corpus is
+    # ASCII, so ord(char) == utf-8 byte; heights divide by 8, so each
+    # of the 8 row bands is the flat byte range [b*wh/8, (b+1)*wh/8).
+    "multimodal_features": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN chr(0) ELSE text END AS t,
+                   (16 + (doc_id % 5) * 8) AS w,
+                   (16 + (doc_id % 3) * 8) AS h
+            FROM documents
+        ), px AS (
+            SELECT doc_id, w, h,
+                   unnest(range(0, w * h)) AS i
+            FROM d
+        ), v AS (
+            SELECT px.doc_id, px.w, px.h, px.i,
+                   ord(substr(d.t, CAST(px.i % length(d.t) AS INT) + 1, 1)) AS val,
+                   CAST(px.i // (px.w * px.h // 8) AS INT) AS band
+            FROM px JOIN d ON px.doc_id = d.doc_id
+        )
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               avg(val) AS mean_intensity,
+               avg(val) FILTER (WHERE band = 0) AS band_0,
+               avg(val) FILTER (WHERE band = 1) AS band_1,
+               avg(val) FILTER (WHERE band = 2) AS band_2,
+               avg(val) FILTER (WHERE band = 3) AS band_3,
+               avg(val) FILTER (WHERE band = 4) AS band_4,
+               avg(val) FILTER (WHERE band = 5) AS band_5,
+               avg(val) FILTER (WHERE band = 6) AS band_6,
+               avg(val) FILTER (WHERE band = 7) AS band_7
+        FROM v GROUP BY doc_id, w, h
     """,
 }
 

@@ -1,0 +1,130 @@
+"""Pure-numpy PNG/WAV codec tests (llm/codecs.py) and the real-decode
+multimodal path built on them."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from quantlab_data_pipeline_spark.llm.codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+
+def _make_png(raw_scanlines: bytes, w: int, h: int, color_type: int = 0) -> bytes:
+    """Assemble a PNG from pre-filtered scanline bytes — lets the tests
+    exercise decode filters the encoder never emits."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw_scanlines)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_gray_and_rgb():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(gray)), gray)
+    rgb = rng.integers(0, 256, size=(9, 31, 3), dtype=np.uint8)
+    out = png_decode(png_encode(rgb))
+    assert out.shape == (9, 31, 3) and np.array_equal(out, rgb)
+
+
+def test_png_decode_all_filter_types():
+    """Reference-filter each scanline per the PNG spec, then check the
+    decoder unfilters back to the original pixels — covers Sub, Up,
+    Average, and Paeth, which our encoder never writes."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    h, w = img.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(w):
+            cur = int(img[y, x])
+            left = int(img[y, x - 1]) if x else 0
+            up = int(img[y - 1, x]) if y else 0
+            ul = int(img[y - 1, x - 1]) if (x and y) else 0
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = (cur - left) & 0xFF
+            elif ftype == 2:
+                enc = (cur - up) & 0xFF
+            elif ftype == 3:
+                enc = (cur - ((left + up) >> 1)) & 0xFF
+            else:
+                enc = (cur - paeth(left, up, ul)) & 0xFF
+            raw.append(enc)
+    assert np.array_equal(png_decode(_make_png(bytes(raw), w, h)), img)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JFIF not a png")
+    gray = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(png_encode(gray))
+    # flip color type to 3 (palette) inside IHDR; decoder must refuse
+    data[8 + 8 + 9] = 3
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_decode(bytes(data))
+    with pytest.raises(ValueError, match="uint8"):
+        png_encode(np.zeros((4, 4), dtype=np.float64))
+
+
+def test_wav_roundtrip():
+    t = np.arange(1600)
+    wave = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    samples, rate = wav_decode(wav_encode(wave, 16000))
+    assert rate == 16000 and np.array_equal(samples, wave)
+    with pytest.raises(ValueError, match="not a WAV"):
+        wav_decode(b"RIFFxxxxNOPE")
+
+
+def test_real_png_decode_path_matches_direct(spark):
+    """extract_image_features(decoder='png') over synthetic_media must
+    equal decoding the payload bytes directly — the Arrow batching adds
+    distribution, not value changes."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        extract_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    feats = {r["asset_id"]: r for r in
+             extract_image_features(media, decoder="png").collect()}
+    for row in media.filter("media_type = 'image'").collect():
+        img = png_decode(bytes(row["content"]))
+        f = feats[row["asset_id"]]
+        assert (f["height"], f["width"]) == img.shape
+        assert f["mean_intensity"] == float(img.mean())
+        bands = np.array_split(img, 8, axis=0)
+        assert f["feature"] == [float(b.mean()) for b in bands]
+
+
+def test_wav_payloads_in_synthetic_media_decode(spark):
+    from quantlab_data_pipeline_spark.llm.multimodal import synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    for row in media.filter("media_type = 'audio'").collect():
+        samples, rate = wav_decode(bytes(row["content"]))
+        assert rate == 16000 and len(samples) == 800
+        assert int(np.abs(samples).max()) <= 3000
