@@ -33,6 +33,13 @@ def get_spark(
     - UTC session timezone so timestamps compare bit-for-bit with
       external oracles (DuckDB is UTC-naive).
     - Arrow enabled for every pandas interchange (toPandas, pandas UDFs).
+    - ``SPARK_GRAFT_INITIAL_PARTITIONS`` overrides the AQE
+      pre-coalesce reducer count (default 8x cores). The default is
+      cluster-sized — the 64x scaling probe showed big fact-fact
+      shuffles need it — but at toy scale 256 reducer partitions cost
+      ~20% in pure scheduling, so data-sized callers (bench.py sizes
+      it from the input bytes at ~64MB per partition) can hand the
+      right number in, exactly as a cluster job sizes its shuffles.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -55,7 +62,9 @@ def get_spark(
         # merges tiny partitions after each stage.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(int(cpus) * 8),
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(int(cpus) * 8)
+            ),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
