@@ -20,6 +20,7 @@ from .events import (
 )
 from .locf import streaming_forward_fill
 from .rollup_sink import last_applied_batch, rollup_sink
+from .sketches import windowed_distinct_estimate, windowed_distinct_sketch
 
 __all__ = [
     "clicks_with_recent_purchase",
@@ -36,5 +37,7 @@ __all__ = [
     "last_applied_batch",
     "streaming_minhash_candidates",
     "windowed_aggregate",
+    "windowed_distinct_estimate",
+    "windowed_distinct_sketch",
     "with_fingerprint_stream",
 ]

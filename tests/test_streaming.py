@@ -532,3 +532,32 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join").collect()
     }
     assert got == {1: "gold", 2: "silver", 3: "gold", 4: None}
+
+
+def test_streaming_distinct_sketch_matches_exact(spark):
+    """Windowed HLL sketches maintained by the streaming state store:
+    the union+estimate across windows must equal the exact per-type
+    COUNT DISTINCT at this cardinality (sparse-mode-exact, same
+    property the batch rollup test relies on), and streaming cells
+    must union cleanly with the read-side estimator."""
+    from quantlab_data_pipeline_spark.streaming.sketches import (
+        windowed_distinct_estimate,
+        windowed_distinct_sketch,
+    )
+
+    stream = stream_events(spark, SF)
+    cells = run_to_memory(
+        windowed_distinct_sketch(stream), "sketch_cells"
+    )
+    est = {
+        r["event_type"]: r["n_distinct"]
+        for r in windowed_distinct_estimate(cells).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est == exact
