@@ -696,15 +696,28 @@ def scrub_repeated_spans_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """Learned quality classifier (distilled from the rule-based filter,
-    fasttext-style): trains MLlib LogisticRegression over hashed token
-    features on the corpus, then scores it JVM-side. Model weights are
-    not SQL-expressible -> rows-only check; the teacher itself is the
-    oracle-checked ``text_quality``."""
+    """Learned quality classifier (fasttext-style distillation): trains
+    MLlib LogisticRegression over hashed token features, then scores
+    the corpus JVM-side. The teacher is the rule score split at its
+    corpus MEDIAN (top-half vs bottom-half), not the binary ``keep``
+    flag — this clean synthetic corpus passes the absolute rule
+    thresholds unanimously, and a single-class teacher would distill a
+    constant (MLlib trains zero coefficients); the median split stays
+    ~balanced on any corpus, so the student learns a real ranking.
+    Model weights are not SQL-expressible -> rows-only check; the
+    teacher's ingredients are the oracle-checked ``text_quality``."""
     from .llm.classifier import score_quality, train_quality_classifier
+    from .llm.text import with_quality_score
 
     docs = load_table(spark, sf, "documents")
-    model = train_quality_classifier(docs, num_features=1 << 16, max_iter=20)
+    scored = with_quality_score(docs)
+    med = scored.agg(F.median("quality_score").alias("__med"))
+    labeled = scored.crossJoin(F.broadcast(med)).withColumn(
+        "teacher", F.col("quality_score") >= F.col("__med")
+    )
+    model = train_quality_classifier(
+        labeled, label_col="teacher", num_features=1 << 16, max_iter=20
+    )
     return score_quality(docs, model).select(
         "doc_id", "ml_quality_prob", "ml_keep"
     )
