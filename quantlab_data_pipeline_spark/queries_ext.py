@@ -1784,30 +1784,51 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """Data-quality audit: holes in the order-key sequence — one lag
-    window over the sorted keys, emitting each gap's [missing_from,
-    missing_to] range and size. The completeness check every ingest
-    pipeline runs against an id-assigning upstream; one global-order
-    range exchange (acceptable: the output is audit-sized). The
-    driver's keys are dense, so the audited slice drops every 97th key
-    — the detector must report exactly those singleton gaps (the
-    oracle drops the same keys)."""
-    orders = load_table(spark, sf, "orders").filter(
-        F.col("o_orderkey") % 97 != 0
+    """Data-quality audit: holes in the order-key sequence, emitting
+    each gap's [missing_from, missing_to] range and size — the
+    completeness check every ingest pipeline runs against an
+    id-assigning upstream. The driver's keys are dense, so the audited
+    slice drops every 97th key and the detector must report exactly
+    those singleton gaps (the oracle drops the same keys).
+
+    Scale shape: a naive ``lag OVER (ORDER BY key)`` moves EVERY key
+    into one partition — a single-task bottleneck on a billion-key
+    table. Instead keys bucket by ``key // 4096``: within-bucket gaps
+    use a bucket-PARTITIONED lag (parallel, one keyed shuffle), and
+    cross-bucket gaps come from the per-bucket (min, max) summary —
+    4096x smaller than the fact — where a global-order lag is fine.
+    Empty buckets fall out naturally (consecutive PRESENT buckets pair
+    via the summary lag). The union is exactly the naive result."""
+    bucket_w = 4096
+    keys = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", (F.col("o_orderkey") / bucket_w).cast("long").alias("b"))
     )
-    w = Window.orderBy("o_orderkey")
-    return (
-        orders.select("o_orderkey")
-        .withColumn("prev", F.lag("o_orderkey").over(w))
+    win = Window.partitionBy("b").orderBy("o_orderkey")
+    within = (
+        keys.withColumn("prev", F.lag("o_orderkey").over(win))
         .filter(
             F.col("prev").isNotNull()
             & (F.col("o_orderkey") - F.col("prev") > 1)
         )
-        .select(
-            (F.col("prev") + 1).alias("missing_from"),
-            (F.col("o_orderkey") - 1).alias("missing_to"),
-            (F.col("o_orderkey") - F.col("prev") - 1).alias("n_missing"),
+        .select("prev", F.col("o_orderkey").alias("cur"))
+    )
+    summary = keys.groupBy("b").agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    sw = Window.orderBy("b")
+    across = (
+        summary.withColumn("prev_mx", F.lag("mx").over(sw))
+        .filter(
+            F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1)
         )
+        .select(F.col("prev_mx").alias("prev"), F.col("mn").alias("cur"))
+    )
+    return within.unionByName(across).select(
+        (F.col("prev") + 1).alias("missing_from"),
+        (F.col("cur") - 1).alias("missing_to"),
+        (F.col("cur") - F.col("prev") - 1).alias("n_missing"),
     )
 
 
