@@ -1269,18 +1269,29 @@ def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
 
 def source_quota_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source quota capping — the 'downsample over-represented
-    domains' pass of corpus curation. Keeps at most 15 docs per source,
-    chosen by md5 order so the subsample is deterministic, uniform, and
+    domains' pass of corpus curation. Keeps the 15 md5-smallest docs
+    per source, so the subsample is deterministic, uniform, and
     reproducible by any engine (same trick as deterministic_split).
-    One window sort per source partition; at 100 TB a skewed mega-
-    domain is bounded by the quota itself — rank early, cap, and the
-    heavy tail never leaves the exchange."""
+
+    Scale shape: a single window partitioned by source would shuffle a
+    mega-domain's ENTIRE tail into one task before capping. Two-phase
+    per-group top-k instead: rank within (source, input-partition) —
+    every task prunes its own slice to 15, no giant groups — then the
+    final per-source rank sees at most 15 x n_partitions survivors.
+    Any global top-15 element is in its partition's top-15, so the
+    result is exactly the naive window's."""
     docs = load_table(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    h = F.md5(F.col("doc_id").cast("string"))
+    local = Window.partitionBy("source", "__pid").orderBy(h, "doc_id")
+    pruned = (
+        docs.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(local))
+        .filter(F.col("__rn") <= 15)
+        .drop("__rn")
     )
+    final = Window.partitionBy("source").orderBy(h, "doc_id")
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(final))
         .filter(F.col("__rn") <= 15)
         .select("doc_id", "source")
     )
