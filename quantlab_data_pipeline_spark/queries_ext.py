@@ -2032,6 +2032,34 @@ def cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def covariance_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariance matrix across the K event-type daily series — the
+    estimation step under any portfolio/risk model. Distributed shape:
+    aggregate the fact to the (day, type) panel FIRST (one keyed
+    reduce; the panel is days x K, not fact-sized), then one self-join
+    on the day key enumerates the K(K+1)/2 upper-triangle pairs and
+    ``covar_samp`` reduces each — for large K you'd block the pair
+    space, same join. round(6) absorbs the one-pass co-moment
+    implementations' last-bit differences between engines."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(b, "day")
+        .filter(F.col("a.event_type") <= F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(F.covar_samp(F.col("a.v"), F.col("b.v")), 6).alias("cov"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 def kll_quantile_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable percentiles via materialized KLL sketches
     (storage/rollup.py build_quantile_rollup): per-day sketches of the
@@ -2405,6 +2433,7 @@ SPARK_QUERIES_EXT = {
     "impute_events": impute_events,
     "kll_quantile_rollup_events": kll_quantile_rollup_events,
     "cumulative_unique_users": cumulative_unique_users,
+    "covariance_event_types": covariance_event_types,
 }
 
 # DuckDB word-token expression shared by the text oracles (identical to
@@ -3904,6 +3933,19 @@ ORACLE_SQL_EXT["kll_quantile_rollup_events"] = """
            quantile_disc(value, 0.95) AS q_0_95,
            quantile_disc(value, 0.99) AS q_0_99
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL_EXT["covariance_event_types"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(covar_samp(a.v, b.v), 6) AS cov,
+           count(*)::BIGINT AS n_days
+    FROM daily a JOIN daily b ON a.day = b.day
+                             AND a.event_type <= b.event_type
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL_EXT["cumulative_unique_users"] = """
