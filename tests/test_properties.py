@@ -564,3 +564,95 @@ def test_scd2_apply_changes_is_split_invariant(spark, data):
         )
     )
     assert merged == one_shot
+
+
+@st.composite
+def split_weight_dicts(draw):
+    n = draw(st.integers(2, 4))
+    names = [f"s{i}" for i in range(n)]
+    ws = [draw(st.floats(0.05, 1.0)) for _ in names]
+    return dict(zip(names, ws))
+
+
+@given(split_weight_dicts(), st.integers(5, 60))
+@SETTINGS
+def test_stratified_split_counts_property(spark, weights, n_rows):
+    """For ANY weight dict and stratum size, the per-stratum counts hit
+    the floor(cum_frac*n) boundaries exactly and cover every row."""
+    from quantlab_data_pipeline_spark.llm.text import stratified_split
+
+    rows = [(i, "x" if i % 2 == 0 else "y") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, weights=weights).collect()
+    assert len(out) == n_rows
+    per: dict = {}
+    for r in out:
+        per.setdefault(r["source"], {}).setdefault(r["split"], 0)
+        per[r["source"]][r["split"]] += 1
+    items = sorted(weights.items())
+    total = sum(weights.values())
+    for src, counts in per.items():
+        n = sum(counts.values())
+        cum, prev_boundary = 0.0, 0
+        for name, w in items[:-1]:
+            cum += w / total
+            boundary = int(cum * n)
+            assert counts.get(name, 0) == boundary - prev_boundary, (src, name)
+            prev_boundary = boundary
+        assert counts.get(items[-1][0], 0) == n - prev_boundary
+
+
+@st.composite
+def impute_frames(draw):
+    n = draw(st.integers(0, 15))
+    rows = []
+    for i in range(n):
+        g = draw(st.integers(0, 2))
+        v = draw(st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)))
+        rows.append((g, v))
+    return rows
+
+
+@given(impute_frames())
+@SETTINGS
+def test_impute_median_matches_pandas(spark, rows):
+    """Median imputation equals the pandas groupby-median fill for any
+    mix of null patterns, including all-null and empty groups."""
+    from quantlab_data_pipeline_spark.operators.impute import impute_by_group
+
+    schema = "g int, v double"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows else spark.createDataFrame([], schema)
+    )
+    got = sorted(
+        (r["g"], r["v"])
+        for r in impute_by_group(df, ["g"], {"v": "median"}, flag_suffix=None).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    if len(pdf):
+        med = pdf.groupby("g")["v"].transform("median")
+        pdf["v"] = pdf["v"].fillna(med)
+    want = sorted(
+        (int(g), None if pd.isna(v) else float(v))
+        for g, v in zip(pdf.get("g", []), pdf.get("v", []))
+    )
+    assert got == want
+
+
+@given(st.integers(1, 200), st.sampled_from([4, 16, 64]))
+@SETTINGS
+def test_zorder_bucket_count_and_conservation(spark, n_rows, buckets):
+    """with_zorder: every row gets a bucket in [0, buckets), row count
+    is conserved, and the bucket is monotone in the z-value."""
+    from quantlab_data_pipeline_spark.storage.layout import with_zorder
+
+    df = spark.range(n_rows).selectExpr(
+        "id as a", "cast(id * 37 % 101 as long) as b"
+    )
+    out = with_zorder(df, ["a", "b"], bits=8, buckets=buckets).collect()
+    assert len(out) == n_rows
+    assert all(0 <= r["zbucket"] < buckets for r in out)
+    by_z = sorted(out, key=lambda r: r["zvalue"])
+    zb = [r["zbucket"] for r in by_z]
+    assert zb == sorted(zb)
