@@ -925,3 +925,36 @@ def test_stratified_split_exact_counts_and_determinism(spark):
     )
     out = stratified_split(with_null, weights=w).collect()
     assert len(out) == 20 and all(r["split"] is not None for r in out)
+
+
+def test_topic_model_structure_and_determinism(spark):
+    """LDA corpus organization: k topics, dominant-topic probs in
+    (0, 1], same-session reruns identical (fixed seed), and the topic
+    card exposes real vocabulary terms."""
+    from quantlab_data_pipeline_spark.llm.topics import (
+        assign_topics,
+        topic_model,
+        topic_terms,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    prep, lda = topic_model(docs, k=4, max_iter=8, vocab_size=512)
+    got = {r["doc_id"]: (r["topic"], r["topic_prob"])
+           for r in assign_topics(docs, prep, lda).collect()}
+    assert len(got) == docs.count()
+    assert {t for t, _ in got.values()} <= set(range(4))
+    assert all(0 < p <= 1 for _, p in got.values())
+
+    prep2, lda2 = topic_model(docs, k=4, max_iter=8, vocab_size=512)
+    again = {r["doc_id"]: (r["topic"], r["topic_prob"])
+             for r in assign_topics(docs, prep2, lda2).collect()}
+    assert again == got
+
+    card = topic_terms(prep, lda, top_n=5)
+    assert len(card) == 4
+    for t in card:
+        assert len(t["terms"]) == 5
+        assert all(isinstance(w, float) and w > 0 for w in t["weights"])
