@@ -561,3 +561,70 @@ def test_streaming_distinct_sketch_matches_exact(spark):
         .collect()
     }
     assert est == exact
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Stop-and-restart from the SAME checkpoint: the second run must
+    resume the state store — a duplicate arriving after the restart is
+    still dropped (the fingerprint set persisted), already-processed
+    files are not reprocessed, and the union of both runs' output is
+    exactly the batch keeper set."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.llm.dedup import exact_dedup
+    from quantlab_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+
+    docs_schema = "doc_id long, text string"
+    batch1 = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")]
+    # doc 4 duplicates doc 1 ACROSS the restart; doc 5 is new
+    batch2 = [(4, "alpha beta"), (5, "delta")]
+    d = tmp_path / "restart_src"
+    os.makedirs(d)
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def start():
+        src = (
+            spark.readStream.schema(T.StructType.fromDDL(docs_schema))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*.parquet"))
+        )
+        sink = tmp_path / "restart_out"
+        return (
+            streaming_exact_dedup(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        ), sink
+
+    spark.createDataFrame(batch1, docs_schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    q, sink = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first_run = set(
+        r["doc_id"] for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert first_run == {1, 3}
+
+    spark.createDataFrame(batch2, docs_schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    q, sink = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(str(sink)).toPandas()
+    # no reprocessing: each admitted doc appears exactly once
+    assert final["doc_id"].value_counts().max() == 1
+    batch = exact_dedup(
+        spark.createDataFrame(batch1 + batch2, docs_schema)
+    ).toPandas()
+    assert set(final["doc_id"]) == set(batch["keeper_id"]) == {1, 3, 5}
