@@ -71,6 +71,14 @@ HEADLINE = [
     "zorder_layout_lineitem",
     "ewma_events",
     "pagerank_suppliers",
+    # round-2 late additions
+    "q2_min_cost_supplier",
+    "stratified_split_docs",
+    "impute_events",
+    "kll_quantile_rollup_events",
+    "covariance_event_types",
+    "sequence_gaps_orders",
+    "source_quota_docs",
 ]
 
 
