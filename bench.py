@@ -113,9 +113,15 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # steady-state = min of two executions: single runs on a shared
+        # box jitter ±20% from GC/scheduler noise; the min is the
+        # reproducible per-plan cost.
+        steady = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            steady.append(time.perf_counter() - t0)
+        timings[name] = round(min(steady), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
