@@ -128,3 +128,26 @@ def test_wav_payloads_in_synthetic_media_decode(spark):
         samples, rate = wav_decode(bytes(row["content"]))
         assert rate == 16000 and len(samples) == 800
         assert int(np.abs(samples).max()) <= 3000
+
+
+def test_rgb_png_reduces_to_luma_in_kernel(spark):
+    """An RGB payload decodes to its channel-mean luma plane inside the
+    feature kernel (truncating uint8 cast, like the kernel does)."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    row = (
+        7,
+        "image",
+        png_encode(rgb),
+        {"width": 12, "height": 8, "n_frames": 1, "sample_rate": None, "format": "png"},
+    )
+    media = spark.createDataFrame([row], MEDIA_SCHEMA)
+    f = extract_image_features(media, decoder="png").collect()[0]
+    luma = rgb.mean(axis=2).astype(np.uint8)
+    assert (f["height"], f["width"]) == luma.shape
+    assert f["mean_intensity"] == float(luma.mean())
