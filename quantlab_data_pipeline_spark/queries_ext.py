@@ -3536,19 +3536,28 @@ ORACLE_SQL_EXT = {
                    AS t_stat
         FROM stage1 WHERE slope IS NOT NULL
     """,
+    # The selection/rank ORDER BY must bind to the round-10 priority
+    # (p10), NEVER to a round-6 output alias: DuckDB resolves ORDER BY
+    # against select aliases first, so naming the round-6 projection
+    # "priority" silently re-ranked the top-200 boundary at coarser
+    # precision (caught by the sf0.1 cross-scale oracle run: a round-6
+    # tie at ranks 198-201 selected a different doc than Spark's
+    # round-10 ordering).
     "weighted_sample_docs": f"""
         WITH pri AS (
             SELECT doc_id, n_chars,
                    round(pow({_hash_uniform_sql('wsample-v1')},
-                             1.0 / greatest(n_chars, 1)), 10) AS priority
+                             1.0 / greatest(n_chars, 1)), 10) AS p10
             FROM documents
+        ), top AS (
+            SELECT doc_id, n_chars, p10,
+                   CAST(row_number() OVER (ORDER BY p10 DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM pri
+            ORDER BY p10 DESC, doc_id
+            LIMIT 200
         )
-        SELECT doc_id, n_chars, round(priority, 6) AS priority,
-               CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
-                    AS BIGINT) AS rk
-        FROM pri
-        ORDER BY priority DESC, doc_id
-        LIMIT 200
+        SELECT doc_id, n_chars, round(p10, 6) AS priority, rk FROM top
     """,
     "sequence_gaps_orders": """
         SELECT prev + 1 AS missing_from,
