@@ -86,6 +86,9 @@ def main() -> int:
 
     spark = get_spark(app_name="correctness-check")
     con = duckdb.connect()
+    # big-sf oracle runs (self-joins, recursive CTEs) spill tens of GB;
+    # keep that out of the repo working tree
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
