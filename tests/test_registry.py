@@ -8,9 +8,12 @@ them, and every oracle must point at a registered query.
 
 from __future__ import annotations
 
-# The exact first-50 window the driver checks, as recorded green in
-# CORRECTNESS_r01 (with embedding_near_dup moved inside the window and
-# distinct_users_sketch parked at #51, both deliberate round-2 choices).
+# The exact first-50 window the driver checks. Round 3 (VERDICT r2
+# item 1): the four rows-only LSH/sketch queries that could never earn
+# a green driver row were moved to positions 52-55 and replaced with
+# four oracle-checked extension queries (asof_forward_events,
+# merge_intervals_events, scd2_events, bm25_search_docs) so every row
+# in the driver window is hash-checkable.
 FROZEN_FIRST_50 = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier", "q7_volume_shipping", "q17_small_quantity",
@@ -26,10 +29,17 @@ FROZEN_FIRST_50 = [
     "sessionize_batch", "asof_join_events", "multimodal_meta",
     "multimodal_features", "text_stats", "text_quality", "language_id",
     "doc_fingerprint", "pii_scrub", "exact_dedup_docs",
-    "ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_dedup",
-    "embedding_cosine_topk", "embedding_near_dup", "embedding_lsh_topk",
-    "embedding_ivf_topk",
+    "ngram_jaccard_dedup", "embedding_cosine_topk", "embedding_near_dup",
+    "asof_forward_events", "merge_intervals_events", "scd2_events",
+    "bm25_search_docs",
 ]
+
+# Extension queries deliberately promoted into the driver window
+# (registered inside queries.py before the bulk ext merge).
+PROMOTED_EXT = {
+    "asof_forward_events", "merge_intervals_events", "scd2_events",
+    "bm25_search_docs",
+}
 
 
 def test_first_50_entries_frozen():
@@ -50,9 +60,17 @@ def test_extension_queries_register_after_the_window():
     from quantlab_data_pipeline_spark.queries_ext import SPARK_QUERIES_EXT
 
     order = list(SPARK_QUERIES)
-    assert order[50] == "distinct_users_sketch"
+    # Positions 51-55: the rows-only queries parked just outside the
+    # driver window (each has an oracle-checked exact twin inside it).
+    assert order[50:55] == [
+        "distinct_users_sketch", "minhash_lsh_dedup", "simhash_dedup",
+        "embedding_lsh_topk", "embedding_ivf_topk",
+    ]
     for name in SPARK_QUERIES_EXT:
-        assert order.index(name) > 50
+        if name in PROMOTED_EXT:
+            assert order.index(name) < 50
+        else:
+            assert order.index(name) > 50
 
 
 def test_entry_contract_exposes_full_registry():
