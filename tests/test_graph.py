@@ -132,3 +132,54 @@ def test_triangle_count_bruteforce(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_triangle_count_unpackable_ids_fall_back(spark):
+    """String node ids can't pack into a long key; the two-column close
+    join must produce identical counts."""
+    from quantlab_data_pipeline_spark.operators.graph import triangle_count
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    # d is in no triangle, so (as always) it has no output row
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_wedge_stage_is_degree_bounded(spark):
+    """VERDICT r2 item 2: a celebrity node with a MID-RANGE id must not
+    inflate the wedge stage. In a star graph K1,n (center id n/2) the
+    old a<b-by-id orientation generated ~ (n/2)^2 = deg^2/4 wedges
+    through the hub; degree-ordered orientation orients every edge
+    leaf→center, the hub keeps zero out-edges, and the wedge stage is
+    EMPTY — well under the O(m^1.5) bound and nowhere near deg^2."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.operators.graph import (
+        _degree_oriented_edges,
+        _wedges,
+    )
+
+    n = 400
+    center = n // 2
+    star = [(center, i) for i in range(n + 1) if i != center]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    oriented = _degree_oriented_edges(edges)
+    wedge_rows = _wedges(oriented).count()
+    m = len(star)
+    assert wedge_rows == 0  # hub contributes no out-edge pairs at all
+    assert wedge_rows <= int(m**1.5)
+    # and the old orientation really was quadratic on this graph:
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    old_wedges = (
+        canon.alias("e1")
+        .join(canon.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .count()
+    )
+    assert old_wedges == (center) * (n - center)  # ~deg^2/4
