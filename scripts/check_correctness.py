@@ -27,6 +27,55 @@ TABLES = (
 ).split()
 
 
+def _pagerank_suppliers_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """Iterative power-iteration oracle for pagerank_suppliers.
+
+    The registry's SQL oracle unrolls the 10 iterations into a CTE
+    chain, which DuckDB materializes all at once — at sf0.1 the
+    co-part graph is dense enough that the unrolled chain exhausts
+    local disk (VERDICT r2 item 4). Same update rule, same graph
+    construction SQL, but the loop runs driver-side in numpy where 10
+    iterations over a vector is trivial at any sf this harness sees.
+    """
+    edges = con.execute(
+        """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), e0 AS (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                               AND a.l_suppkey < b.l_suppkey
+        )
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+        """
+    ).fetchdf()
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(nodes, src)
+    t = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.bincount(s, minlength=n).astype(float)
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        mass = np.bincount(t, weights=r[s] / deg[s], minlength=n)
+        dangling = r[deg == 0].sum()  # identically 0 on this graph
+        r = (1.0 - d) / n + d * (mass + dangling / n)
+    return pd.DataFrame(
+        {"suppkey": nodes.astype("int64"), "rank": np.round(r, 8)}
+    )
+
+
+# Queries whose SQL oracle is valid but too expensive for DuckDB at the
+# 10x cross-scale run: the local mirror swaps in an equivalent
+# driver-side iterative oracle (the driver itself still runs the SQL
+# oracle at sf0.01, where it is fine).
+PYTHON_ORACLES = {
+    "pagerank_suppliers": _pagerank_suppliers_python_oracle,
+}
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -107,15 +156,23 @@ def main() -> int:
             print(f"[FAIL] {name}: spark error: {exc}")
             continue
         sql = oracles.get(name)
-        if sql is None:
+        if name in PYTHON_ORACLES:
+            try:
+                odf = PYTHON_ORACLES[name](con)
+            except Exception as exc:  # noqa: BLE001
+                failed.append(name)
+                print(f"[FAIL] {name}: python oracle error: {exc}")
+                continue
+        elif sql is None:
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
-        try:
-            odf = con.execute(sql).fetchdf()
-        except Exception as exc:  # noqa: BLE001
-            failed.append(name)
-            print(f"[FAIL] {name}: oracle error: {exc}")
-            continue
+        else:
+            try:
+                odf = con.execute(sql).fetchdf()
+            except Exception as exc:  # noqa: BLE001
+                failed.append(name)
+                print(f"[FAIL] {name}: oracle error: {exc}")
+                continue
         problems = compare(name, sdf, odf)
         hard = [p for p in problems if not p.startswith("WARN")]
         if hard:
