@@ -27,6 +27,11 @@ Index layout (all parquet, engine-agnostic):
 - ``{path}/meta``        — (num_hashes, bands, shingle_k), 1 row
 - ``{path}/signatures``  — (doc_id, signature array<long>)
 - ``{path}/buckets``     — (doc_id, band_idx, band_hash)
+- ``{path}/exact``       — (doc_id, text_md5): the exact-duplicate
+  fast path — an incoming batch can be checked for byte-identical
+  re-ingests with ONE equi-join on a 16-byte digest, no banding, no
+  estimator (:func:`flag_new_batch_exact`). md5 is engine-portable, so
+  this path is hash-checkable against a SQL oracle.
 """
 
 from __future__ import annotations
@@ -41,8 +46,15 @@ __all__ = [
     "append_to_index",
     "query_dedup_index",
     "flag_new_batch",
+    "flag_new_batch_exact",
     "read_index_meta",
 ]
+
+
+def _exact_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        id_col, F.md5(F.col(text_col).cast("binary")).alias("text_md5")
+    )
 
 
 def _sig_and_buckets(
@@ -87,6 +99,9 @@ def build_dedup_index(
         buckets.write.mode("overwrite").parquet(f"{path}/buckets")
     finally:
         sigs.unpersist()
+    _exact_hashes(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/exact"
+    )
     spark.createDataFrame(
         [(num_hashes, bands, shingle_k)],
         "num_hashes int, bands int, shingle_k int",
@@ -117,6 +132,9 @@ def append_to_index(
         buckets.write.mode("append").parquet(f"{path}/buckets")
     finally:
         sigs.unpersist()
+    _exact_hashes(docs, id_col, text_col).write.mode("append").parquet(
+        f"{path}/exact"
+    )
 
 
 def query_dedup_index(
@@ -219,4 +237,42 @@ def flag_new_batch(
         .drop("new_id")
         .withColumn("is_dup", F.col("best_est_jaccard").isNotNull())
         .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)))
+    )
+
+
+def flag_new_batch_exact(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate subset of :func:`flag_new_batch`: flag batch
+    documents whose text is byte-identical to an already-indexed
+    document. One md5 equi-join against the per-digest aggregate of the
+    ``exact`` table — no banding, no signature estimate, and (unlike
+    the MinHash path) fully replayable by a SQL oracle since md5 is
+    engine-portable. Returns the batch plus ``is_dup``, ``n_matches``
+    (indexed documents sharing the digest) and ``best_match_id``
+    (lowest matching indexed id — same tie-break as the estimator
+    path). At 100 TB the index side aggregates to one row per distinct
+    digest before the join, so the join key set is bounded by corpus
+    cardinality, not corpus size."""
+    spark = new_docs.sparkSession
+    idx = (
+        spark.read.parquet(f"{path}/exact")
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(id_col).alias("best_match_id"),
+        )
+    )
+    return (
+        _exact_hashes(new_docs, id_col, text_col)
+        .join(idx, "text_md5", "left")
+        .select(
+            id_col,
+            F.col("n_matches").isNotNull().alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match_id",
+        )
     )

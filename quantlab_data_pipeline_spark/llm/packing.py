@@ -162,6 +162,7 @@ def pack_documents(
     token_col: str | None = None,
     partitions: int | None = None,
     max_open: int = 4096,
+    partitioner: str = "hash",
 ) -> DataFrame:
     """Greedy first-fit packing: whole documents into packs of at most
     ``max_tokens`` tokens; no document is split across packs.
@@ -189,13 +190,23 @@ def pack_documents(
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if partitioner not in ("hash", "mod"):
+        raise ValueError(f"partitioner must be 'hash' or 'mod', got {partitioner!r}")
     df, tok = _with_tokens(df, text_col, token_col)
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(id_col, F.col(tok).cast("long").alias("n_tokens"))
-        .repartition(n_parts, id_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    sel = df.select(id_col, F.col(tok).cast("long").alias("n_tokens"))
+    if partitioner == "mod":
+        # Engine-independent shard assignment (id modulo) — pack ids
+        # become replayable by any engine that can sort and count, which
+        # is what lets the DuckDB oracle hash-check this operator. Needs
+        # an integral id; the hash default spreads arbitrary id types.
+        base = sel.withColumn(
+            "__pid", F.pmod(F.col(id_col), F.lit(n_parts)).cast("int")
+        ).repartition(n_parts, "__pid")
+    else:
+        base = sel.repartition(n_parts, id_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     schema = f"`{id_col}` {dict(base.dtypes)[id_col]}, n_tokens long, pack_id long, pack_pos int, oversize boolean"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
