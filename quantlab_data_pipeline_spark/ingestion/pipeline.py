@@ -373,7 +373,7 @@ def build_benchmark(source: WrdsSource, start: str, end: str) -> DataFrame:
     The window is a single global order over one small per-day series
     (one row per trading day), so the unpartitioned sort is benign."""
     bench = source.benchmark(start, end).withColumn("benchmark_name", F.lit("^GSPC"))
-    return cumulative_index(bench, ret_col="ret").select(
+    return cumulative_index(bench, ret_col="ret", partition_cols=None).select(
         "date", "benchmark_name", "level", "ret"
     )
 

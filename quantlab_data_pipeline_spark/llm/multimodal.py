@@ -59,6 +59,23 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _rechunk(
+    batches: Iterator[pd.DataFrame], batch_hint: int
+) -> Iterator[pd.DataFrame]:
+    """Slice incoming Arrow batches to at most ``batch_hint`` rows so a
+    decode kernel's peak memory (input payloads + decoded pixels +
+    output buffer per yield) is bounded by the hint, not by whatever
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` the session set.
+    Media rows are orders of magnitude wider than the text rows that
+    conf is usually tuned for."""
+    for pdf in batches:
+        if len(pdf) <= batch_hint:
+            yield pdf
+        else:
+            for start in range(0, len(pdf), batch_hint):
+                yield pdf.iloc[start : start + batch_hint]
+
+
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for an image codec: bytes -> uint8 HxW
     luma plane derived from a rolling hash of the payload."""
@@ -92,7 +109,7 @@ def extract_image_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import png_decode
 
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_hint):
             rows = []
             for _, r in pdf.iterrows():
                 meta = r["meta"]
@@ -166,7 +183,7 @@ def media_from_text(
     from .codecs import png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_hint):
             rows = []
             for _, r in pdf.iterrows():
                 i = int(r[id_col])

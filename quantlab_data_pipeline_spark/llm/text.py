@@ -431,7 +431,9 @@ def stratified_split(
     md5 draw (ties broken by id — a total, engine-independent order)
     and the split boundaries are cut at floor(cum_frac * n): exact
     counts, still deterministic across runs, partitionings, and
-    engines.
+    engines — PROVIDED ``id_col`` is non-null: multiple null-id rows
+    share one sort key, so their boundary assignment is not
+    reproducible (the registry corpus has no null ids).
 
     Cost: one shuffle on ``strata_col`` (the ranking window). A 100 TB
     corpus with few huge strata should prefer the Bernoulli
@@ -445,6 +447,11 @@ def stratified_split(
     total = sum(weights.values())
     # Null draws (null id) sort to the very end deterministically on
     # both engines via the 2.0 sentinel — above every real u in [0,1).
+    # CAVEAT (ADVICE r2): two or more null-id rows share that identical
+    # (u=2.0, tie='') sort key, so their relative order — and therefore
+    # their split assignment when they straddle a boundary — is
+    # engine/partitioning-dependent. The determinism guarantee requires
+    # id_col to be non-null (one null row is still fine).
     u = F.coalesce(hash_uniform(id_col, salt), F.lit(2.0))
     tie = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
     w_rank = Window.partitionBy(strata_col).orderBy(u, tie)

@@ -2274,7 +2274,7 @@ def q20_surplus_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     quantity for those parts, i.e. above the ~1/7 uniform share of the
     1995-2001 data window (same nested-aggregate-threshold + semi-join
     shape as Q20's 0.5*sum(l_quantity) test). Quantities are
-    integral doubles, so the sums and the 0.5x comparison are exact on
+    integral doubles, so the sums and the 0.15x comparison are exact on
     both engines."""
     li = load_table(spark, sf, "lineitem")
     blue = load_table(spark, sf, "part").filter(

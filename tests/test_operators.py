@@ -221,9 +221,27 @@ def test_cumulative_index(spark):
     )
     out = [
         r["level"]
-        for r in cumulative_index(df).orderBy("date").collect()
+        for r in cumulative_index(df, partition_cols=None)
+        .orderBy("date")
+        .collect()
     ]
     assert out == pytest.approx([110.0, 55.0, 110.0])
+
+
+def test_cumulative_index_warns_on_implicit_global_window(spark):
+    """Leaving partition_cols unspecified must warn (global single-task
+    window); acknowledging with an explicit None must not."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(_d("2020-01-01"), 0.10)], "date date, ret double"
+    )
+    with pytest.warns(UserWarning, match="GLOBAL"):
+        cumulative_index(df)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cumulative_index(df, partition_cols=None)
+        cumulative_index(df, partition_cols=["date"])
 
 
 def test_as_of_join(spark):
