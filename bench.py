@@ -42,6 +42,25 @@ HEADLINE = [
     "embedding_cosine_topk",
 ]
 
+# Heavy round-2+ operator families (VERDICT r2 item 5): a second stable
+# section so regressions in these plans are machine-comparable round
+# over round, same timing protocol as the headline set. Kept separate
+# so "value" stays comparable with BENCH_r01/r02.
+EXTENDED = [
+    "asof_forward_events",
+    "merge_intervals_events",
+    "scd2_events",
+    "range_join_value_bands",
+    "bm25_search_docs",
+    "triangle_count_suppliers",
+    "pagerank_suppliers",
+    "dedup_clusters",
+    "semantic_dedup_docs",
+    "pack_documents_docs",
+    "bigram_lm_docs",
+    "minhash_lsh_dedup",
+]
+
 
 def main() -> None:
     # Size the AQE pre-coalesce reducer count to the actual input bytes
@@ -98,7 +117,6 @@ def main() -> None:
         .save()
     )
 
-    names = [n for n in HEADLINE if n in SPARK_QUERIES]
     # Two executions per query: the first pays one-time codegen/JIT
     # compilation for that plan shape (semantically part of the session,
     # not the query — on a real cluster a plan compiles once and then
@@ -106,22 +124,27 @@ def main() -> None:
     # steady-state plan execution, which is what scales with data volume.
     # Both are reported: "value"/"queries" are steady-state, "cold_*"
     # keep the first-execution numbers honest.
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in names:
-        fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        # steady-state = min of two executions: single runs on a shared
-        # box jitter ±20% from GC/scheduler noise; the min is the
-        # reproducible per-plan cost.
-        steady = []
-        for _ in range(2):
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            fn = SPARK_QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            steady.append(time.perf_counter() - t0)
-        timings[name] = round(min(steady), 3)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            # steady-state = min of two executions: single runs on a
+            # shared box jitter ±20% from GC/scheduler noise; the min is
+            # the reproducible per-plan cost.
+            steady = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                steady.append(time.perf_counter() - t0)
+            timings[name] = round(min(steady), 3)
+        return timings, cold
+
+    timings, cold = run_set([n for n in HEADLINE if n in SPARK_QUERIES])
+    ext_timings, ext_cold = run_set([n for n in EXTENDED if n in SPARK_QUERIES])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -133,6 +156,10 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "extended_total": round(sum(ext_timings.values()), 3),
+                "extended": ext_timings,
+                "extended_cold_total": round(sum(ext_cold.values()), 3),
+                "extended_cold": ext_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
