@@ -1273,8 +1273,11 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF approximate top-5: coarse-centroid lists + nprobe search
-    (rows-only check; the exact twin is embedding_cosine_topk)."""
+    """IVF approximate top-5: coarse-centroid lists + nprobe search.
+    Oracle-checked since round 3: train_centroids is deterministic, so
+    the whole index (k-means replay + list assignment + nprobe search)
+    replays in DuckDB — see queries_ext._ivf_topk_oracle_sql. The
+    exact twin is embedding_cosine_topk."""
     from .llm.similarity import ivf_topk as _ivf
 
     emb = load_table(spark, sf, "embeddings")
@@ -1327,9 +1330,10 @@ SPARK_QUERIES.update(
         # Position 51+ (outside the driver window), by design:
         # distinct_users_sketch is rows-only (HLL, no SQL oracle; exact
         # twin distinct_users_exact is oracle-checked inside the
-        # window), and the four hash-dependent LSH/sketch queries below
-        # are rows-only with oracle-checked exact twins registered
-        # above (ngram_jaccard_dedup / embedding_cosine_topk).
+        # window); the xxhash64-dependent LSH queries below are
+        # rows-only with oracle-checked exact twins registered above
+        # (ngram_jaccard_dedup / embedding_cosine_topk), while
+        # embedding_ivf_topk gained a full-replay oracle in round 3.
         "distinct_users_sketch": distinct_users_sketch,
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "simhash_dedup": simhash_dedup,

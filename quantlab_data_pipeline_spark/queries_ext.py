@@ -3856,29 +3856,25 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
 ORACLE_SQL_EXT["pagerank_suppliers"] = _pagerank_oracle_sql()
 
 
-def _semantic_dedup_oracle_sql(
-    k: int = 8,
+def _kmeans_replay_cte(
+    k: int,
     iters: int = 3,
     dim: int = 64,
     sample: int = 2048,
-    threshold: float = 0.4,
 ) -> str:
-    """Full SQL replay of ``semantic_dedup_docs`` (VERDICT r2 item 3).
-
-    ``llm.similarity.train_centroids`` is deterministic end-to-end —
-    the sample is the first ``sample`` rows by id, the initial centers
-    are evenly-spaced sample rows (numpy ``linspace(0, n-1, k)``
-    truncated), and the Lloyd iterations are plain batch k-means — so
-    instead of splicing Python-computed centroid literals (which would
-    pin the oracle to one scale factor) the whole clustering replays in
-    DuckDB over a long-format (id, dim, value) unnest: per-iteration
-    argmax assignment (sim DESC, j ASC — numpy argmax keeps the first
-    max), elementwise member mean, renormalize, keep-old-center when a
-    cluster empties. Final assignment + within-cluster threshold join
-    mirror ``semantic_dedup_pairs``; scores round to 6 decimals on both
-    sides, which absorbs the sum-order FP noise between Spark's
-    sequential array fold and DuckDB's aggregate order.
-    """
+    """Shared WITH-chain replaying ``llm.similarity.train_centroids``
+    in DuckDB — deterministic end-to-end, so no spliced literals and no
+    per-scale pinning: the sample is the first ``sample`` rows by id,
+    the initial centers are evenly-spaced sample rows (numpy
+    ``linspace(0, n-1, k)`` truncated), and the Lloyd iterations are
+    plain batch k-means over a long-format (id, dim, value) unnest —
+    per-iteration argmax assignment (sim DESC, j ASC — numpy argmax
+    keeps the first max), elementwise member mean, renormalize,
+    keep-old-center when a cluster empties. Ends after ``c{iters}``
+    (final centroids, long format) plus ``sfin`` (every unit vector's
+    similarity to every final centroid) and ``afin`` (its argmax
+    assignment); callers append their tails. ``ulong`` carries the
+    unit-normalized corpus for scoring."""
     head = f"""
     WITH dims AS (
         SELECT CAST(r.range AS INT) AS d FROM range(1, {dim + 1}) r
@@ -3935,7 +3931,7 @@ def _semantic_dedup_oracle_sql(
         LEFT JOIN mn{t} n ON c.j = n.j
     )"""
     body = "".join(step.format(t=t, p=t - 1) for t in range(1, iters + 1))
-    tail = f""", sfin AS (
+    shared_tail = f""", sfin AS (
         SELECT u.vec_id, c.j, sum(u.val * c.val) AS sim
         FROM ulong u JOIN c{iters} c ON c.d = u.d
         GROUP BY u.vec_id, c.j
@@ -3945,7 +3941,22 @@ def _semantic_dedup_oracle_sql(
                 PARTITION BY vec_id ORDER BY sim DESC, j ASC
             ) AS rn FROM sfin
         ) WHERE rn = 1
-    ), drops AS (
+    )"""
+    return head + body + shared_tail
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+) -> str:
+    """Full SQL replay of ``semantic_dedup_docs`` (VERDICT r2 item 3):
+    :func:`_kmeans_replay_cte` clustering, then the within-cluster
+    threshold join mirroring ``semantic_dedup_pairs``. Scores round to
+    6 decimals on both sides, which absorbs the sum-order FP noise
+    between Spark's sequential array fold and DuckDB's aggregate
+    order."""
+    tail = f""", drops AS (
         SELECT DISTINCT b.vec_id AS id_b
         FROM afin a JOIN afin b ON a.j = b.j AND a.vec_id < b.vec_id
         JOIN ulong ua ON ua.vec_id = a.vec_id
@@ -3956,10 +3967,54 @@ def _semantic_dedup_oracle_sql(
     SELECT e.vec_id, e.label
     FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b
     WHERE dr.id_b IS NULL"""
-    return head + body + tail
+    return _kmeans_replay_cte(k, iters) + tail
 
 
 ORACLE_SQL_EXT["semantic_dedup_docs"] = _semantic_dedup_oracle_sql()
+
+
+def _ivf_topk_oracle_sql(
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """SQL replay of ``embedding_ivf_topk`` (round 3): same
+    :func:`_kmeans_replay_cte` centroids, then IVF proper — every
+    corpus vector lives in its argmax list (``afin``), each query
+    probes its ``nprobe`` nearest lists, and only candidates sharing a
+    probed list are exact-scored and ranked (score DESC, neighbor_id
+    ASC — the engine-independent ``rank_topk`` contract). This was
+    rows-only in rounds 1-2; the clustering's determinism makes the
+    whole approximate index replayable."""
+    tail = f""", probes AS (
+        SELECT vec_id AS query_id, j FROM (
+            SELECT vec_id, j, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, j ASC
+            ) AS rn FROM sfin WHERE vec_id < {n_queries}
+        ) WHERE rn <= {nprobe}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN afin a ON a.j = p.j
+        WHERE a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(sum(uq.val * un.val), 6) AS score
+        FROM cand c
+        JOIN ulong uq ON uq.vec_id = c.query_id
+        JOIN ulong un ON un.vec_id = c.neighbor_id AND un.d = uq.d
+        GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) t WHERE rank <= {k}"""
+    return _kmeans_replay_cte(n_lists) + tail
+
+
+ORACLE_SQL_EXT["embedding_ivf_topk"] = _ivf_topk_oracle_sql()
 
 
 def _pack_documents_oracle_sql(
