@@ -952,9 +952,10 @@ def bpe_tokenize_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE: train 20 merges on the corpus (one corpus pass
     for word freqs, then vocabulary-sized iterations with a native
     array-fold merge apply), encode every doc under the learned ranks.
-    Rows-only (iterative training is not single-query SQL); the trainer
-    and encoder are pytest-verified against a from-scratch python BPE
-    reference (tests/test_bpe.py)."""
+    No single-statement SQL oracle (iterative training), but the local
+    mirror checks it against a from-scratch python BPE reference
+    (scripts/check_correctness.py PYTHON_ORACLES) at every sf, and
+    tests/test_bpe.py pins the trainer/encoder equivalence."""
     from .llm.bpe import bpe_encode, train_bpe
 
     docs = load_table(spark, sf, "documents")
@@ -962,7 +963,10 @@ def bpe_tokenize_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, merges).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.md5(F.array_join("tokens", "")).alias("tokens_md5"),
+        # \x01 separator: the digest must hash token BOUNDARIES (the
+        # learned segmentation), not just the reconstructed text, which
+        # a separator-less join would make merge-invariant.
+        F.md5(F.array_join("tokens", "\x01")).alias("tokens_md5"),
     )
 
 

@@ -67,12 +67,98 @@ def _pagerank_suppliers_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.Da
     )
 
 
-# Queries whose SQL oracle is valid but too expensive for DuckDB at the
-# 10x cross-scale run: the local mirror swaps in an equivalent
-# driver-side iterative oracle (the driver itself still runs the SQL
-# oracle at sf0.01, where it is fine).
+def _bpe_tokenize_docs_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """From-scratch BPE reference for ``bpe_tokenize_docs`` — the same
+    independent implementation strategy as tests/test_bpe.py, run over
+    the registry corpus at whatever sf the mirror is checking. Training
+    is deterministic on both sides (best pair = max weighted count,
+    then lexicographically smallest), so the 20 learned merges, every
+    doc's token count, and the md5 of its joined token stream must all
+    agree exactly."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    df = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchdf()
+    tok = re.compile(r"[a-z0-9]+")
+    eow = "</w>"
+
+    def _txt(t: object) -> str:
+        return t if isinstance(t, str) else ""
+
+    freqs: Counter = Counter()
+    for t in df["text"]:
+        freqs.update(tok.findall(_txt(t).lower()))
+    words: dict[str, tuple[list[str], int]] = {
+        w: (list(w) + [eow], f) for w, f in freqs.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(20):
+        pc: Counter = Counter()
+        for toks, f in words.values():
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((left, right))
+        joined = left + right
+        for w, (toks, f) in words.items():
+            out: list[str] = []
+            for t in toks:  # left-to-right greedy, same as _merge_fold
+                if out and out[-1] == left and t == right:
+                    out[-1] = joined
+                else:
+                    out.append(t)
+            words[w] = (out, f)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        toks = list(w) + [eow]
+        while len(toks) > 1:
+            best, best_rank = None, None
+            for j in range(len(toks) - 1):
+                r = ranks.get((toks[j], toks[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = j, r
+            if best is None:
+                break
+            toks[best : best + 2] = [toks[best] + toks[best + 1]]
+        return toks
+
+    rows = []
+    for i, t in zip(df["doc_id"], df["text"]):
+        toks: list[str] = []
+        for w in tok.findall(_txt(t).lower()):
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = enc(w)
+            toks.extend(got)
+        # The registry query joins with a literal \x01 separator (an
+        # invisible control byte in queries_ext.py) so the digest is
+        # sensitive to token BOUNDARIES — i.e. to the learned merges —
+        # not just to the reconstructed text.
+        rows.append(
+            (
+                int(i),
+                len(toks),
+                hashlib.md5("\x01".join(toks).encode("utf-8")).hexdigest(),
+            )
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "tokens_md5"])
+
+
+# Queries whose oracle cannot (or should not) run as one DuckDB SQL
+# statement: pagerank's unrolled CTE exhausts local disk at sf0.1, and
+# BPE training is an iterative loop. The local mirror swaps in an
+# equivalent driver-side oracle; the driver still runs the SQL oracles
+# it has at sf0.01.
 PYTHON_ORACLES = {
     "pagerank_suppliers": _pagerank_suppliers_python_oracle,
+    "bpe_tokenize_docs": _bpe_tokenize_docs_python_oracle,
 }
 
 
