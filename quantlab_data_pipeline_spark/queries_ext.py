@@ -1124,6 +1124,26 @@ def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def wet_roundtrip_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """WET corpus codec round-trip: serialize the documents table into
+    4 Common-Crawl-style WET shards (Content-Length-framed WARC
+    conversion records) and parse them back. The oracle is simply the
+    documents table itself plus each text's UTF-8 byte length — a hash
+    match proves the encoder/parser pair lossless, the same
+    round-trip-oracle pattern as multimodal_features' PNG codec."""
+    from .sources.wet import parse_wet, wet_encode
+
+    docs = load_table(spark, sf, "documents")
+    parsed = parse_wet(wet_encode(docs, shards=4))
+    return parsed.select(
+        F.regexp_extract("target_uri", r"doc://(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_bytes",
+        "text",
+    )
+
+
 def incremental_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-duplicate subset of the incremental intake check (VERDICT
     r2 item 3): same corpus/batch split as ``incremental_dedup_docs``,
@@ -2421,6 +2441,7 @@ SPARK_QUERIES_EXT = {
     "forward_fill": forward_fill,
     "incremental_dedup_docs": incremental_dedup_docs,
     "incremental_dedup_exact_docs": incremental_dedup_exact_docs,
+    "wet_roundtrip_docs": wet_roundtrip_docs,
     "trend_theil_sen": trend_theil_sen,
     "set_ops_customers": set_ops_customers,
     "rank_family_events": rank_family_events,
@@ -4107,6 +4128,14 @@ def _pack_documents_oracle_sql(
 
 
 ORACLE_SQL_EXT["pack_documents_docs"] = _pack_documents_oracle_sql()
+
+ORACLE_SQL_EXT["wet_roundtrip_docs"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+               AS n_bytes,
+           coalesce(text, '') AS text
+    FROM documents
+"""
 
 ORACLE_SQL_EXT["incremental_dedup_exact_docs"] = """
     WITH corpus AS (
