@@ -10,8 +10,14 @@ Five strategies, all shuffle-aware:
 - embedding:  cosine near-dup over a random-hyperplane LSH bucket
 
 Everything is built-in expressions (higher-order array functions,
-xxhash64) — no Python UDFs — so candidate generation stays JVM-side at
-100 TB. Signature width / band count trade recall for shuffle volume.
+md5-derived portable hashes) — no Python UDFs — so candidate
+generation stays JVM-side at 100 TB. Signature width / band count
+trade recall for shuffle volume. Since round 3 the minhash/simhash
+families hash via md5 (``portable_hash32`` + Carter-Wegman slots)
+instead of JVM-private xxhash64, so signatures replay bit-exact in
+any engine (DuckDB oracles, persisted index migrations); xxhash64
+remains only where the hash is engine-internal (band-slice bucket
+keys, where hash equality == slice equality).
 """
 
 from __future__ import annotations
@@ -62,6 +68,35 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     return F.array_distinct(word_grams(text_col, k, short_doc="join"))
 
 
+#: Carter-Wegman modulus for the MinHash slot family (Mersenne prime
+#: 2^31-1). The base hash is < 2^32 and every multiplier < 2^31, so
+#: a*h + b < 2^63 — no ANSI bigint overflow in either engine.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) Carter-Wegman coefficients, derived from md5 of
+    the slot index — deterministic, seedless, and computable by any
+    engine (the signature format is part of persisted dedup indexes, so
+    it must not depend on JVM-private hashes)."""
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:16], 16)
+
+    return [
+        (h(f"cw_a:{i}") % (MINHASH_PRIME - 1) + 1, h(f"cw_b:{i}") % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit integer hash from the first 8 md5 hex chars — identical
+    in Spark, DuckDB, Python, or any engine with md5 (same portability
+    contract as :func:`..text.hash_uniform`)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -71,18 +106,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Each shingle string is hashed ONCE (xxhash64); the ``num_hashes``
-    signature slots re-hash that 8-byte value with a per-slot seed —
-    fixed-width hashing instead of running the string hash 64x, with
-    the same collision behavior (and no ANSI overflow, unlike a
-    multiply-mix universal family).
+    Each shingle string is hashed ONCE (md5 → 32-bit int); the
+    ``num_hashes`` signature slots are a Carter-Wegman universal family
+    ``(a_i*h + b_i) mod 2^31-1`` over that base value — one string
+    hash plus 64 multiply-add-mods per shingle instead of 64 string
+    hashes, and (since round 3) fully engine-portable: DuckDB replays
+    the exact signatures, so the LSH pipeline is oracle-checkable and a
+    persisted signature index survives engine migrations (xxhash64 was
+    JVM-private; md5 is universal).
     """
-    base = F.transform(F.col("__shingles"), lambda s: F.xxhash64(s))
+    base = F.transform(F.col("__shingles"), lambda s: portable_hash32(s))
+    coeffs = minhash_coefficients(num_hashes)
 
     def slot(i: int) -> Column:
-        # Single-arg lambda only: a two-arg transform lambda receives
-        # (element, array_index) and would shadow the slot seed.
-        return F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(F.lit(i), h)))
+        a, b = coeffs[i]
+        return F.array_min(
+            F.transform(F.col("__h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        )
 
     slots = [slot(i) for i in range(num_hashes)]
     return (
@@ -367,19 +407,31 @@ def simhash_fingerprints(
     majority (+1/-1) over tokens, pack signs into a long.
 
     Implemented as an explode + 64 conditional sums — one shuffle on
-    the doc id, all JVM-side.
+    the doc id, all JVM-side. The 64 token-hash bits come from the
+    first two 32-bit quarters of one md5 per token (hex chars 1-8 and
+    9-16) rather than xxhash64, so since round 3 the fingerprints are
+    engine-portable and the whole banded pipeline replays in DuckDB
+    (see ``queries_ext._simhash_oracle_sql``).
     """
     words = F.explode(
         F.array_distinct(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         )
     )
-    tok = ensure_parallelism(df).select(F.col(id_col), words.alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+    md5 = F.md5("tok")
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), words.alias("tok"))
+        .withColumn("lo", F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint"))
+        .withColumn("hi", F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint"))
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright("lo" if i < 32 else "hi", i % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]

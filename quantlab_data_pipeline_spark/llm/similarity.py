@@ -132,30 +132,43 @@ def plan_signature(
     return (max_bits, 1)
 
 
+def sign_matrix(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix, one md5 per (plane, dim)
+    cell — seedless and engine-portable (any engine with md5 derives
+    the identical planes, so LSH bucket assignments replay in DuckDB
+    and survive engine migrations; xxhash64, the round-1/2 source, was
+    JVM-private). Python-side cost is a few thousand hashes, paid once
+    per query build; the Spark plan sees only folded ±1 literals."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"plane:{i}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dim)
+        ]
+        for i in range(planes)
+    ]
+
+
 def band_signature(
-    vec_col: str | Column, bands: int, band_bits: int
+    vec_col: str | Column, bands: int, band_bits: int, dim: int
 ) -> Column:
     """``array<struct<band_idx:int, band_val:long>>`` of banded sign-LSH
-    sub-signatures. Hyperplane bit i is the sign of a pseudo-random
-    +/-1 combination of vector components (the plane is defined by
-    xxhash64 of (i, dim) — deterministic across join sides, no stored
-    projection matrix). Band j packs bits [j*band_bits, (j+1)*band_bits)
-    into a long — the equi-join key for candidate generation (two
-    vectors are candidates iff some band matches exactly on every
-    bit)."""
+    sub-signatures. Hyperplane bit i is the sign of a fixed
+    pseudo-random +/-1 combination of vector components
+    (:func:`sign_matrix` — md5-derived literals, constant-folded by
+    Catalyst, no stored projection matrix and no per-row hashing).
+    Band j packs bits [j*band_bits, (j+1)*band_bits) into a long — the
+    equi-join key for candidate generation (two vectors are candidates
+    iff some band matches exactly on every bit). ``dim`` is the
+    expected vector length; shorter/longer vectors zero their
+    mismatched bits (zip_with null semantics) rather than erroring."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    n = F.size(vec)
-    dims = F.sequence(F.lit(0), n - 1)
+    signs = sign_matrix(bands * band_bits, dim)
 
     def plane(i: int, weight: int) -> Column:
-        signed = F.zip_with(
-            vec,
-            dims,
-            lambda v, d: F.when(
-                F.xxhash64(F.lit(i), d).bitwiseAND(F.lit(1)) == 1,
-                v.cast("double"),
-            ).otherwise(-v.cast("double")),
-        )
+        srow = F.array(*[F.lit(s) for s in signs[i]])
+        signed = F.zip_with(vec, srow, lambda v, s: v.cast("double") * s)
         s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -173,9 +186,18 @@ def band_signature(
     return F.array(*structs)
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector length from a one-row probe (LSH planes are literal
+    matrices, so the dimension must be known at plan-build time)."""
+    row = df.select(F.size(vec_col).alias("n")).first()
+    if row is None or row["n"] is None or row["n"] <= 0:
+        raise ValueError(f"cannot infer vector dim from empty column {vec_col!r}")
+    return int(row["n"])
+
+
 def _banded(
     df: DataFrame, id_col: str, vec_col: str, bands: int, band_bits: int,
-    out_id: str,
+    out_id: str, dim: int,
 ) -> tuple[DataFrame, DataFrame]:
     """(vectors, exploded band keys) for one side of the candidate join.
     The exploded side is narrow — (id, band_idx, band_val) only — so the
@@ -183,7 +205,7 @@ def _banded(
     base = df.select(
         F.col(id_col).alias(out_id),
         unit_vec(vec_col).alias("__uv"),
-        band_signature(vec_col, bands, band_bits).alias("__bands"),
+        band_signature(vec_col, bands, band_bits, dim).alias("__bands"),
     )
     keys = base.select(
         out_id, F.explode("__bands").alias("b")
@@ -201,6 +223,7 @@ def lsh_topk(
     band_bits: int | None = None,
     target_cos: float = 0.3,
     recall: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via banded sign-LSH: explode per-band
     sub-signatures, **equi-join** corpus and query bands on
@@ -218,11 +241,15 @@ def lsh_topk(
     """
     if bands is None or band_bits is None:
         bands, band_bits = plan_signature(target_cos, recall)
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
     c_vecs, c_keys = _banded(
         ensure_parallelism(corpus), id_col, vec_col, bands, band_bits,
-        "neighbor_id",
+        "neighbor_id", dim,
     )
-    q_vecs, q_keys = _banded(queries, id_col, vec_col, bands, band_bits, "query_id")
+    q_vecs, q_keys = _banded(
+        queries, id_col, vec_col, bands, band_bits, "query_id", dim
+    )
     cands = (
         c_keys.join(q_keys, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -435,6 +462,7 @@ def embedding_near_dup_pairs_lsh(
     bands: int | None = None,
     band_bits: int | None = None,
     recall: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-candidate near-dup pairs (the scale path of
     :func:`embedding_near_dup_pairs`): banded sign-LSH self-join on
@@ -443,12 +471,14 @@ def embedding_near_dup_pairs_lsh(
     threshold), recall < 1 by design."""
     if bands is None or band_bits is None:
         bands, band_bits = plan_signature(threshold, recall)
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     from pyspark.storagelevel import StorageLevel
 
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         unit_vec(vec_col).alias("v"),
-        band_signature(vec_col, bands, band_bits).alias("__bands"),
+        band_signature(vec_col, bands, band_bits, dim).alias("__bands"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # keys + both vector gathers
     keys = base.select("id", F.explode("__bands").alias("b")).select(
         "id", "b.band_idx", "b.band_val"

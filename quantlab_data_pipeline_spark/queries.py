@@ -1234,9 +1234,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (signature-estimated Jaccard).
 
-    Not SQL-expressible (xxhash64 signatures) -> rows-only check; the
-    exact-Jaccard twin ``ngram_jaccard_dedup`` is the oracle-checked
-    variant of the same semantics.
+    Oracle-checked since round 3: the signature family is md5-base +
+    Carter-Wegman slots (engine-portable), so DuckDB replays the exact
+    signatures and banding — see ``queries_ext._minhash_lsh_oracle_sql``.
+    The exact-Jaccard twin ``ngram_jaccard_dedup`` covers the same
+    semantics without the estimator.
     """
     docs = load_table(spark, sf, "documents")
     return _minhash_pairs(docs, threshold=0.5)
@@ -1244,9 +1246,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints).
-    Rows-only: the fingerprint is built from Spark's xxhash64, which
-    DuckDB cannot reproduce; tests/test_llm_ops.py checks the banded
-    blocking recovers every pair a brute-force Hamming scan finds."""
+    Oracle-checked since round 3: fingerprint bits derive from md5
+    quarters (engine-portable), so DuckDB replays the exact pipeline —
+    see ``queries_ext._simhash_oracle_sql``. tests/test_llm_ops.py
+    additionally checks the banded blocking recovers every pair a
+    brute-force Hamming scan finds."""
     docs = load_table(spark, sf, "documents")
     return _simhash_pairs(_simhash(docs), max_hamming=3)
 
@@ -1260,7 +1264,10 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Banded-LSH approximate top-5: equi-join on (band_idx, band_val),
-    exact re-rank of candidates only (scale path; rows-only check)."""
+    exact re-rank of candidates only (the scale path). Oracle-checked
+    since round 3: the hyperplanes are a fixed md5-derived ±1 matrix
+    (``llm.similarity.sign_matrix``), so DuckDB replays the exact sign
+    bits — see ``queries_ext._lsh_topk_oracle_sql``."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _lsh_topk(queries_df, emb, k=5, target_cos=0.25, recall=0.95)
@@ -1330,10 +1337,12 @@ SPARK_QUERIES.update(
         # Position 51+ (outside the driver window), by design:
         # distinct_users_sketch is rows-only (HLL, no SQL oracle; exact
         # twin distinct_users_exact is oracle-checked inside the
-        # window); the xxhash64-dependent LSH queries below are
-        # rows-only with oracle-checked exact twins registered above
-        # (ngram_jaccard_dedup / embedding_cosine_topk), while
-        # embedding_ivf_topk gained a full-replay oracle in round 3.
+        # window). The four queries below were rows-only in rounds 1-2
+        # (xxhash64-dependent); all four gained full-replay oracles in
+        # round 3 — the hash families moved to engine-portable
+        # md5-derived constructions (see llm.dedup / llm.similarity),
+        # so DuckDB replays signatures, fingerprints, sign bits, and
+        # the IVF index bit-exact.
         "distinct_users_sketch": distinct_users_sketch,
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "simhash_dedup": simhash_dedup,

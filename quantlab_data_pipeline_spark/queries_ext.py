@@ -1107,8 +1107,9 @@ def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental intake dedup: the even-id half of the corpus plays
     the already-indexed 100 TB corpus (persisted MinHash index — ids
     and hashes only, no text), the odd-id half plays a new batch
-    checked against it with two narrow equi-joins. Rows-only (xxhash64
-    signatures have no DuckDB twin); the estimator itself is
+    checked against it with two narrow equi-joins. Oracle-checked
+    since round 3 (portable signatures replay the whole index walk —
+    see ``_incremental_dedup_oracle_sql``); the estimator is also
     pytest-verified in tests/test_dedup_index.py."""
     import tempfile
 
@@ -4385,3 +4386,248 @@ ORACLE_SQL_EXT["q20_surplus_suppliers"] = """
                         WHERE qty_1996 > 0.15 * qty_all)
     ORDER BY s_name
 """
+
+
+def _minhash_sig_cte(num_hashes: int = 64) -> str:
+    """Shared WITH-chain replaying ``llm.dedup.minhash_signatures`` in
+    DuckDB — word-3-gram shingles (same gram CTE as the green
+    ``ngram_jaccard_dedup`` oracle), 32-bit md5 base hash, and the
+    spliced Carter-Wegman (a_i, b_i) slot coefficients. Ends at
+    ``sigs(doc_id, sig)``; callers append their candidate/estimate
+    tails (batch LSH and the incremental-index replay share it)."""
+    from .llm.dedup import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               (WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words)
+                SELECT CASE WHEN len(words) >= 3 THEN
+                    list_distinct(list_transform(
+                        generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END FROM w) AS grams
+        FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   g -> CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT)
+               ) AS hvals
+        FROM sh WHERE len(grams) > 0
+    ), sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, {num_hashes}),
+                   i -> list_min(list_transform(hvals,
+                        h -> ({a_list}[i] * h + {b_list}[i]) % {MINHASH_PRIME}))
+               ) AS sig
+        FROM hs
+    )"""
+
+
+def _minhash_lsh_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """SQL replay of ``minhash_lsh_dedup`` (round 3): the signature
+    family moved from JVM-private xxhash64 to md5-base + Carter-Wegman
+    slots (``llm.dedup.minhash_signatures``), so DuckDB reproduces the
+    exact signatures (:func:`_minhash_sig_cte`), joins candidates on
+    the raw slot slices (Spark keys on xxhash64 of the slice; equality
+    of hashes == equality of slices modulo ~2^-64 collisions), then
+    applies the signature-estimated Jaccard filter."""
+    r = num_hashes // bands
+    return _minhash_sig_cte(num_hashes) + f""", bandkeys AS (
+        SELECT doc_id,
+               b.band_idx,
+               sig[{r} * b.band_idx + 1 : {r} * b.band_idx + {r}] AS band
+        FROM sigs,
+             (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard_est FROM (
+        SELECT c.id_a, c.id_b,
+               round(len(list_filter(generate_series(1, {num_hashes}),
+                     i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0, 6)
+                   AS jaccard_est
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+    ) WHERE jaccard_est >= {threshold}"""
+
+
+ORACLE_SQL_EXT["minhash_lsh_dedup"] = _minhash_lsh_oracle_sql()
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 8) -> str:
+    """SQL replay of ``simhash_dedup`` (round 3): fingerprint bits come
+    from two 32-bit md5 quarters per token (``llm.dedup.
+    simhash_fingerprints``), so DuckDB rebuilds the exact per-bit
+    majority fingerprints, joins on the raw bit-slice bands (Spark keys
+    on the packed integer band value — identical equality), and filters
+    on the bit-list Hamming distance (== Spark's ``bit_count(xor)``)."""
+    width = 64 // bands
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS lo,
+               CAST(('0x' || substr(md5(tok), 9, 8))::UBIGINT AS BIGINT) AS hi
+        FROM tok
+    ), bitsum AS (
+        SELECT doc_id, i.i,
+               sum(CASE WHEN ((CASE WHEN i.i < 32 THEN lo ELSE hi END)
+                              >> (i.i % 32)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM th, (SELECT unnest(generate_series(0, 63)) AS i) i
+        GROUP BY doc_id, i.i
+    ), fp AS (
+        SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY i) AS bits
+        FROM bitsum GROUP BY doc_id
+    ), bandkeys AS (
+        SELECT doc_id, bits, b.band_idx,
+               bits[{width} * b.band_idx + 1 : {width} * b.band_idx + {width}] AS band
+        FROM fp,
+             (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) b
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> CASE WHEN a.bits[i] = b.bits[i] THEN 0 ELSE 1 END))
+                    AS INT) AS hamming
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+         AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}"""
+
+
+ORACLE_SQL_EXT["simhash_dedup"] = _simhash_oracle_sql()
+
+
+def _lsh_topk_oracle_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    target_cos: float = 0.25,
+    recall: float = 0.95,
+    dim: int = 64,
+) -> str:
+    """SQL replay of ``embedding_lsh_topk`` (round 3): the hyperplanes
+    moved from per-row xxhash64 bits to a fixed md5-derived ±1 matrix
+    (``llm.similarity.sign_matrix``) spliced here as a literal, so
+    DuckDB reproduces the exact sign bits — ``list_reduce`` keeps the
+    plane sums in Spark's left-fold element order, making the sign
+    comparison bitwise — bands on the raw bit slices (== Spark's packed
+    band_val equality), then the standard exact re-rank tail shared
+    with the IVF oracle."""
+    from .llm.similarity import plan_signature, sign_matrix
+
+    bands, band_bits = plan_signature(target_cos, recall)
+    planes = bands * band_bits
+    smat = sign_matrix(planes, dim)
+    lit = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in smat
+    ) + "]"
+    return f"""
+    WITH dims AS (
+        SELECT CAST(r.range AS INT) AS d FROM range(1, {dim + 1}) r
+    ), base AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), nrm AS (
+        SELECT b.vec_id,
+               sqrt(sum(CAST(b.embedding[d.d] AS DOUBLE)
+                        * CAST(b.embedding[d.d] AS DOUBLE))) AS nrm
+        FROM base b CROSS JOIN dims d GROUP BY b.vec_id
+    ), ulong AS (
+        SELECT b.vec_id, d.d,
+               CAST(b.embedding[d.d] AS DOUBLE) / n.nrm AS val
+        FROM base b JOIN nrm n USING (vec_id) CROSS JOIN dims d
+        WHERE n.nrm > 0
+    ), smat AS (
+        SELECT {lit} AS s
+    ), bits AS (
+        SELECT b.vec_id, p.p,
+               CASE WHEN list_reduce(list_transform(
+                        generate_series(1, {dim}),
+                        j -> CAST(b.embedding[j] AS DOUBLE) * m.s[p.p + 1][j]),
+                        (x, y) -> x + y) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM base b
+        CROSS JOIN (SELECT unnest(generate_series(0, {planes - 1})) AS p) p
+        CROSS JOIN smat m
+    ), bandk AS (
+        SELECT vec_id, CAST(p // {band_bits} AS INT) AS band_idx,
+               list(bit ORDER BY p) AS band
+        FROM bits GROUP BY vec_id, p // {band_bits}
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bandk q JOIN bandk c
+          ON q.band_idx = c.band_idx AND q.band = c.band
+        WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+    ), scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               round(sum(uq.val * un.val), 6) AS score
+        FROM cand cd
+        JOIN ulong uq ON uq.vec_id = cd.query_id
+        JOIN ulong un ON un.vec_id = cd.neighbor_id AND un.d = uq.d
+        GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, score FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) t WHERE rank <= {k}"""
+
+
+ORACLE_SQL_EXT["embedding_lsh_topk"] = _lsh_topk_oracle_sql()
+
+
+def _incremental_dedup_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """SQL replay of ``incremental_dedup_docs`` (round 3): now that the
+    signature family is engine-portable (:func:`_minhash_sig_cte`),
+    the persisted-index walk replays exactly — even-id docs play the
+    indexed corpus, odd-id docs the new batch, candidates join on band
+    slices, and each batch doc aggregates its >= threshold matches
+    (``flag_new_batch``'s count + exists semantics). Batch docs with no
+    match keep is_dup=false / n_matches=0 via the final left join."""
+    r = num_hashes // bands
+    return _minhash_sig_cte(num_hashes) + f""", bandkeys AS (
+        SELECT doc_id,
+               b.band_idx,
+               sig[{r} * b.band_idx + 1 : {r} * b.band_idx + {r}] AS band
+        FROM sigs,
+             (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) b
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS indexed_id
+        FROM bandkeys n JOIN bandkeys i
+          ON n.band_idx = i.band_idx AND n.band = i.band
+        WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+    ), est AS (
+        SELECT c.new_id, c.indexed_id,
+               round(len(list_filter(generate_series(1, {num_hashes}),
+                     k -> sn.sig[k] = si.sig[k])) / {num_hashes}.0, 6) AS e
+        FROM cand c
+        JOIN sigs sn ON sn.doc_id = c.new_id
+        JOIN sigs si ON si.doc_id = c.indexed_id
+    ), hits AS (
+        SELECT new_id, count(*) AS n_matches
+        FROM est WHERE e >= {threshold}
+        GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           h.new_id IS NOT NULL AS is_dup,
+           coalesce(h.n_matches, 0) AS n_matches
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.new_id
+    WHERE d.doc_id % 2 = 1"""
+
+
+ORACLE_SQL_EXT["incremental_dedup_docs"] = _incremental_dedup_oracle_sql()
