@@ -24,9 +24,13 @@ band parameters silently breaks LSH recall, so a mismatch raises.
 
 Index layout (all parquet, engine-agnostic):
 
-- ``{path}/meta``        — (num_hashes, bands, shingle_k), 1 row
+- ``{path}/meta``        — (num_hashes, bands, shingle_k, bucket_n), 1 row
 - ``{path}/signatures``  — (doc_id, signature array<long>)
-- ``{path}/buckets``     — (doc_id, band_idx, band_hash)
+- ``{path}/buckets``     — (doc_id, band_idx, band_hash); with
+  ``bucket_n`` set at build time this is a Spark bucketed table on the
+  join key, so the candidate equi-join reads the corpus-sized index
+  with NO exchange — only the incoming batch shuffles (see
+  :func:`build_dedup_index`)
 - ``{path}/exact``       — (doc_id, text_md5): the exact-duplicate
   fast path — an incoming batch can be checked for byte-identical
   re-ingests with ONE equi-join on a 16-byte digest, no banding, no
@@ -76,6 +80,39 @@ def _sig_and_buckets(
     return sigs, buckets
 
 
+def _bucket_table_name(path: str) -> str:
+    """Catalog name for the bucketed ``buckets`` table at ``path`` —
+    derived from the path so two indexes never collide."""
+    import hashlib
+
+    return "dedup_idx_buckets_" + hashlib.md5(path.encode()).hexdigest()[:10]
+
+
+def _register_bucketed(
+    spark: SparkSession, path: str, bucket_n: int
+) -> DataFrame:
+    """Catalog entry for the bucketed buckets table (idempotent).
+
+    Bucket metadata lives in the catalog, not the parquet files, so a
+    fresh session must re-issue the DDL before Spark will trust the
+    layout. The schema is read from the files themselves — the DDL
+    merely re-asserts the (band_idx, band_hash) bucketing recorded in
+    ``meta`` at build time. On a cluster with a real metastore this is
+    a no-op after the first session.
+    """
+    table = _bucket_table_name(path)
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(f"{path}/buckets").schema
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY (band_idx, band_hash) "
+            f"SORTED BY (band_idx, band_hash) INTO {bucket_n} BUCKETS "
+            f"LOCATION '{path}/buckets'"
+        )
+    return spark.table(table)
+
+
 def build_dedup_index(
     docs: DataFrame,
     path: str,
@@ -84,8 +121,21 @@ def build_dedup_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    bucket_n: int | None = None,
 ) -> None:
-    """Create the index at ``path`` from the current corpus (overwrite)."""
+    """Create the index at ``path`` from the current corpus (overwrite).
+
+    ``bucket_n`` writes the ``buckets`` table bucketed on the LSH join
+    key ``(band_idx, band_hash)`` (Spark ``bucketBy`` + an external
+    table entry). The candidate join in :func:`query_dedup_index` then
+    reads the index pre-partitioned: only the (small) incoming batch is
+    shuffled, never the corpus-sized index. At 100 TB the index is
+    billions of band rows — re-exchanging it on every intake batch is
+    the dominant cost of the unbucketed layout, and bucketing pays that
+    shuffle exactly once, at build time. Same trade as the
+    hive-partitioned IVF lists in ``ann_index``: layout work at write
+    time buys exchange-free probes forever after.
+    """
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     spark = docs.sparkSession
@@ -96,15 +146,27 @@ def build_dedup_index(
     sigs = sigs.persist()
     try:
         sigs.write.mode("overwrite").parquet(f"{path}/signatures")
-        buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+        if bucket_n:
+            table = _bucket_table_name(path)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            (
+                buckets.write.mode("overwrite")
+                .format("parquet")
+                .option("path", f"{path}/buckets")
+                .bucketBy(bucket_n, "band_idx", "band_hash")
+                .sortBy("band_idx", "band_hash")
+                .saveAsTable(table)
+            )
+        else:
+            buckets.write.mode("overwrite").parquet(f"{path}/buckets")
     finally:
         sigs.unpersist()
     _exact_hashes(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/exact"
     )
     spark.createDataFrame(
-        [(num_hashes, bands, shingle_k)],
-        "num_hashes int, bands int, shingle_k int",
+        [(num_hashes, bands, shingle_k, bucket_n or 0)],
+        "num_hashes int, bands int, shingle_k int, bucket_n int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -112,6 +174,21 @@ def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     """(num_hashes, bands, shingle_k) recorded at build time."""
     row = spark.read.parquet(f"{path}/meta").collect()[0]
     return int(row["num_hashes"]), int(row["bands"]), int(row["shingle_k"])
+
+
+def _read_bucket_n(spark: SparkSession, path: str) -> int:
+    """Bucket count recorded at build time (0 = unbucketed; pre-round-3
+    indexes have no ``bucket_n`` column and read as 0)."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return int(row.asDict().get("bucket_n") or 0)
+
+
+def _index_buckets(spark: SparkSession, path: str) -> DataFrame:
+    """The stored buckets table, honoring the build-time layout."""
+    bucket_n = _read_bucket_n(spark, path)
+    if bucket_n:
+        return _register_bucketed(spark, path, bucket_n)
+    return spark.read.parquet(f"{path}/buckets")
 
 
 def append_to_index(
@@ -122,14 +199,26 @@ def append_to_index(
 ) -> None:
     """Add an accepted batch to the index, with the build-time band
     structure (read from ``meta`` — callers cannot drift the params)."""
-    num_hashes, bands, shingle_k = read_index_meta(docs.sparkSession, path)
+    spark = docs.sparkSession
+    num_hashes, bands, shingle_k = read_index_meta(spark, path)
+    bucket_n = _read_bucket_n(spark, path)
     sigs, buckets = _sig_and_buckets(
         docs, id_col, text_col, num_hashes, bands, shingle_k
     )
     sigs = sigs.persist()
     try:
         sigs.write.mode("append").parquet(f"{path}/signatures")
-        buckets.write.mode("append").parquet(f"{path}/buckets")
+        if bucket_n:
+            _register_bucketed(spark, path, bucket_n)  # fresh-session safe
+            (
+                buckets.write.mode("append")
+                .format("parquet")
+                .bucketBy(bucket_n, "band_idx", "band_hash")
+                .sortBy("band_idx", "band_hash")
+                .saveAsTable(_bucket_table_name(path))
+            )
+        else:
+            buckets.write.mode("append").parquet(f"{path}/buckets")
     finally:
         sigs.unpersist()
     _exact_hashes(docs, id_col, text_col).write.mode("append").parquet(
@@ -158,7 +247,7 @@ def query_dedup_index(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     )
     new_sigs = new_sigs.persist()
-    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    idx_buckets = _index_buckets(spark, path)
     idx_sigs = spark.read.parquet(f"{path}/signatures")
 
     candidates = (

@@ -1125,6 +1125,29 @@ def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def incremental_dedup_bucketed_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """``incremental_dedup_docs`` with the index stored BUCKETED on the
+    LSH join key (``build_dedup_index(bucket_n=8)``): identical answer
+    — same oracle — but the candidate join reads the corpus-sized index
+    pre-partitioned, so only the batch side shuffles
+    (tests/test_dedup_index.py asserts the exchange-count drop and the
+    ``Bucketed: true`` scan). The layout twin exists as a registry
+    query so the driver hash-checks that bucketing never changes
+    results, only plans."""
+    import tempfile
+
+    from .llm.dedup_index import build_dedup_index, flag_new_batch
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="dedup-index-bucketed-")
+    build_dedup_index(corpus, path, num_hashes=64, bands=16, bucket_n=8)
+    return flag_new_batch(batch, path, threshold=0.5).select(
+        "doc_id", "is_dup", "n_matches"
+    )
+
+
 def wet_roundtrip_docs(spark: SparkSession, sf: str) -> DataFrame:
     """WET corpus codec round-trip: serialize the documents table into
     4 Common-Crawl-style WET shards (Content-Length-framed WARC
@@ -2441,6 +2464,7 @@ SPARK_QUERIES_EXT = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "forward_fill": forward_fill,
     "incremental_dedup_docs": incremental_dedup_docs,
+    "incremental_dedup_bucketed_docs": incremental_dedup_bucketed_docs,
     "incremental_dedup_exact_docs": incremental_dedup_exact_docs,
     "wet_roundtrip_docs": wet_roundtrip_docs,
     "trend_theil_sen": trend_theil_sen,
@@ -4631,3 +4655,9 @@ def _incremental_dedup_oracle_sql(
 
 
 ORACLE_SQL_EXT["incremental_dedup_docs"] = _incremental_dedup_oracle_sql()
+
+# Bucketing changes the physical layout only — bit-identical answer,
+# so the layout twin shares the incremental-dedup replay verbatim.
+ORACLE_SQL_EXT["incremental_dedup_bucketed_docs"] = (
+    _incremental_dedup_oracle_sql()
+)

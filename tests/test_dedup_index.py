@@ -139,3 +139,100 @@ def test_index_stores_no_text(spark, index_path):
     bucket_cols = spark.read.parquet(f"{index_path}/buckets").columns
     assert "text" not in sig_cols and "shingles" not in sig_cols
     assert set(bucket_cols) == {"doc_id", "band_idx", "band_hash"}
+
+
+def test_bucketed_index_same_results_fewer_exchanges(spark, index_path):
+    """bucket_n changes the storage layout, never the answer — and the
+    candidate join must read the index side exchange-free (the whole
+    point: at 100 TB only the batch shuffles, never the corpus-sized
+    index)."""
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        build_dedup_index,
+        query_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    p_plain = index_path + "-plain"
+    p_buck = index_path + "-buck"
+    build_dedup_index(corpus, p_plain, num_hashes=32, bands=8)
+    build_dedup_index(corpus, p_buck, num_hashes=32, bands=8, bucket_n=4)
+
+    batch = _docs(
+        spark,
+        [(100 + i, f"{PROSE} unique tail number {i} " + f"suffix {i} " * 5)
+         for i in range(5)],
+    )
+    # Force SMJ so the exchange count reflects the bucketing, not a
+    # broadcast that would hide it at toy scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = query_dedup_index(batch, p_plain, threshold=0.5)
+        buck = query_dedup_index(batch, p_buck, threshold=0.5)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, buck.collect())
+        )
+        sp = plain._jdf.queryExecution().executedPlan().toString()
+        sb = buck._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in sb
+        assert sb.count("Exchange hashpartitioning") < sp.count(
+            "Exchange hashpartitioning"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_index_survives_fresh_catalog(spark, index_path):
+    """Bucket metadata lives in the session catalog; a fresh session
+    (simulated by dropping the catalog entry, leaving the files) must
+    re-register from meta and keep both the results and the bucketed
+    scan."""
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        _bucket_table_name,
+        build_dedup_index,
+        flag_new_batch,
+    )
+
+    corpus = _corpus(spark)
+    build_dedup_index(corpus, index_path, num_hashes=32, bands=8, bucket_n=4)
+    batch = _docs(
+        spark, [(200, f"{PROSE} unique tail number 7 " + "suffix 7 " * 5)]
+    )
+    before = sorted(
+        (r["doc_id"], r["is_dup"], r["n_matches"])
+        for r in flag_new_batch(batch, index_path, threshold=0.5).collect()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(index_path)}")
+    flagged = flag_new_batch(batch, index_path, threshold=0.5)
+    after = sorted(
+        (r["doc_id"], r["is_dup"], r["n_matches"]) for r in flagged.collect()
+    )
+    assert before == after
+    assert before[0][1]  # the near-copy of doc 7 is still caught
+    assert "Bucketed: true" in (
+        flagged._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_bucketed_index_append_keeps_layout(spark, index_path):
+    """append_to_index on a bucketed index must keep writing bucketed
+    files (a mixed layout would silently re-introduce the index-side
+    shuffle) and newly appended docs must be findable."""
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        append_to_index,
+        build_dedup_index,
+        query_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    build_dedup_index(corpus, index_path, num_hashes=32, bands=8, bucket_n=4)
+    newdoc = _docs(
+        spark, [(300, "a freshly accepted document all about spark bucketing "
+                      "layouts and incremental intake loops " * 3)]
+    )
+    append_to_index(newdoc, index_path)
+    probe = _docs(
+        spark, [(301, "a freshly accepted document all about spark bucketing "
+                      "layouts and incremental intake loops " * 3)]
+    )
+    pairs = query_dedup_index(probe, index_path, threshold=0.9).collect()
+    assert {(r["new_id"], r["indexed_id"]) for r in pairs} == {(301, 300)}
