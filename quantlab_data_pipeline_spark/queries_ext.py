@@ -801,6 +801,49 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_keep_best_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup winner selection: cluster near-dups
+    (connected components over the exact n-gram Jaccard pair graph,
+    same as ``dedup_clusters``), then keep the HIGHEST-QUALITY document
+    per cluster (``llm.text.with_quality_score``; ties -> lowest
+    doc_id) instead of the arbitrary min-id keeper — the curation
+    policy an actual pretraining pipeline wants, since near-dup groups
+    often mix a clean original with mangled re-crawls. The per-cluster
+    argmax is a ``max(struct(quality, -id))`` aggregate, not a window:
+    partial aggregation absorbs corpus-wide hot clusters map-side
+    (the 50k-way duplicate-line lesson), where a window would serialize
+    each cluster through one task."""
+    from .llm.dedup import ngram_jaccard_pairs
+    from .llm.text import with_quality_score
+    from .operators.graph import dedup_cluster_assignments
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_chars=40, threshold=0.5)
+    clustered = dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    joined = clustered.join(quality, "doc_id")
+    best = (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score"),
+                    (-F.col("doc_id")).alias("__negid"),
+                )
+            ).alias("__b")
+        )
+        .select("cluster_id", (-F.col("__b.__negid")).alias("keeper_id"))
+    )
+    return joined.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
 def pack_documents_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy best-fit-decreasing sequence packing at max_tokens=2048
     over 4 deterministic (doc_id % 4) shards. Oracle-checked (round 3,
@@ -2452,6 +2495,7 @@ SPARK_QUERIES_EXT = {
     "line_dedup_docs": line_dedup_docs,
     "decontaminate_docs": decontaminate_docs,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
     "pack_documents_docs": pack_documents_docs,
     "semantic_dedup_docs": semantic_dedup_docs,
     # cross-sectional / event analytics
@@ -4661,3 +4705,72 @@ ORACLE_SQL_EXT["incremental_dedup_docs"] = _incremental_dedup_oracle_sql()
 ORACLE_SQL_EXT["incremental_dedup_bucketed_docs"] = (
     _incremental_dedup_oracle_sql()
 )
+
+# Quality-aware dedup winner: the dedup_clusters transitive-closure CTE
+# plus the text_quality score replay, keeper = per-cluster
+# (quality DESC, doc_id ASC) argmax.
+ORACLE_SQL_EXT["dedup_keep_best_docs"] = """
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substring(text, 1, 40) AS block,
+               (WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words)
+                SELECT CASE WHEN len(words) >= 3 THEN
+                    list_distinct(list_transform(
+                        generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END FROM w) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM base a JOIN base b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS lab FROM edges
+        UNION
+        SELECT e.src AS node, r.lab AS lab
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id, coalesce(component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    ), t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CASE WHEN len(words) > 0 THEN
+                   list_sum(list_transform(words, w -> length(w))) / len(words)
+               END, 4) AS avg_word_len,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter(words, w -> list_contains(
+                         ['the','and','of','to','a','in','is','that'], w)))
+                     / greatest(len(words), 1), 6) AS stopword_ratio
+        FROM t
+    ), q AS (
+        SELECT doc_id,
+               round(
+                   (CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+                 + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+                 + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+               , 6) AS quality_score
+        FROM s
+    )
+    SELECT a.doc_id, a.cluster_id, q.quality_score,
+           row_number() OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY q.quality_score DESC, a.doc_id ASC
+           ) = 1 AS is_keeper
+    FROM assigned a JOIN q USING (doc_id)
+"""

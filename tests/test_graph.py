@@ -228,3 +228,42 @@ def test_triangle_wedge_stage_is_degree_bounded(spark):
         .count()
     )
     assert old_wedges == (center) * (n - center)  # ~deg^2/4
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """The quality-aware keeper must beat the min-id convention: when a
+    cluster's lowest id is punctuation soup and a higher id is clean
+    prose, the clean doc wins (ties still break to the lowest id)."""
+    from quantlab_data_pipeline_spark.llm.text import with_quality_score
+    from quantlab_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignments,
+    )
+    from pyspark.sql import functions as F
+
+    garbled = "!!! ### the quick brown fox $$$ %% ^^ && ** (( )) ;; :: " * 4
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that is a "
+        "fine day in the field with plenty of calm words to read " * 2
+    )
+    docs = spark.createDataFrame(
+        [(1, garbled), (2, clean), (9, "an unrelated singleton document "
+                                       "about databases and engines")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clustered = dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    joined = clustered.join(quality, "doc_id")
+    best = (
+        joined.groupBy("cluster_id")
+        .agg(F.max(F.struct("quality_score",
+                            (-F.col("doc_id")).alias("__negid"))).alias("b"))
+        .select("cluster_id", (-F.col("b.__negid")).alias("keeper_id"))
+    )
+    keepers = {
+        r["cluster_id"]: r["keeper_id"] for r in best.collect()
+    }
+    assert keepers[1] == 2   # clean doc 2 beats garbled min-id doc 1
+    assert keepers[9] == 9   # singleton keeps itself
