@@ -148,3 +148,75 @@ def cms_frequencies(
     return df.sparkSession.createDataFrame(
         rows, f"key {key_type}, est_count long"
     )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots, per group —
+    the standard drift alarm for a production feature/ingest pipeline
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate).
+
+    Bins are ``bins`` equal-width slices of the BASELINE's exact
+    per-group [min, max] (out-of-range current values clamp into the
+    edge bins; a constant baseline degenerates to one bin). Equal-width
+    rather than quantile bins keeps the whole statistic a deterministic
+    closed-form over exact aggregates — engine-reproducible, so the
+    DuckDB oracle replays it to the last rounding — where interpolated
+    quantile cuts differ across engines in the last ulp and flip
+    boundary rows. Empty-bin proportions clamp to ``eps`` (the textbook
+    guard, else ln() diverges).
+
+    Scale shape: two group-sized aggregates + one (group, bin)-keyed
+    count per side — nothing row-quadratic, the per-group stats frame
+    broadcasts, and partial aggregation absorbs hot groups map-side.
+    """
+    gcols = list(group_cols)
+    stats = baseline.groupBy(*gcols).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        idx = (
+            F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(value_col) - F.col("__lo")) / width
+                        ).cast("int"),
+                    ),
+                )
+            )
+        )
+        return (
+            df.join(F.broadcast(stats), gcols)
+            .select(*gcols, idx.alias("__bin"))
+            .groupBy(*gcols, "__bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = binned(baseline, "n_a")
+    b = binned(current, "n_b")
+    per_bin = a.join(b, gcols + ["__bin"], "full_outer").fillna(
+        0, subset=["n_a", "n_b"]
+    )
+    totals_a = baseline.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_base"))
+    totals_b = current.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_cur"))
+    pa = F.greatest(F.col("n_a") / F.col("n_base"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("n_cur"), F.lit(eps))
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        per_bin.join(F.broadcast(totals_a), gcols)
+        .join(F.broadcast(totals_b), gcols)
+        .groupBy(*gcols, "n_base", "n_cur")  # totals are per-group constants
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+    )

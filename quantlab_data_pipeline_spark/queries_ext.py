@@ -2425,6 +2425,22 @@ def impute_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def psi_drift_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type PSI between the first and second half of the
+    events month (split at 2024-01-16) — the drift alarm a production
+    ingest runs between snapshots (``operators.profile.psi_drift``).
+    Equal-width bins over the baseline's exact min/max keep the whole
+    statistic closed-form over exact aggregates, so DuckDB replays it
+    (quantile-cut bins would drift across engines in the last ulp)."""
+    from .operators.profile import psi_drift
+
+    ev = load_table(spark, sf, "events")
+    cut = "2024-01-16"
+    baseline = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+    current = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    return psi_drift(baseline, current, value_col="value").orderBy("event_type")
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2529,6 +2545,7 @@ SPARK_QUERIES_EXT = {
     "bm25_search_docs": bm25_search_docs,
     "hll_distinct_rollup_events": hll_distinct_rollup_events,
     "snapshot_diff_customers": snapshot_diff_customers,
+    "psi_drift_events": psi_drift_events,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -4773,4 +4790,57 @@ ORACLE_SQL_EXT["dedup_keep_best_docs"] = """
                ORDER BY q.quality_score DESC, a.doc_id ASC
            ) = 1 AS is_keeper
     FROM assigned a JOIN q USING (doc_id)
+"""
+
+# PSI drift: equal-width bins over the baseline's exact min/max, eps
+# clamp, (pa-pb)*ln(pa/pb) summed per group — all closed-form over
+# exact aggregates, same expression order as the Spark side.
+ORACLE_SQL_EXT["psi_drift_events"] = """
+    WITH b AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ), c AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ), stats AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM b GROUP BY event_type
+    ), ba AS (
+        SELECT e.event_type,
+               CASE WHEN s.hi <= s.lo THEN 0
+                    ELSE least(9, greatest(0, CAST(floor(
+                        (e.value - s.lo) / ((s.hi - s.lo) / 10.0)) AS INT)))
+               END AS bin,
+               count(*) AS n_a
+        FROM b e JOIN stats s USING (event_type)
+        GROUP BY 1, 2
+    ), bc AS (
+        SELECT e.event_type,
+               CASE WHEN s.hi <= s.lo THEN 0
+                    ELSE least(9, greatest(0, CAST(floor(
+                        (e.value - s.lo) / ((s.hi - s.lo) / 10.0)) AS INT)))
+               END AS bin,
+               count(*) AS n_b
+        FROM c e JOIN stats s USING (event_type)
+        GROUP BY 1, 2
+    ), per_bin AS (
+        SELECT coalesce(ba.event_type, bc.event_type) AS event_type,
+               coalesce(ba.bin, bc.bin) AS bin,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM ba FULL OUTER JOIN bc
+          ON ba.event_type = bc.event_type AND ba.bin = bc.bin
+    ), tot AS (
+        SELECT a.event_type, a.n_base, cc.n_cur
+        FROM (SELECT event_type, count(*) AS n_base FROM b GROUP BY 1) a
+        JOIN (SELECT event_type, count(*) AS n_cur FROM c GROUP BY 1) cc
+          USING (event_type)
+    )
+    SELECT p.event_type, t.n_base, t.n_cur,
+           round(sum(
+               (greatest(p.n_a / CAST(t.n_base AS DOUBLE), 1e-6)
+                - greatest(p.n_b / CAST(t.n_cur AS DOUBLE), 1e-6))
+               * ln(greatest(p.n_a / CAST(t.n_base AS DOUBLE), 1e-6)
+                    / greatest(p.n_b / CAST(t.n_cur AS DOUBLE), 1e-6))
+           ), 6) AS psi
+    FROM per_bin p JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    ORDER BY event_type
 """

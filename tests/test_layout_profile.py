@@ -147,3 +147,52 @@ def test_cms_frequencies_bound(spark):
         true = exact.get(k, 0)
         assert got[k] >= true, (k, got[k], true)
         assert got[k] <= true + eps * n, (k, got[k], true)
+
+
+def test_psi_drift_detects_shift_and_stability(spark):
+    """PSI ~ 0 when the distribution is unchanged, large when it
+    shifts; a group constant in the baseline degenerates to one bin
+    without dividing by zero."""
+    from quantlab_data_pipeline_spark.operators.profile import psi_drift
+
+    base_rows = (
+        [("a", float(i % 100)) for i in range(2000)]
+        + [("flat", 5.0)] * 50
+    )
+    same_rows = [("a", float((i * 7) % 100)) for i in range(2000)] + [
+        ("flat", 5.0)
+    ] * 50
+    shifted_rows = [("a", 200.0 + float(i % 30)) for i in range(2000)] + [
+        ("flat", 9.0)
+    ] * 50
+    schema = "event_type string, value double"
+    base = spark.createDataFrame(base_rows, schema)
+    same = spark.createDataFrame(same_rows, schema)
+    shifted = spark.createDataFrame(shifted_rows, schema)
+
+    stable = {r["event_type"]: r["psi"] for r in psi_drift(base, same).collect()}
+    assert stable["a"] < 0.01          # same uniform distribution
+    assert stable["flat"] == 0.0       # constant -> single bin, no drift
+
+    drifted = {
+        r["event_type"]: r["psi"] for r in psi_drift(base, shifted).collect()
+    }
+    # Everything clamps into the top edge bin -> near-total shift; with
+    # p clamped at 1e-6 the PSI saturates in the double digits.
+    assert drifted["a"] > 1.0
+    assert drifted["flat"] == 0.0      # constant baseline stays one bin
+
+
+def test_psi_drift_counts_and_schema(spark):
+    from quantlab_data_pipeline_spark.operators.profile import psi_drift
+
+    base = spark.createDataFrame(
+        [("x", float(v)) for v in range(10)], "event_type string, value double"
+    )
+    cur = spark.createDataFrame(
+        [("x", float(v)) for v in range(20)], "event_type string, value double"
+    )
+    row = psi_drift(base, cur).collect()[0]
+    assert (row["n_base"], row["n_cur"]) == (10, 20)
+    assert set(row.asDict()) == {"event_type", "n_base", "n_cur", "psi"}
+    assert row["psi"] >= 0.0
