@@ -79,6 +79,12 @@ HEADLINE = [
     "covariance_event_types",
     "sequence_gaps_orders",
     "source_quota_docs",
+    # round-3 additions (minhash/embedding_lsh already listed above)
+    "simhash_dedup",
+    "incremental_dedup_bucketed_docs",
+    "dedup_keep_best_docs",
+    "psi_drift_events",
+    "wet_roundtrip_docs",
 ]
 
 
