@@ -120,6 +120,35 @@ NOTES = {
         "join — no CartesianProduct / BroadcastNestedLoopJoin anywhere. "
         "Only candidate pairs reach the exact dot-product re-rank."
     ),
+    "incremental_dedup_bucketed_docs": (
+        "The index-side scan is the catalog table "
+        "(spark_catalog.default.dedup_idx_buckets_*) with Bucketed: "
+        "true — pre-partitioned on the (band_idx, band_hash) join key "
+        "at build time, so the corpus-sized index never re-exchanges "
+        "for a batch check; at this sf the tiny batch side broadcasts, "
+        "at 100 TB it would shuffle to the bucket partitioning while "
+        "the index side still reads in place."
+    ),
+    "dedup_keep_best_docs": (
+        "The per-cluster winner is a max(struct(quality, -id)) "
+        "aggregate with a map-side partial — a corpus-wide hot cluster "
+        "combines locally instead of serializing through one window "
+        "task. The CC label-propagation iterations above it are the "
+        "same plan as dedup_clusters."
+    ),
+    "psi_drift_events": (
+        "Both snapshots aggregate to (group, bin) counts before "
+        "anything joins — every join input is group-cardinality-sized "
+        "and broadcasts; the fact table is read twice (two time "
+        "windows, both pushed to the scan) and never shuffled."
+    ),
+    "simhash_dedup": (
+        "The 64 per-bit conditional sums are one hash aggregate keyed "
+        "on doc_id (map-side partials absorb token skew); the banded "
+        "self-join is an equi-join on (band_idx, band_val) — never "
+        "all-pairs. Fingerprint bits derive from md5 quarters, so this "
+        "exact plan's output hash-matches the DuckDB replay."
+    ),
     "embedding_near_dup": (
         "At this corpus size (<= max_exact_rows) the operator "
         "deliberately takes the exact all-pairs plan (broadcast one "
