@@ -844,6 +844,36 @@ def dedup_keep_best_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-aware train/test split: the whole duplicate CLUSTER
+    (connected components over the exact Jaccard pair graph) draws one
+    md5-uniform split decision from its cluster id, so two near-copies
+    can never straddle the train/eval boundary — the leakage channel a
+    per-document split leaves open (a test doc's 0.9-Jaccard twin in
+    train is contamination the decontamination pass won't see).
+    Same engine-portable draw and 80/10/10 thresholds as
+    ``deterministic_split``; repartition-invariant for the same reason.
+    """
+    from .llm.dedup import ngram_jaccard_pairs
+    from .llm.text import hash_uniform
+    from .operators.graph import dedup_cluster_assignments
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_chars=40, threshold=0.5)
+    clustered = dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    u = hash_uniform(F.col("cluster_id"), "leaksplit")
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u < 0.1, "test")
+        .when(u < 0.9, "train")
+        .otherwise("valid")
+        .alias("split"),
+    )
+
+
 def pack_documents_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy best-fit-decreasing sequence packing at max_tokens=2048
     over 4 deterministic (doc_id % 4) shards. Oracle-checked (round 3,
@@ -2512,6 +2542,7 @@ SPARK_QUERIES_EXT = {
     "decontaminate_docs": decontaminate_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best_docs": dedup_keep_best_docs,
+    "leakage_safe_split_docs": leakage_safe_split_docs,
     "pack_documents_docs": pack_documents_docs,
     "semantic_dedup_docs": semantic_dedup_docs,
     # cross-sectional / event analytics
@@ -4843,4 +4874,48 @@ ORACLE_SQL_EXT["psi_drift_events"] = """
     FROM per_bin p JOIN tot t USING (event_type)
     GROUP BY 1, 2, 3
     ORDER BY event_type
+"""
+
+# Leakage-safe split: the dedup_clusters transitive closure + the
+# md5-uniform draw keyed on the CLUSTER id (not the doc id).
+ORACLE_SQL_EXT["leakage_safe_split_docs"] = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substring(text, 1, 40) AS block,
+               (WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS words)
+                SELECT CASE WHEN len(words) >= 3 THEN
+                    list_distinct(list_transform(
+                        generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' ')))
+                ELSE [array_to_string(words, ' ')] END FROM w) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM base a JOIN base b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS lab FROM edges
+        UNION
+        SELECT e.src AS node, r.lab AS lab
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id, coalesce(component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_hash_uniform_sql('leaksplit', 'cluster_id')} < 0.1
+                    THEN 'test'
+                WHEN {_hash_uniform_sql('leaksplit', 'cluster_id')} < 0.9
+                    THEN 'train'
+                ELSE 'valid' END AS split
+    FROM assigned
 """

@@ -267,3 +267,42 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     }
     assert keepers[1] == 2   # clean doc 2 beats garbled min-id doc 1
     assert keepers[9] == 9   # singleton keeps itself
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must land in the same split —
+    the leakage a per-doc split permits (and the reason the draw keys
+    on cluster_id, not doc_id)."""
+    from quantlab_data_pipeline_spark.llm.text import hash_uniform
+    from quantlab_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignments,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    # 100 clusters of 3 (0,1,2), (3,4,5), ...
+    pairs = spark.createDataFrame(
+        [(3 * c, 3 * c + 1) for c in range(100)]
+        + [(3 * c + 1, 3 * c + 2) for c in range(100)],
+        "id_a long, id_b long",
+    )
+    clustered = dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    u = hash_uniform(F.col("cluster_id"), "leaksplit")
+    split = clustered.select(
+        "doc_id", "cluster_id",
+        F.when(u < 0.1, "test").when(u < 0.9, "train")
+        .otherwise("valid").alias("split"),
+    )
+    per_cluster = split.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    assert sum(r["n"] for r in per_cluster) == 300
+    names = {r["split"] for r in split.select("split").distinct().collect()}
+    assert names <= {"train", "test", "valid"} and "train" in names
