@@ -628,3 +628,67 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
         spark.createDataFrame(batch1 + batch2, docs_schema)
     ).toPandas()
     assert set(final["doc_id"]) == set(batch["keeper_id"]) == {1, 3, 5}
+
+
+def test_windowed_psi_batch_twin_equals_psi_drift(spark):
+    """psi_from_cells over windowed_bin_counts must reproduce the batch
+    psi_drift statistic exactly for each (window, group) — including
+    windows that never see some baseline bin (the restored-bin path)."""
+    from quantlab_data_pipeline_spark.operators.profile import psi_drift
+    from quantlab_data_pipeline_spark.streaming.drift import (
+        baseline_histogram,
+        psi_from_cells,
+        windowed_bin_counts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    baseline = ev.filter(F.col("ts") < cut)
+    current = ev.filter(F.col("ts") >= cut)
+
+    hist = baseline_histogram(baseline)
+    cells = windowed_bin_counts(current, hist, window="7 days")
+    got = {
+        (r["window_start"], r["event_type"]): (r["psi"], r["n_cur"])
+        for r in psi_from_cells(cells, hist).collect()
+    }
+    assert len({k[0] for k in got}) >= 2  # several 7-day windows
+
+    for wstart in {k[0] for k in got}:
+        wslice = current.filter(
+            (F.col("ts") >= F.lit(wstart))
+            & (F.col("ts") < F.date_add(F.lit(wstart), 7))
+        )
+        expect = {
+            r["event_type"]: (r["psi"], r["n_cur"])
+            for r in psi_drift(baseline, wslice).collect()
+        }
+        for et, pair in expect.items():
+            assert got[(wstart, et)] == pair, (wstart, et)
+
+
+def test_windowed_psi_streaming_matches_batch(spark):
+    """The drift cells computed by the stream (micro-batched, state
+    store, watermark) must equal the batch cells — hence the same PSI."""
+    from quantlab_data_pipeline_spark.streaming.drift import (
+        baseline_histogram,
+        psi_from_cells,
+        windowed_bin_counts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    hist = baseline_histogram(ev.filter(F.col("ts") < cut))
+
+    stream = stream_events(spark, SF).filter(F.col("ts") >= cut)
+    cells_stream = run_to_memory(
+        windowed_bin_counts(stream, hist, window="7 days"), "drift_cells"
+    )
+    got = sorted(
+        map(tuple, psi_from_cells(cells_stream, hist).collect())
+    )
+    batch_cells = windowed_bin_counts(
+        ev.filter(F.col("ts") >= cut), hist, window="7 days"
+    )
+    expect = sorted(map(tuple, psi_from_cells(batch_cells, hist).collect()))
+    assert got == expect and len(got) > 0
