@@ -18,12 +18,16 @@ from .events import (
     stream_events,
     windowed_aggregate,
 )
+from .drift import baseline_histogram, psi_from_cells, windowed_bin_counts
 from .locf import streaming_forward_fill
 from .rollup_sink import last_applied_batch, rollup_sink
 from .sketches import windowed_distinct_estimate, windowed_distinct_sketch
 
 __all__ = [
+    "baseline_histogram",
     "clicks_with_recent_purchase",
+    "psi_from_cells",
+    "windowed_bin_counts",
     "enrich_with_static_dim",
     "streaming_as_of",
     "ohlc_bars_stream",
