@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cms_frequencies", "profile_table"]
+__all__ = [
+    "cms_frequencies",
+    "column_minhash_signature",
+    "join_key_overlap",
+    "profile_table",
+    "psi_drift",
+]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -219,4 +225,69 @@ def psi_drift(
         .join(F.broadcast(totals_b), gcols)
         .groupBy(*gcols, "n_base", "n_cur")  # totals are per-group constants
         .agg(F.round(F.sum(term), 6).alias("psi"))
+    )
+
+
+def column_minhash_signature(
+    df: DataFrame, col: str, num_hashes: int = 64
+) -> DataFrame:
+    """One-row (column, signature) MinHash of a column's DISTINCT value
+    set — the join-ability fingerprint a data catalog keeps per column.
+    Two columns' signatures estimate the Jaccard of their key sets
+    without ever joining the tables: KB of metadata answers "can these
+    join?" across a 100 TB lake where the exact intersection is a
+    fact-fact shuffle per candidate pair.
+
+    One pass: distinct -> md5 base hash -> num_hashes Carter-Wegman
+    min-aggregates (the same engine-portable family as
+    ``llm.dedup.minhash_signatures``, so stored fingerprints replay in
+    any engine). Output is a single row; persist these per column and
+    compare signatures pairwise at planning time.
+    """
+    from ..llm.dedup import MINHASH_PRIME, minhash_coefficients, portable_hash32
+
+    coeffs = minhash_coefficients(num_hashes)
+    h = portable_hash32(F.col(col).cast("string"))
+    base = df.select(col).where(F.col(col).isNotNull()).distinct().select(
+        h.alias("__h")
+    )
+    slots = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_PRIME).alias(
+            f"__s{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return base.agg(*slots).select(
+        F.lit(col).alias("column"),
+        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
+def join_key_overlap(
+    sigs: DataFrame, pairs: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(col_a, col_b, est_jaccard) for each requested column pair —
+    signature-slot agreement, the standard unbiased MinHash estimator.
+    ``sigs`` is a union of :func:`column_minhash_signature` rows (one
+    per column, KB-scale); ``pairs`` lists the candidate pairs so the
+    comparison is an equi-join, never a signature cross product."""
+    a = sigs.select(
+        F.col("column").alias("col_a"), F.col("signature").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("column").alias("col_b"), F.col("signature").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        pairs.join(a, "col_a")
+        .join(b, "col_b")
+        .select(
+            "col_a",
+            "col_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
     )

@@ -2471,6 +2471,46 @@ def psi_drift_events(spark: SparkSession, sf: str) -> DataFrame:
     return psi_drift(baseline, current, value_col="value").orderBy("event_type")
 
 
+def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-ability discovery across the TPC-H key columns: one
+    engine-portable MinHash signature per column's distinct value set
+    (KB of metadata), pairwise slot agreement estimates the key-set
+    Jaccard WITHOUT joining the tables — the catalog-style answer to
+    "can these columns join?" that at 100 TB replaces a fact-fact
+    shuffle per candidate pair. Signatures replay in DuckDB (same
+    Carter-Wegman family as the dedup pipeline), and the oracle also
+    computes the exact Jaccard so the estimate's error is visible in
+    the record."""
+    from .operators.profile import column_minhash_signature, join_key_overlap
+
+    cols = {
+        "customer.c_custkey": (load_table(spark, sf, "customer"), "c_custkey"),
+        "orders.o_custkey": (load_table(spark, sf, "orders"), "o_custkey"),
+        "orders.o_orderkey": (load_table(spark, sf, "orders"), "o_orderkey"),
+        "lineitem.l_orderkey": (
+            load_table(spark, sf, "lineitem"),
+            "l_orderkey",
+        ),
+        "supplier.s_suppkey": (load_table(spark, sf, "supplier"), "s_suppkey"),
+    }
+    sigs = None
+    for name, (df, col) in cols.items():
+        s = column_minhash_signature(df, col).select(
+            F.lit(name).alias("column"), "signature"
+        )
+        sigs = s if sigs is None else sigs.unionAll(s)
+    pairs = spark.createDataFrame(
+        [
+            ("customer.c_custkey", "orders.o_custkey"),
+            ("orders.o_orderkey", "lineitem.l_orderkey"),
+            ("customer.c_custkey", "supplier.s_suppkey"),
+            ("supplier.s_suppkey", "orders.o_custkey"),
+        ],
+        "col_a string, col_b string",
+    )
+    return join_key_overlap(sigs, pairs).orderBy("col_a", "col_b")
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2577,6 +2617,7 @@ SPARK_QUERIES_EXT = {
     "hll_distinct_rollup_events": hll_distinct_rollup_events,
     "snapshot_diff_customers": snapshot_diff_customers,
     "psi_drift_events": psi_drift_events,
+    "join_profile_tpch": join_profile_tpch,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -4919,3 +4960,57 @@ ORACLE_SQL_EXT["leakage_safe_split_docs"] = f"""
                 ELSE 'valid' END AS split
     FROM assigned
 """
+
+
+def _join_profile_oracle_sql(num_hashes: int = 64) -> str:
+    """SQL replay of ``join_profile_tpch``: per-column distinct-set
+    MinHash with the spliced Carter-Wegman coefficients (same family
+    as :func:`_minhash_sig_cte`, but aggregated over a COLUMN's
+    distinct values instead of per-document shingles), then pairwise
+    slot agreement."""
+    from .llm.dedup import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+
+    def sig(name: str, table: str, col: str) -> str:
+        return f"""
+        SELECT '{name}' AS col_name,
+               list_transform(generate_series(1, {num_hashes}),
+                   i -> list_min(list_transform(hvals,
+                        h -> ({a_list}[i] * h + {b_list}[i]) % {MINHASH_PRIME}))
+               ) AS sig
+        FROM (
+            SELECT list(DISTINCT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)) AS hvals
+            FROM {table} WHERE {col} IS NOT NULL
+        )"""
+
+    sigs = " UNION ALL ".join(
+        sig(n, t, c)
+        for n, t, c in [
+            ("customer.c_custkey", "customer", "c_custkey"),
+            ("orders.o_custkey", "orders", "o_custkey"),
+            ("orders.o_orderkey", "orders", "o_orderkey"),
+            ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            ("supplier.s_suppkey", "supplier", "s_suppkey"),
+        ]
+    )
+    return f"""
+    WITH sigs AS ({sigs}),
+    pairs(col_a, col_b) AS (VALUES
+        ('customer.c_custkey', 'orders.o_custkey'),
+        ('orders.o_orderkey', 'lineitem.l_orderkey'),
+        ('customer.c_custkey', 'supplier.s_suppkey'),
+        ('supplier.s_suppkey', 'orders.o_custkey'))
+    SELECT p.col_a, p.col_b,
+           round(len(list_filter(generate_series(1, {num_hashes}),
+                 i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0, 6)
+               AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.col_name = p.col_a
+    JOIN sigs sb ON sb.col_name = p.col_b
+    ORDER BY col_a, col_b"""
+
+
+ORACLE_SQL_EXT["join_profile_tpch"] = _join_profile_oracle_sql()

@@ -196,3 +196,38 @@ def test_psi_drift_counts_and_schema(spark):
     assert (row["n_base"], row["n_cur"]) == (10, 20)
     assert set(row.asDict()) == {"event_type", "n_base", "n_cur", "psi"}
     assert row["psi"] >= 0.0
+
+
+def test_column_minhash_join_profile(spark):
+    """Identical key sets estimate 1.0, disjoint sets 0.0, and a
+    50%-containment pair lands near its true Jaccard — the estimator
+    quality that makes signature metadata usable for join discovery."""
+    from pyspark.sql import functions as F
+    from quantlab_data_pipeline_spark.operators.profile import (
+        column_minhash_signature,
+        join_key_overlap,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    same = spark.range(0, 1000).select(F.col("id").alias("k"))
+    disjoint = spark.range(5000, 6000).select(F.col("id").alias("k"))
+    half = spark.range(500, 1500).select(F.col("id").alias("k"))
+
+    sigs = None
+    for name, df in [("a", a), ("same", same), ("dis", disjoint), ("half", half)]:
+        s = column_minhash_signature(df, "k").select(
+            F.lit(name).alias("column"), "signature"
+        )
+        sigs = s if sigs is None else sigs.unionAll(s)
+    pairs = spark.createDataFrame(
+        [("a", "same"), ("a", "dis"), ("a", "half")],
+        "col_a string, col_b string",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["est_jaccard"]
+        for r in join_key_overlap(sigs, pairs).collect()
+    }
+    assert got[("a", "same")] == 1.0
+    assert got[("a", "dis")] == 0.0
+    true_half = 500 / 1500  # |∩|=500, |∪|=1500
+    assert abs(got[("a", "half")] - true_half) < 0.15
