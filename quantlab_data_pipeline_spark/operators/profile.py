@@ -266,13 +266,25 @@ def column_minhash_signature(
 
 
 def join_key_overlap(
-    sigs: DataFrame, pairs: DataFrame, num_hashes: int = 64
+    sigs: DataFrame,
+    pairs: DataFrame,
+    num_hashes: int = 64,
+    ndv: DataFrame | None = None,
 ) -> DataFrame:
-    """(col_a, col_b, est_jaccard) for each requested column pair —
+    """(col_a, col_b, est_jaccard[, est_containment_a,
+    est_containment_b]) for each requested column pair —
     signature-slot agreement, the standard unbiased MinHash estimator.
     ``sigs`` is a union of :func:`column_minhash_signature` rows (one
     per column, KB-scale); ``pairs`` lists the candidate pairs so the
-    comparison is an equi-join, never a signature cross product."""
+    comparison is an equi-join, never a signature cross product.
+
+    With ``ndv`` — a (column, n_distinct) frame, e.g. from
+    :func:`profile_table` — the Jaccard converts to directional
+    CONTAINMENT, the statistic FK→PK discovery actually needs (a
+    foreign key is fully contained in a small dim key yet their
+    Jaccard is tiny): |A∩B| = J/(1+J)·(|A|+|B|), containment_a =
+    |A∩B|/|A|, clamped to [0, 1] against estimator noise.
+    """
     a = sigs.select(
         F.col("column").alias("col_a"), F.col("signature").alias("sig_a")
     )
@@ -282,12 +294,33 @@ def join_key_overlap(
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
-    return (
+    out = (
         pairs.join(a, "col_a")
         .join(b, "col_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
+    )
+    if ndv is None:
+        return out.select("col_a", "col_b", "est_jaccard")
+    na = ndv.select(
+        F.col("column").alias("col_a"), F.col("n_distinct").alias("__na")
+    )
+    nb = ndv.select(
+        F.col("column").alias("col_b"), F.col("n_distinct").alias("__nb")
+    )
+    inter = (
+        F.col("est_jaccard")
+        / (F.lit(1.0) + F.col("est_jaccard"))
+        * (F.col("__na") + F.col("__nb"))
+    )
+    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))  # noqa: E731
+    return (
+        out.join(F.broadcast(na), "col_a")
+        .join(F.broadcast(nb), "col_b")
         .select(
             "col_a",
             "col_b",
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            "est_jaccard",
+            F.round(clamp(inter / F.col("__na")), 6).alias("est_containment_a"),
+            F.round(clamp(inter / F.col("__nb")), 6).alias("est_containment_b"),
         )
     )

@@ -2493,12 +2493,16 @@ def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "supplier.s_suppkey": (load_table(spark, sf, "supplier"), "s_suppkey"),
     }
-    sigs = None
+    sigs, ndv = None, None
     for name, (df, col) in cols.items():
         s = column_minhash_signature(df, col).select(
             F.lit(name).alias("column"), "signature"
         )
+        n = df.agg(
+            F.countDistinct(col).cast("double").alias("n_distinct")
+        ).select(F.lit(name).alias("column"), "n_distinct")
         sigs = s if sigs is None else sigs.unionAll(s)
+        ndv = n if ndv is None else ndv.unionAll(n)
     pairs = spark.createDataFrame(
         [
             ("customer.c_custkey", "orders.o_custkey"),
@@ -2508,7 +2512,7 @@ def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "col_a string, col_b string",
     )
-    return join_key_overlap(sigs, pairs).orderBy("col_a", "col_b")
+    return join_key_overlap(sigs, pairs, ndv=ndv).orderBy("col_a", "col_b")
 
 
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
@@ -4980,7 +4984,9 @@ def _join_profile_oracle_sql(num_hashes: int = 64) -> str:
                list_transform(generate_series(1, {num_hashes}),
                    i -> list_min(list_transform(hvals,
                         h -> ({a_list}[i] * h + {b_list}[i]) % {MINHASH_PRIME}))
-               ) AS sig
+               ) AS sig,
+               (SELECT CAST(count(DISTINCT {col}) AS DOUBLE)
+                FROM {table}) AS ndv
         FROM (
             SELECT list(DISTINCT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)) AS hvals
             FROM {table} WHERE {col} IS NOT NULL
@@ -5003,13 +5009,23 @@ def _join_profile_oracle_sql(num_hashes: int = 64) -> str:
         ('orders.o_orderkey', 'lineitem.l_orderkey'),
         ('customer.c_custkey', 'supplier.s_suppkey'),
         ('supplier.s_suppkey', 'orders.o_custkey'))
-    SELECT p.col_a, p.col_b,
-           round(len(list_filter(generate_series(1, {num_hashes}),
-                 i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0, 6)
-               AS est_jaccard
-    FROM pairs p
-    JOIN sigs sa ON sa.col_name = p.col_a
-    JOIN sigs sb ON sb.col_name = p.col_b
+    SELECT col_a, col_b, est_jaccard,
+           round(least(1.0, greatest(0.0,
+               est_jaccard / (1.0 + est_jaccard) * (na + nb) / na)), 6)
+               AS est_containment_a,
+           round(least(1.0, greatest(0.0,
+               est_jaccard / (1.0 + est_jaccard) * (na + nb) / nb)), 6)
+               AS est_containment_b
+    FROM (
+        SELECT p.col_a, p.col_b,
+               round(len(list_filter(generate_series(1, {num_hashes}),
+                     i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0, 6)
+                   AS est_jaccard,
+               sa.ndv AS na, sb.ndv AS nb
+        FROM pairs p
+        JOIN sigs sa ON sa.col_name = p.col_a
+        JOIN sigs sb ON sb.col_name = p.col_b
+    )
     ORDER BY col_a, col_b"""
 
 

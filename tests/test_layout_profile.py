@@ -231,3 +231,33 @@ def test_column_minhash_join_profile(spark):
     assert got[("a", "dis")] == 0.0
     true_half = 500 / 1500  # |∩|=500, |∪|=1500
     assert abs(got[("a", "half")] - true_half) < 0.15
+
+
+def test_join_key_overlap_containment_direction(spark):
+    """Containment is directional: a subset key must read ~1.0 toward
+    its superset and |A|/|B| the other way — the FK->PK signal Jaccard
+    alone hides."""
+    from pyspark.sql import functions as F
+    from quantlab_data_pipeline_spark.operators.profile import (
+        column_minhash_signature,
+        join_key_overlap,
+    )
+
+    fk = spark.range(0, 200).select(F.col("id").alias("k"))     # subset
+    pk = spark.range(0, 1000).select(F.col("id").alias("k"))    # superset
+    sigs = column_minhash_signature(fk, "k").select(
+        F.lit("fk").alias("column"), "signature"
+    ).unionAll(
+        column_minhash_signature(pk, "k").select(
+            F.lit("pk").alias("column"), "signature"
+        )
+    )
+    ndv = spark.createDataFrame(
+        [("fk", 200.0), ("pk", 1000.0)], "column string, n_distinct double"
+    )
+    pairs = spark.createDataFrame([("fk", "pk")], "col_a string, col_b string")
+    row = join_key_overlap(sigs, pairs, ndv=ndv).collect()[0]
+    # true J = 200/1000 = 0.2; containment fk->pk = 1.0, pk->fk = 0.2
+    assert abs(row["est_jaccard"] - 0.2) < 0.12
+    assert row["est_containment_a"] > 0.8
+    assert abs(row["est_containment_b"] - 0.2) < 0.12
