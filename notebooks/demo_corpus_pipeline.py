@@ -49,9 +49,49 @@ def main() -> None:
     mixed = mix_corpus(clean, temperature=2.0)
     n4 = mixed.count()
 
-    split = stratified_split(mixed)
-    packed = pack_documents(shuffle_rows(split.filter("split = 'train'")), max_tokens=512)
-    n5 = packed.count()
+    # Near-dup clusters: keep the highest-QUALITY doc per cluster
+    # (round 3 — min-id keepers discard the clean original when a
+    # mangled re-crawl has the smaller id), then split so whole
+    # clusters stay on one side of the train/eval boundary.
+    import pyspark.sql.functions as F
+    from quantlab_data_pipeline_spark.llm.dedup import ngram_jaccard_pairs
+    from quantlab_data_pipeline_spark.llm.text import (
+        hash_uniform,
+        with_quality_score,
+    )
+    from quantlab_data_pipeline_spark.operators.graph import (
+        dedup_cluster_assignments,
+    )
+
+    pairs = ngram_jaccard_pairs(mixed, block_chars=40, threshold=0.5)
+    clustered = dedup_cluster_assignments(mixed, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    q = with_quality_score(mixed).select("doc_id", "quality_score")
+    best = (
+        clustered.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max(F.struct("quality_score", (-F.col("doc_id")).alias("n"))).alias("b"))
+        .select("cluster_id", (-F.col("b.n")).alias("keeper_id"))
+    )
+    curated = mixed.join(
+        clustered.join(best, "cluster_id")
+        .filter("doc_id = keeper_id")
+        .select("doc_id", "cluster_id"),
+        "doc_id",
+    )
+    n5 = curated.count()
+    leak_safe = curated.withColumn(
+        "split",
+        F.when(hash_uniform(F.col("cluster_id"), "leaksplit") < 0.1, "test")
+        .when(hash_uniform(F.col("cluster_id"), "leaksplit") < 0.9, "train")
+        .otherwise("valid"),
+    )
+
+    packed = pack_documents(
+        shuffle_rows(leak_safe.filter("split = 'train'")), max_tokens=512
+    )
+    n6 = packed.count()
     n_packs = packed.select("pack_id").distinct().count()
 
     print(f"documents:            {n0}")
@@ -59,7 +99,12 @@ def main() -> None:
     print(f"after line+gopher:    {n2}")
     print(f"after decontaminate:  {n3}")
     print(f"after T=2 mixing:     {n4}")
-    print(f"train docs packed:    {n5} into {n_packs} sequences of <=512 tokens")
+    print(f"after keep-best near-dup curation: {n5}")
+    print(f"train docs packed:    {n6} into {n_packs} sequences of <=512 tokens")
+
+    # unused import kept out: stratified_split remains the per-doc
+    # alternative when leakage-safety is not required
+    _ = stratified_split
 
 
 if __name__ == "__main__":
