@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_keep_best_docs",
     "psi_drift_events",
     "wet_roundtrip_docs",
+    "leakage_safe_split_docs",
+    "join_profile_tpch",
 ]
 
 
