@@ -27,6 +27,7 @@ __all__ = [
     "cms_frequencies",
     "column_minhash_signature",
     "join_key_overlap",
+    "profile_drift",
     "profile_table",
     "psi_drift",
 ]
@@ -323,4 +324,59 @@ def join_key_overlap(
             F.round(clamp(inter / F.col("__na")), 6).alias("est_containment_a"),
             F.round(clamp(inter / F.col("__nb")), 6).alias("est_containment_b"),
         )
+    )
+
+
+def profile_drift(
+    a: DataFrame,
+    b: DataFrame,
+    columns: list[str] | None = None,
+    null_frac_alert: float = 0.1,
+    ndv_ratio_alert: float = 2.0,
+) -> DataFrame:
+    """Structural drift between two snapshots — the schema/statistics
+    complement to :func:`psi_drift`'s value-distribution drift: per
+    column, both sides' row/null/distinct profile plus a deterministic
+    status (``null_rate_jump`` when the null fraction moves more than
+    ``null_frac_alert`` absolute, ``cardinality_shift`` when the
+    distinct count moves more than ``ndv_ratio_alert``-fold either
+    way, else ``stable``; null-rate wins when both fire — it is the
+    more actionable alarm). One :func:`profile_table` pass per side
+    (single wide aggregate each) joined on the column name — the
+    output is column-count sized, never data-sized.
+    """
+    pa = profile_table(a, columns).select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac_a"),
+        F.col("n_distinct").alias("ndv_a"),
+    )
+    pb = profile_table(b, columns).select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac_b"),
+        F.col("n_distinct").alias("ndv_b"),
+    )
+    j = pa.join(pb, "column")
+    null_jump = (
+        F.abs(F.col("null_frac_b") - F.col("null_frac_a")) > null_frac_alert
+    )
+    ratio = F.greatest(
+        F.col("ndv_b") / F.greatest(F.col("ndv_a"), F.lit(1)),
+        F.col("ndv_a") / F.greatest(F.col("ndv_b"), F.lit(1)),
+    )
+    status = (
+        F.when(null_jump, "null_rate_jump")
+        .when(ratio > ndv_ratio_alert, "cardinality_shift")
+        .otherwise("stable")
+    )
+    return j.select(
+        "column",
+        "n_rows_a",
+        "n_rows_b",
+        "null_frac_a",
+        "null_frac_b",
+        "ndv_a",
+        "ndv_b",
+        status.alias("status"),
     )

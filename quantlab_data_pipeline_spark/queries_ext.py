@@ -2515,6 +2515,24 @@ def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
     return join_key_overlap(sigs, pairs, ndv=ndv).orderBy("col_a", "col_b")
 
 
+def profile_drift_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural drift between the two halves of the events month
+    (``operators.profile.profile_drift``): per-column row/null/distinct
+    deltas with a deterministic status — the schema-statistics
+    complement to ``psi_drift_events``' value drift. ``props`` is
+    deliberately included: its null pattern differs between halves only
+    if the generator drifted, so 'stable' here is itself a check."""
+    from .operators.profile import profile_drift
+
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return profile_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        columns=["user_id", "event_type", "value", "props"],
+    ).orderBy("column")
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2622,6 +2640,7 @@ SPARK_QUERIES_EXT = {
     "snapshot_diff_customers": snapshot_diff_customers,
     "psi_drift_events": psi_drift_events,
     "join_profile_tpch": join_profile_tpch,
+    "profile_drift_events": profile_drift_events,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -5030,3 +5049,52 @@ def _join_profile_oracle_sql(num_hashes: int = 64) -> str:
 
 
 ORACLE_SQL_EXT["join_profile_tpch"] = _join_profile_oracle_sql()
+
+# Structural drift: two per-column profile aggregates joined on the
+# column name, same thresholds/rounding as profile_drift.
+ORACLE_SQL_EXT["profile_drift_events"] = """
+    WITH a AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    b AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+    pa AS (
+        SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows_a,
+               round(count(*) FILTER (WHERE user_id IS NULL) / CAST(count(*) AS DOUBLE), 6) AS null_frac_a,
+               count(DISTINCT user_id)::BIGINT AS ndv_a FROM a
+        UNION ALL
+        SELECT 'event_type', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE event_type IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT event_type)::BIGINT FROM a
+        UNION ALL
+        SELECT 'value', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE value IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT value)::BIGINT FROM a
+        UNION ALL
+        SELECT 'props', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE props IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT props)::BIGINT FROM a
+    ), pb AS (
+        SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows_b,
+               round(count(*) FILTER (WHERE user_id IS NULL) / CAST(count(*) AS DOUBLE), 6) AS null_frac_b,
+               count(DISTINCT user_id)::BIGINT AS ndv_b FROM b
+        UNION ALL
+        SELECT 'event_type', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE event_type IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT event_type)::BIGINT FROM b
+        UNION ALL
+        SELECT 'value', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE value IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT value)::BIGINT FROM b
+        UNION ALL
+        SELECT 'props', count(*)::BIGINT,
+               round(count(*) FILTER (WHERE props IS NULL) / CAST(count(*) AS DOUBLE), 6),
+               count(DISTINCT props)::BIGINT FROM b
+    )
+    SELECT pa."column", n_rows_a, n_rows_b, null_frac_a, null_frac_b,
+           ndv_a, ndv_b,
+           CASE WHEN abs(null_frac_b - null_frac_a) > 0.1 THEN 'null_rate_jump'
+                WHEN greatest(ndv_b / CAST(greatest(ndv_a, 1) AS DOUBLE),
+                              ndv_a / CAST(greatest(ndv_b, 1) AS DOUBLE)) > 2.0
+                    THEN 'cardinality_shift'
+                ELSE 'stable' END AS status
+    FROM pa JOIN pb USING ("column")
+    ORDER BY "column"
+"""

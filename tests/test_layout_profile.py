@@ -261,3 +261,33 @@ def test_join_key_overlap_containment_direction(spark):
     assert abs(row["est_jaccard"] - 0.2) < 0.12
     assert row["est_containment_a"] > 0.8
     assert abs(row["est_containment_b"] - 0.2) < 0.12
+
+
+def test_profile_drift_statuses(spark):
+    """Each status fires on its own trigger: a null-rate jump, a
+    cardinality collapse, and a stable column — and null-rate wins when
+    both fire."""
+    from quantlab_data_pipeline_spark.operators.profile import profile_drift
+
+    a = spark.createDataFrame(
+        [(i, f"u{i % 50}", float(i)) for i in range(200)],
+        "id long, cat string, v double",
+    )
+    rows_b = [
+        (i, f"u{i % 5}" if i % 2 else None, float(i)) for i in range(200)
+    ]
+    b = spark.createDataFrame(rows_b, "id long, cat string, v double")
+    got = {
+        r["column"]: r["status"] for r in profile_drift(a, b).collect()
+    }
+    assert got["id"] == "stable"
+    assert got["v"] == "stable"
+    # cat: null_frac 0 -> 0.5 (jump) AND ndv 50 -> 5 (shift); null wins
+    assert got["cat"] == "null_rate_jump"
+
+    c = spark.createDataFrame(
+        [(i, f"u{i % 5}", float(i)) for i in range(200)],
+        "id long, cat string, v double",
+    )
+    got2 = {r["column"]: r["status"] for r in profile_drift(a, c).collect()}
+    assert got2["cat"] == "cardinality_shift"  # 50 -> 5, no nulls
