@@ -712,3 +712,86 @@ def remove_repeated_spans(
         )
     )
     return out.select(*docs.columns, "clean_text", "n_spans_hit", "n_tokens_removed")
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag training documents that are NEAR-duplicates of evaluation
+    data — the fuzzy complement to :func:`decontaminate`'s exact
+    8-gram overlap: a lightly paraphrased or partially re-worded eval
+    answer shares few exact 8-grams but keeps a high shingle-set
+    Jaccard, which the MinHash estimate catches.
+
+    Scale shape: both sides band their signatures and meet in a
+    bipartite (band_idx, band_hash) equi-join — never corpus x eval
+    pairs; the eval side is tiny, so its band keys broadcast and the
+    corpus is matched map-side. Returns every training doc with
+    ``fuzzy_hits`` (count of eval docs with estimated Jaccard >=
+    ``threshold``) and the ``fuzzy_contaminated`` flag. Engine-portable
+    signatures (round 3) make the whole check oracle-replayable.
+    ``bands`` defaults to the S-curve match for ``threshold``
+    (:func:`choose_bands`) — a fixed band count silently drops true
+    pairs near a lower threshold before the estimate ever runs.
+    """
+    if bands is None:
+        bands = choose_bands(num_hashes, threshold)
+    d_sigs = (
+        minhash_signatures(ensure_parallelism(docs), id_col, text_col, num_hashes)
+        .select(id_col, "signature")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b_sigs = (
+        minhash_signatures(benchmark, id_col, text_col, num_hashes)
+        .select(id_col, "signature")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d_keys = band_buckets(d_sigs, id_col, bands).select(
+        F.col(id_col).alias("train_id"), "band_idx", "band_hash"
+    )
+    b_keys = band_buckets(b_sigs, id_col, bands).select(
+        F.col(id_col).alias("bench_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        d_keys.join(F.broadcast(b_keys), ["band_idx", "band_hash"])
+        .select("train_id", "bench_id")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_t", "sig_b", lambda a, b: a == b), lambda m: m)
+    )
+    hits = (
+        cands.join(
+            d_sigs.select(
+                F.col(id_col).alias("train_id"),
+                F.col("signature").alias("sig_t"),
+            ),
+            "train_id",
+        )
+        .join(
+            b_sigs.select(
+                F.col(id_col).alias("bench_id"),
+                F.col("signature").alias("sig_b"),
+            ),
+            "bench_id",
+        )
+        .withColumn("est", F.round(agree / F.lit(float(num_hashes)), 6))
+        .filter(F.col("est") >= threshold)
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("fuzzy_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, docs[id_col] == hits["train_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("fuzzy_hits", F.lit(0)).alias("fuzzy_hits"),
+            F.col("fuzzy_hits").isNotNull().alias("fuzzy_contaminated"),
+        )
+    )

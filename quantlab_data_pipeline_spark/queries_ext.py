@@ -785,6 +785,22 @@ def decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: same eval split as
+    ``decontaminate_docs`` (doc_id % 17 == 0), but a training doc is
+    flagged when its MinHash-estimated Jaccard against ANY eval doc
+    reaches 0.5 — catching paraphrased/partial leaks whose exact
+    8-grams differ (``llm.dedup.fuzzy_decontaminate``). Bipartite
+    banded join, eval side broadcast; portable signatures make the
+    whole check DuckDB-replayable."""
+    from .llm.dedup import fuzzy_decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return fuzzy_decontaminate(train, bench)
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components (min-label
     propagation) over the exact n-gram Jaccard near-dup pair graph —
@@ -2641,6 +2657,7 @@ SPARK_QUERIES_EXT = {
     "psi_drift_events": psi_drift_events,
     "join_profile_tpch": join_profile_tpch,
     "profile_drift_events": profile_drift_events,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -5098,3 +5115,44 @@ ORACLE_SQL_EXT["profile_drift_events"] = """
     FROM pa JOIN pb USING ("column")
     ORDER BY "column"
 """
+
+
+def _fuzzy_decontaminate_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """SQL replay of ``fuzzy_decontaminate_docs``: the shared signature
+    CTE, a bipartite band join (train % 17 != 0 vs eval % 17 == 0),
+    the estimate filter, and a left join restoring zero-hit train
+    docs."""
+    r = num_hashes // bands
+    return _minhash_sig_cte(num_hashes) + f""", bandkeys AS (
+        SELECT doc_id,
+               b.band_idx,
+               sig[{r} * b.band_idx + 1 : {r} * b.band_idx + {r}] AS band
+        FROM sigs,
+             (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) b
+    ), cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS bench_id
+        FROM bandkeys t JOIN bandkeys e
+          ON t.band_idx = e.band_idx AND t.band = e.band
+        WHERE t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+    ), est AS (
+        SELECT c.train_id, c.bench_id,
+               round(len(list_filter(generate_series(1, {num_hashes}),
+                     k -> st.sig[k] = se.sig[k])) / {num_hashes}.0, 6) AS e
+        FROM cand c
+        JOIN sigs st ON st.doc_id = c.train_id
+        JOIN sigs se ON se.doc_id = c.bench_id
+    ), hits AS (
+        SELECT train_id, count(*) AS fuzzy_hits
+        FROM est WHERE e >= {threshold}
+        GROUP BY train_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.fuzzy_hits, 0) AS fuzzy_hits,
+           h.train_id IS NOT NULL AS fuzzy_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.train_id
+    WHERE d.doc_id % 17 <> 0"""
+
+
+ORACLE_SQL_EXT["fuzzy_decontaminate_docs"] = _fuzzy_decontaminate_oracle_sql()

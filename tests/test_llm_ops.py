@@ -958,3 +958,40 @@ def test_topic_model_structure_and_determinism(spark):
     for t in card:
         assert len(t["terms"]) == 5
         assert all(isinstance(w, float) and w > 0 for w in t["weights"])
+
+
+def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
+    """A paraphrase with a word swapped every 7 words breaks EVERY
+    8-gram (exact decontamination scores zero hits) yet keeps most of
+    the 3-gram shingle set — the fuzzy MinHash check flags it."""
+    from quantlab_data_pipeline_spark.llm.dedup import (
+        decontaminate,
+        fuzzy_decontaminate,
+    )
+
+    base_words = [f"w{i}" for i in range(64)]
+    para_words = [
+        ("X" + w) if i % 7 == 3 else w for i, w in enumerate(base_words)
+    ]
+    rows = [
+        (0, " ".join(base_words)),                     # the eval doc
+        (1, " ".join(para_words)),                     # paraphrased leak
+        (2, "totally different content about nothing shared at all "
+            "with the benchmark corpus in any shingle"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")
+    train = docs.filter("doc_id != 0")
+
+    exact = {
+        r["doc_id"]: r["contamination_hits"]
+        for r in decontaminate(train, bench).collect()
+    }
+    assert exact[1] == 0  # every 8-gram broken -> exact check blind
+
+    fuzzy = {
+        r["doc_id"]: r["fuzzy_contaminated"]
+        for r in fuzzy_decontaminate(train, bench, threshold=0.3).collect()
+    }
+    assert fuzzy[1] is True
+    assert fuzzy[2] is False
