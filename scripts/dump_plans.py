@@ -87,6 +87,8 @@ HEADLINE = [
     "wet_roundtrip_docs",
     "leakage_safe_split_docs",
     "join_profile_tpch",
+    "profile_drift_events",
+    "fuzzy_decontaminate_docs",
 ]
 
 
