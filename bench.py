@@ -61,6 +61,19 @@ EXTENDED = [
     "minhash_lsh_dedup",
 ]
 
+# Round-3 data-ops family — its own stable section so round-over-round
+# comparison of the original 12 extended plans stays apples-to-apples.
+CURATION = [
+    "dedup_keep_best_docs",
+    "leakage_safe_split_docs",
+    "fuzzy_decontaminate_docs",
+    "incremental_dedup_bucketed_docs",
+    "psi_drift_events",
+    "profile_drift_events",
+    "join_profile_tpch",
+    "simhash_dedup",
+]
+
 
 def main() -> None:
     # Size the AQE pre-coalesce reducer count to the actual input bytes
@@ -145,6 +158,7 @@ def main() -> None:
 
     timings, cold = run_set([n for n in HEADLINE if n in SPARK_QUERIES])
     ext_timings, ext_cold = run_set([n for n in EXTENDED if n in SPARK_QUERIES])
+    cur_timings, cur_cold = run_set([n for n in CURATION if n in SPARK_QUERIES])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -160,6 +174,10 @@ def main() -> None:
                 "extended": ext_timings,
                 "extended_cold_total": round(sum(ext_cold.values()), 3),
                 "extended_cold": ext_cold,
+                "curation_total": round(sum(cur_timings.values()), 3),
+                "curation": cur_timings,
+                "curation_cold_total": round(sum(cur_cold.values()), 3),
+                "curation_cold": cur_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
