@@ -242,8 +242,12 @@ def column_minhash_signature(
     One pass: distinct -> md5 base hash -> num_hashes Carter-Wegman
     min-aggregates (the same engine-portable family as
     ``llm.dedup.minhash_signatures``, so stored fingerprints replay in
-    any engine). Output is a single row; persist these per column and
-    compare signatures pairwise at planning time.
+    any engine). The exact distinct count rides along in the SAME
+    aggregate (the frame is already distinct, so it is a free
+    ``count``) — :func:`join_key_overlap` needs it for containment, and
+    a second count-distinct pass over a 100 TB column would double the
+    profiling cost. Output is a single row; persist these per column
+    and compare signatures pairwise at planning time.
     """
     from ..llm.dedup import MINHASH_PRIME, minhash_coefficients, portable_hash32
 
@@ -258,11 +262,14 @@ def column_minhash_signature(
         )
         for i, (a, b) in enumerate(coeffs)
     ]
-    return base.agg(*slots).select(
+    return base.agg(
+        *slots, F.count(F.lit(1)).cast("double").alias("__ndv")
+    ).select(
         F.lit(col).alias("column"),
         F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias(
             "signature"
         ),
+        F.col("__ndv").alias("n_distinct"),
     )
 
 

@@ -2516,16 +2516,14 @@ def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "supplier.s_suppkey": (load_table(spark, sf, "supplier"), "s_suppkey"),
     }
-    sigs, ndv = None, None
+    sigs = None
     for name, (df, col) in cols.items():
+        # signature + exact ndv arrive from ONE aggregate per column
         s = column_minhash_signature(df, col).select(
-            F.lit(name).alias("column"), "signature"
+            F.lit(name).alias("column"), "signature", "n_distinct"
         )
-        n = df.agg(
-            F.countDistinct(col).cast("double").alias("n_distinct")
-        ).select(F.lit(name).alias("column"), "n_distinct")
         sigs = s if sigs is None else sigs.unionAll(s)
-        ndv = n if ndv is None else ndv.unionAll(n)
+    ndv = sigs.select("column", "n_distinct")
     pairs = spark.createDataFrame(
         [
             ("customer.c_custkey", "orders.o_custkey"),
