@@ -27,6 +27,7 @@ __all__ = [
     "cms_frequencies",
     "column_minhash_signature",
     "join_key_overlap",
+    "json_schema_profile",
     "profile_drift",
     "profile_table",
     "psi_drift",
@@ -386,4 +387,76 @@ def profile_drift(
         "ndv_a",
         "ndv_b",
         status.alias("status"),
+    )
+
+
+def json_schema_profile(
+    df: DataFrame, json_col: str, total: int | None = None
+) -> DataFrame:
+    """Schema inference over a semi-structured JSON column — the
+    profiling a lake runs before promoting raw JSON to typed columns:
+    per key, how often it appears and what type its values actually
+    are, decided by deterministic try-cast voting (priority bool >
+    bigint > double > string; ties impossible by construction since
+    every value matches exactly one first rule; JSON nulls vote for no
+    type). ``inferred_type`` widens int+double mixes to double —
+    promoting such a key to BIGINT would corrupt data, the exact
+    mistake this profile exists to prevent.
+
+    One ``from_json`` to map + one explode + one keyed aggregate —
+    key-cardinality-sized output, map-side partials absorb hot keys.
+    ``total`` (row count) normally rides in from the caller's own
+    count; when None a separate count job runs.
+    """
+    if total is None:
+        total = df.count()
+    kv = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    is_bool = F.col("val").isin("true", "false")
+    is_int = (~is_bool) & F.expr("try_cast(val AS BIGINT)").isNotNull()
+    is_double = (
+        (~is_bool)
+        & F.expr("try_cast(val AS BIGINT)").isNull()
+        & F.expr("try_cast(val AS DOUBLE)").isNotNull()
+    )
+    is_string = (
+        F.col("val").isNotNull() & ~is_bool & ~is_int & ~is_double
+    )
+    agg = kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(is_bool.cast("long")).alias("n_bool"),
+        F.sum(is_int.cast("long")).alias("n_int"),
+        F.sum(is_double.cast("long")).alias("n_double"),
+        F.sum(is_string.cast("long")).alias("n_string"),
+    )
+    top = F.greatest("n_bool", "n_int", "n_double", "n_string")
+    inferred = (
+        F.when(top == 0, "null")
+        .when(
+            (F.col("n_int") + F.col("n_double") == top + F.least("n_int", "n_double"))
+            & (F.col("n_double") > 0)
+            & (F.col("n_int") > 0)
+            & (F.col("n_bool") == 0)
+            & (F.col("n_string") == 0),
+            "double",  # int/double mix widens
+        )
+        .when(F.col("n_bool") == top, "boolean")
+        .when(F.col("n_int") == top, "bigint")
+        .when(F.col("n_double") == top, "double")
+        .otherwise("string")
+    )
+    return agg.select(
+        "key",
+        "n_present",
+        F.round(F.col("n_present") / F.lit(float(total)), 6).alias(
+            "frac_present"
+        ),
+        "n_bool",
+        "n_int",
+        "n_double",
+        "n_string",
+        inferred.alias("inferred_type"),
     )

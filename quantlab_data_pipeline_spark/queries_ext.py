@@ -2554,6 +2554,31 @@ def profile_drift_events(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column")
 
 
+def json_schema_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured schema inference (``operators.profile.
+    json_schema_profile``) over a JSON column DERIVED deterministically
+    from events (string + double + boolean + a conditionally-present
+    raw-JSON string field, so presence fractions and every type vote
+    are exercised — the driver's own ``props`` has a single uniform
+    key). The oracle computes the expected per-key statistics straight
+    from the SOURCE columns, so the hash match validates the whole
+    to_json -> from_json -> explode -> vote round trip."""
+    from .operators.profile import json_schema_profile
+
+    ev = load_table(spark, sf, "events")
+    j = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.col("value").alias("val"),
+                (F.col("user_id") % 2 == 0).alias("flag"),
+                F.when(F.col("value") > 100, F.col("props")).alias("raw"),
+            )
+        ).alias("j")
+    )
+    return json_schema_profile(j, "j", total=ev.count()).orderBy("key")
+
+
 def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """ANALYZE-style one-pass table profile (operators/profile.py):
     per-column rows/nulls/exact-ndv plus numeric bounds and string
@@ -2663,6 +2688,7 @@ SPARK_QUERIES_EXT = {
     "join_profile_tpch": join_profile_tpch,
     "profile_drift_events": profile_drift_events,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "json_schema_profile_events": json_schema_profile_events,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -5161,3 +5187,37 @@ def _fuzzy_decontaminate_oracle_sql(
 
 
 ORACLE_SQL_EXT["fuzzy_decontaminate_docs"] = _fuzzy_decontaminate_oracle_sql()
+
+# JSON schema profile: the expected per-key statistics computed from
+# the SOURCE columns (etype: always-present string; val: always-present
+# double; flag: always-present boolean; raw: string present iff
+# value > 100) — a hash match proves the Spark side's
+# to_json/from_json/explode/type-vote round trip faithful.
+ORACLE_SQL_EXT["json_schema_profile_events"] = """
+    WITH t AS (
+        SELECT count(*) AS n,
+               count(CASE WHEN value > 100 THEN 1 END) AS n_raw
+        FROM events
+    )
+    SELECT * FROM (
+        SELECT 'etype' AS key, n::BIGINT AS n_present,
+               round(n / CAST(n AS DOUBLE), 6) AS frac_present,
+               0::BIGINT AS n_bool, 0::BIGINT AS n_int,
+               0::BIGINT AS n_double, n::BIGINT AS n_string,
+               'string' AS inferred_type
+        FROM t
+        UNION ALL
+        SELECT 'val', n::BIGINT, round(n / CAST(n AS DOUBLE), 6),
+               0::BIGINT, 0::BIGINT, n::BIGINT, 0::BIGINT, 'double'
+        FROM t
+        UNION ALL
+        SELECT 'flag', n::BIGINT, round(n / CAST(n AS DOUBLE), 6),
+               n::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 'boolean'
+        FROM t
+        UNION ALL
+        SELECT 'raw', n_raw::BIGINT, round(n_raw / CAST(n AS DOUBLE), 6),
+               0::BIGINT, 0::BIGINT, 0::BIGINT, n_raw::BIGINT, 'string'
+        FROM t
+    )
+    ORDER BY key
+"""

@@ -291,3 +291,29 @@ def test_profile_drift_statuses(spark):
     )
     got2 = {r["column"]: r["status"] for r in profile_drift(a, c).collect()}
     assert got2["cat"] == "cardinality_shift"  # 50 -> 5, no nulls
+
+
+def test_json_schema_profile_type_votes(spark):
+    """int/double mixes widen to double (promoting to BIGINT would
+    corrupt), pure types classify, JSON nulls vote for nothing, and
+    presence fractions track absent keys."""
+    from quantlab_data_pipeline_spark.operators.profile import (
+        json_schema_profile,
+    )
+
+    rows = [
+        ('{"a": 1, "b": true, "c": "x", "m": 1}',),
+        ('{"a": 2, "b": false, "c": "y", "m": 2.5}',),
+        ('{"a": 3, "b": true, "d": null}',),
+        ('{"a": 4}',),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {r["key"]: r.asDict() for r in json_schema_profile(df, "j").collect()}
+
+    assert got["a"]["inferred_type"] == "bigint"
+    assert got["a"]["frac_present"] == 1.0
+    assert got["b"]["inferred_type"] == "boolean"
+    assert got["c"]["inferred_type"] == "string"
+    assert got["c"]["n_present"] == 2 and got["c"]["frac_present"] == 0.5
+    assert got["m"]["inferred_type"] == "double"  # 1 int + 1 double widens
+    assert got["d"]["inferred_type"] == "null"    # only a JSON null seen
