@@ -50,3 +50,48 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )
     return s.join(o, [*on, "__salt"], how).drop("__salt")
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """One-row skew diagnosis of a join/aggregation key — the
+    measurement that decides whether :func:`salted_join` (or a bigger
+    AQE skew threshold) is worth its fan-out cost BEFORE the join runs:
+
+    - ``n_rows`` / ``n_keys``: scale and cardinality;
+    - ``max_freq`` and ``skew_ratio`` (= max_freq / mean frequency):
+      a ratio near 1 is uniform; 100x means one key's partition does
+      100x the average work — the straggler that stalls a stage;
+    - ``top_share``: fraction of ALL rows held by the ``top_n``
+      hottest keys — broadcastable hot-key set size for the
+      split-hot-keys mitigation.
+
+    Two aggregates: rows -> (key, freq) [key-cardinality-sized] ->
+    one-row stats; the top-``top_n`` sum rides in the same final
+    aggregate via a sorted-slice over the collected frequency list of
+    the TOP CANDIDATES ONLY (an ordered limit pushes down, the full
+    frequency list never concentrates anywhere). Null keys count as a
+    key — they hash to one partition like any other value, which is
+    exactly how they hurt.
+    """
+    freqs = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__f"))
+    top = freqs.orderBy(F.desc("__f")).limit(top_n)
+    top_sum = top.agg(F.sum("__f").alias("__top_sum"))
+    stats = freqs.agg(
+        F.sum("__f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__f").alias("max_freq"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(top_sum))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.round(
+                F.col("max_freq") / (F.col("n_rows") / F.col("n_keys")), 6
+            ).alias("skew_ratio"),
+            F.round(F.col("__top_sum") / F.col("n_rows"), 6).alias(
+                "top_share"
+            ),
+        )
+    )

@@ -2554,6 +2554,19 @@ def profile_drift_events(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column")
 
 
+def skew_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_suppkey
+    (``operators.skew.skew_profile``): max/mean frequency ratio and
+    top-10 key share — the measurement that decides between a plain
+    shuffle join, AQE skew thresholds, and ``salted_join`` BEFORE the
+    join runs. TPC-H keys are near-uniform, so the expected ratio ~1 is
+    itself the check (a skewed result here would mean the profiler is
+    wrong)."""
+    from .operators.skew import skew_profile
+
+    return skew_profile(load_table(spark, sf, "lineitem"), "l_suppkey")
+
+
 def json_schema_profile_events(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured schema inference (``operators.profile.
     json_schema_profile``) over a JSON column DERIVED deterministically
@@ -2689,6 +2702,7 @@ SPARK_QUERIES_EXT = {
     "profile_drift_events": profile_drift_events,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "json_schema_profile_events": json_schema_profile_events,
+    "skew_profile_lineitem": skew_profile_lineitem,
     "twap_events": twap_events,
     "resample_grid_events": resample_grid_events,
     "sequence_gaps_orders": sequence_gaps_orders,
@@ -5220,4 +5234,24 @@ ORACLE_SQL_EXT["json_schema_profile_events"] = """
         FROM t
     )
     ORDER BY key
+"""
+
+# Skew profile: frequency table -> one-row stats; the top-10 sum is
+# tie-safe (equal frequencies at the cut contribute the same sum
+# either way).
+ORACLE_SQL_EXT["skew_profile_lineitem"] = """
+    WITH f AS (
+        SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+        SELECT sum(f) AS top_sum
+        FROM (SELECT f FROM f ORDER BY f DESC LIMIT 10)
+    )
+    SELECT CAST(sum(f.f) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(f.f) AS BIGINT) AS max_freq,
+           round(max(f.f) / (sum(f.f) / CAST(count(*) AS DOUBLE)), 6)
+               AS skew_ratio,
+           round(t.top_sum / CAST(sum(f.f) AS DOUBLE), 6) AS top_share
+    FROM f, t
+    GROUP BY t.top_sum
 """

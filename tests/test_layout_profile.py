@@ -317,3 +317,25 @@ def test_json_schema_profile_type_votes(spark):
     assert got["c"]["n_present"] == 2 and got["c"]["frac_present"] == 0.5
     assert got["m"]["inferred_type"] == "double"  # 1 int + 1 double widens
     assert got["d"]["inferred_type"] == "null"    # only a JSON null seen
+
+
+def test_skew_profile_detects_zipf_hot_key(spark):
+    """A uniform key reads skew_ratio ~1; a celebrity key dominating
+    half the rows reads the ratio and top-share a salting decision
+    needs."""
+    from pyspark.sql import functions as F
+    from quantlab_data_pipeline_spark.operators.skew import skew_profile
+
+    uniform = spark.range(0, 10000).select((F.col("id") % 100).alias("k"))
+    u = skew_profile(uniform, "k").collect()[0]
+    assert u["n_keys"] == 100 and u["skew_ratio"] == 1.0
+    assert u["top_share"] == 0.1  # 10 of 100 equal keys
+
+    hot = spark.range(0, 10000).select(
+        F.when(F.col("id") < 5000, 7).otherwise(F.col("id") % 100).alias("k")
+    )
+    h = skew_profile(hot, "k").collect()[0]
+    # key 7 holds 5000 + its uniform share; mean freq = 100 rows/key
+    assert h["max_freq"] > 5000
+    assert h["skew_ratio"] > 50
+    assert h["top_share"] > 0.5
