@@ -89,6 +89,8 @@ HEADLINE = [
     "join_profile_tpch",
     "profile_drift_events",
     "fuzzy_decontaminate_docs",
+    "json_schema_profile_events",
+    "skew_profile_lineitem",
 ]
 
 
