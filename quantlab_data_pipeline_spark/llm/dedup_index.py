@@ -165,14 +165,36 @@ def build_dedup_index(
         f"{path}/exact"
     )
     spark.createDataFrame(
-        [(num_hashes, bands, shingle_k, bucket_n or 0)],
-        "num_hashes int, bands int, shingle_k int, bucket_n int",
+        [(num_hashes, bands, shingle_k, bucket_n or 0, HASH_FAMILY)],
+        "num_hashes int, bands int, shingle_k int, bucket_n int, "
+        "hash_family string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+#: Signature hash family this code computes. Recorded in ``meta`` and
+#: VERIFIED on every read: querying an index whose stored signatures
+#: came from a different family (e.g. the pre-round-3 xxhash64 one)
+#: would produce zero band matches and silently flag nothing — the
+#: same class of silent recall loss as a band-structure mismatch, so
+#: it raises the same way.
+HASH_FAMILY = "cw-md5-v1"
+
+
 def read_index_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
-    """(num_hashes, bands, shingle_k) recorded at build time."""
+    """(num_hashes, bands, shingle_k) recorded at build time. Raises
+    if the index's recorded hash family (or its absence, for
+    pre-round-3 xxhash64 indexes) does not match what this code
+    computes — mixed families never error organically, they just
+    return no duplicates."""
     row = spark.read.parquet(f"{path}/meta").collect()[0]
+    family = row.asDict().get("hash_family")
+    if family != HASH_FAMILY:
+        raise ValueError(
+            f"dedup index at {path!r} was built with hash family "
+            f"{family!r}, but this code computes {HASH_FAMILY!r}; "
+            "querying across families silently matches nothing — "
+            "rebuild the index with build_dedup_index"
+        )
     return int(row["num_hashes"]), int(row["bands"]), int(row["shingle_k"])
 
 
