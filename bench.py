@@ -161,24 +161,47 @@ def main() -> None:
     cur_timings, cur_cold = run_set([n for n in CURATION if n in SPARK_QUERIES])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "extended": ext_timings,
+        "extended_cold_total": round(sum(ext_cold.values()), 3),
+        "extended_cold": ext_cold,
+        "curation_total": round(sum(cur_timings.values()), 3),
+        "curation": cur_timings,
+        "curation_cold_total": round(sum(cur_cold.values()), 3),
+        "curation_cold": cur_cold,
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a file (and an early stdout line for
+    # humans); the FINAL stdout line is a compact headline JSON so a
+    # tail-of-stdout capture always gets a complete, parseable object.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
                 "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "extended_total": round(sum(ext_timings.values()), 3),
-                "extended": ext_timings,
-                "extended_cold_total": round(sum(ext_cold.values()), 3),
-                "extended_cold": ext_cold,
-                "curation_total": round(sum(cur_timings.values()), 3),
-                "curation": cur_timings,
-                "curation_cold_total": round(sum(cur_cold.values()), 3),
-                "curation_cold": cur_cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total": detail["cold_total"],
+                "extended_total": detail["extended_total"],
+                "extended_cold_total": detail["extended_cold_total"],
+                "curation_total": detail["curation_total"],
+                "curation_cold_total": detail["curation_cold_total"],
+                "detail": str(detail_path),
+                "sf": sf_val,
             }
         )
     )

@@ -31,7 +31,7 @@ the published Gopher/C4-style rules implemented in :mod:`.text`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = "[^a-z0-9]+"  # mirrors text._tokens: lowercase [a-z0-9]+ runs
@@ -147,3 +147,104 @@ def score_quality(
         *docs.columns,
         F.round(vector_to_array("__prob")[1], 6).alias("ml_quality_prob"),
     ).withColumn("ml_keep", F.col("ml_quality_prob") >= threshold)
+
+
+# ------------------------------------------------- frozen-weight scoring
+#
+# Production pipelines ship a FROZEN classifier artifact (fasttext .bin,
+# DCLM's published weights) and only re-train on a cadence; the scoring
+# pass is the 100 TB part. The frozen path here makes that pass fully
+# engine-portable AND oracle-checkable: tokens bucket by the md5-based
+# portable hash (replayable in DuckDB/any engine), weights are
+# micro-unit INTEGERS (exact arithmetic, no float-order sensitivity),
+# and the decision boundary is score >= 0 (logit form of prob >= 0.5).
+
+
+def bucket_expr(tok: Column, num_buckets: int) -> Column:
+    """Engine-portable token -> feature bucket: first 8 md5 hex chars as
+    a 32-bit unsigned int, mod ``num_buckets`` (same md5 contract as
+    :func:`..dedup.portable_hash32`, inlined for use inside lambda)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+        % num_buckets
+    )
+
+
+def train_frozen_quality_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_buckets: int = 64,
+    max_iter: int = 50,
+    reg: float = 1e-4,
+) -> tuple[int, list[int]]:
+    """Fit logistic regression over portable-hash bucket COUNTS and
+    return ``(bias_micro, weights_micro)`` — coefficients in micro-units
+    (1e-6), the freezing step run offline (scripts/train_frozen_quality
+    .py) to produce a committed artifact like FROZEN_QUALITY_V1.
+
+    Features are per-doc counts of tokens hashed into ``num_buckets``
+    buckets with the md5 portable hash — NOT MLlib's HashingTF
+    (murmur3, JVM-private), so a frozen model scores identically in any
+    engine. Training itself is MLlib (deterministic for fixed data and
+    params); only the exported integers are the artifact."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    toks = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)")
+    buckets = F.transform(toks, lambda t: bucket_expr(t, num_buckets))
+    counts = F.array(
+        *[
+            F.size(F.filter(buckets, lambda b: b == F.lit(i))).cast("double")
+            for i in range(num_buckets)
+        ]
+    )
+    train = docs.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(counts).alias("features"),
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg)
+    model = lr.fit(train)
+    w = [int(round(float(c) * 1_000_000)) for c in model.coefficients]
+    b = int(round(float(model.intercept) * 1_000_000))
+    return b, w
+
+
+def score_quality_frozen(
+    docs: DataFrame,
+    bias_micro: int,
+    weights_micro: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus with a frozen integer-weight model — pure native
+    expressions, zero shuffle, zero Python in the plan, exact in every
+    engine.
+
+    Adds ``ml_score_micro`` (logit in micro-units: bias + sum over
+    tokens of the token's bucket weight — an exact BIGINT sum, so the
+    value hash-matches across engines with no float-order caveats),
+    ``ml_quality_prob`` (the sigmoid, for human ranking; floats, so NOT
+    part of the oracle contract) and ``ml_keep`` (score >= 0, i.e.
+    prob >= 0.5 — exact)."""
+    n = len(weights_micro)
+    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights_micro])
+    toks = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)")
+    token_sum = F.aggregate(
+        F.transform(
+            toks, lambda t: F.element_at(wlit, (bucket_expr(t, n) + 1).cast("int"))
+        ),
+        F.lit(int(bias_micro)).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return (
+        docs.withColumn("ml_score_micro", token_sum)
+        .withColumn(
+            "ml_quality_prob",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col("ml_score_micro") / F.lit(1e6))),
+                6,
+            ),
+        )
+        .withColumn("ml_keep", F.col("ml_score_micro") >= 0)
+    )

@@ -161,14 +161,21 @@ def band_signature(
     Band j packs bits [j*band_bits, (j+1)*band_bits) into a long — the
     equi-join key for candidate generation (two vectors are candidates
     iff some band matches exactly on every bit). ``dim`` is the
-    expected vector length; shorter/longer vectors zero their
-    mismatched bits (zip_with null semantics) rather than erroring."""
+    expected vector length; a vector whose length differs (or that is
+    null) gets a NULL signature, so exploding it produces no band keys
+    and it can never become an LSH candidate — without the guard,
+    zip_with's null padding would null the plane sums and collapse
+    every wrong-length vector into one identical all-zero signature
+    (bogus candidates + a within-bucket pair blowup). Null *elements*
+    inside a correctly-sized vector contribute 0 to the plane sum."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     signs = sign_matrix(bands * band_bits, dim)
 
     def plane(i: int, weight: int) -> Column:
         srow = F.array(*[F.lit(s) for s in signs[i]])
-        signed = F.zip_with(vec, srow, lambda v, s: v.cast("double") * s)
+        signed = F.zip_with(
+            vec, srow, lambda v, s: F.coalesce(v.cast("double") * s, F.lit(0.0))
+        )
         s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -183,16 +190,42 @@ def band_signature(
         structs.append(
             F.struct(F.lit(j).alias("band_idx"), val.alias("band_val"))
         )
-    return F.array(*structs)
+    return F.when(F.size(vec) == dim, F.array(*structs))
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
     """Vector length from a one-row probe (LSH planes are literal
-    matrices, so the dimension must be known at plan-build time)."""
+    matrices, so the dimension must be known at plan-build time).
+
+    This is an extra driver job at plan-build time and the probed row
+    is arbitrary — pass ``dim`` explicitly when it is known. Rows whose
+    length differs from the probe are *excluded* from candidate
+    generation (NULL signature in :func:`band_signature`), never
+    silently bucketed; use :func:`validate_dims` for a strict check."""
     row = df.select(F.size(vec_col).alias("n")).first()
     if row is None or row["n"] is None or row["n"] <= 0:
         raise ValueError(f"cannot infer vector dim from empty column {vec_col!r}")
     return int(row["n"])
+
+
+def validate_dims(df: DataFrame, vec_col: str, dim: int, what: str = "frame") -> None:
+    """Raise if any row's vector length differs from ``dim``.
+
+    One aggregate job over just the size of ``vec_col`` (column-pruned
+    scan, single long per partition to the driver). Used on the QUERY
+    side of :func:`lsh_topk` — a malformed query silently returning
+    zero neighbors is worse than failing fast; the corpus side filters
+    instead (a bad corpus row should not kill a 100 TB batch job)."""
+    row = df.select(
+        F.sum((F.size(vec_col) != dim).cast("long")).alias("bad"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("nulls"),
+    ).first()
+    bad = (row["bad"] or 0) + (row["nulls"] or 0)
+    if bad:
+        raise ValueError(
+            f"{what}: {bad} row(s) in {vec_col!r} are null or not length "
+            f"{dim}; fix the input or pass the intended dim explicitly"
+        )
 
 
 def _banded(
@@ -243,6 +276,11 @@ def lsh_topk(
         bands, band_bits = plan_signature(target_cos, recall)
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
+    # Strict on the query side: a wrong-length query would get a NULL
+    # signature and silently return zero neighbors — fail fast instead.
+    # Corpus rows with mismatched lengths are filtered (NULL signature),
+    # never bucketed.
+    validate_dims(queries, vec_col, dim, what="lsh_topk queries")
     c_vecs, c_keys = _banded(
         ensure_parallelism(corpus), id_col, vec_col, bands, band_bits,
         "neighbor_id", dim,

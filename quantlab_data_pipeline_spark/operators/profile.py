@@ -183,6 +183,13 @@ def psi_drift(
     Scale shape: two group-sized aggregates + one (group, bin)-keyed
     count per side — nothing row-quadratic, the per-group stats frame
     broadcasts, and partial aggregation absorbs hot groups map-side.
+
+    One-sided groups are the strongest drift signal and MUST surface:
+    a group present only in the baseline (vanished from current) or
+    only in current (brand-new) gets a sentinel row — psi NULL,
+    ``status`` 'missing_group' / 'new_group', zero-filled count on the
+    absent side — instead of silently dropping out of the monitor.
+    Two-sided groups carry ``status`` 'ok'.
     """
     gcols = list(group_cols)
     stats = baseline.groupBy(*gcols).agg(
@@ -219,15 +226,34 @@ def psi_drift(
     )
     totals_a = baseline.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_base"))
     totals_b = current.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_cur"))
+    # Full-outer: a group with zero rows on one side must NOT vanish
+    # (the inner joins this replaces dropped exactly the groups whose
+    # disappearance the monitor exists to catch).
+    totals = totals_a.join(totals_b, gcols, "full_outer").fillna(
+        0, subset=["n_base", "n_cur"]
+    )
     pa = F.greatest(F.col("n_a") / F.col("n_base"), F.lit(eps))
     pb = F.greatest(F.col("n_b") / F.col("n_cur"), F.lit(eps))
     term = (pa - pb) * F.log(pa / pb)
-    return (
-        per_bin.join(F.broadcast(totals_a), gcols)
-        .join(F.broadcast(totals_b), gcols)
+    scored = (
+        per_bin.join(F.broadcast(totals), gcols)
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
         .groupBy(*gcols, "n_base", "n_cur")  # totals are per-group constants
         .agg(F.round(F.sum(term), 6).alias("psi"))
+        .withColumn("status", F.lit("ok"))
     )
+    one_sided = totals.filter(
+        (F.col("n_base") == 0) | (F.col("n_cur") == 0)
+    ).select(
+        *gcols,
+        "n_base",
+        "n_cur",
+        F.lit(None).cast("double").alias("psi"),
+        F.when(F.col("n_cur") == 0, F.lit("missing_group"))
+        .otherwise(F.lit("new_group"))
+        .alias("status"),
+    )
+    return scored.unionByName(one_sided)
 
 
 def column_minhash_signature(

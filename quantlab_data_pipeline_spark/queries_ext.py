@@ -4985,10 +4985,13 @@ ORACLE_SQL_EXT["psi_drift_events"] = """
         FROM ba FULL OUTER JOIN bc
           ON ba.event_type = bc.event_type AND ba.bin = bc.bin
     ), tot AS (
-        SELECT a.event_type, a.n_base, cc.n_cur
+        SELECT coalesce(a.event_type, cc.event_type) AS event_type,
+               coalesce(a.n_base, 0) AS n_base,
+               coalesce(cc.n_cur, 0) AS n_cur
         FROM (SELECT event_type, count(*) AS n_base FROM b GROUP BY 1) a
-        JOIN (SELECT event_type, count(*) AS n_cur FROM c GROUP BY 1) cc
-          USING (event_type)
+        FULL OUTER JOIN
+             (SELECT event_type, count(*) AS n_cur FROM c GROUP BY 1) cc
+          ON a.event_type = cc.event_type
     )
     SELECT p.event_type, t.n_base, t.n_cur,
            round(sum(
@@ -4996,9 +4999,16 @@ ORACLE_SQL_EXT["psi_drift_events"] = """
                 - greatest(p.n_b / CAST(t.n_cur AS DOUBLE), 1e-6))
                * ln(greatest(p.n_a / CAST(t.n_base AS DOUBLE), 1e-6)
                     / greatest(p.n_b / CAST(t.n_cur AS DOUBLE), 1e-6))
-           ), 6) AS psi
+           ), 6) AS psi,
+           'ok' AS status
     FROM per_bin p JOIN tot t USING (event_type)
+    WHERE t.n_base > 0 AND t.n_cur > 0
     GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT event_type, n_base, n_cur, CAST(NULL AS DOUBLE) AS psi,
+           CASE WHEN n_cur = 0 THEN 'missing_group'
+                ELSE 'new_group' END AS status
+    FROM tot WHERE n_base = 0 OR n_cur = 0
     ORDER BY event_type
 """
 
@@ -5210,7 +5220,12 @@ ORACLE_SQL_EXT["fuzzy_decontaminate_docs"] = _fuzzy_decontaminate_oracle_sql()
 ORACLE_SQL_EXT["json_schema_profile_events"] = """
     WITH t AS (
         SELECT count(*) AS n,
-               count(CASE WHEN value > 100 THEN 1 END) AS n_raw
+               -- props must be non-null too: to_json omits null struct
+               -- fields, so a null props row never emits a 'raw' key
+               -- even when value > 100 (do not bake in the current
+               -- generator's "props is never null" accident).
+               count(CASE WHEN value > 100 AND props IS NOT NULL
+                          THEN 1 END) AS n_raw
         FROM events
     )
     SELECT * FROM (

@@ -232,9 +232,11 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failed, warned = [], []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -269,11 +271,19 @@ def main() -> int:
             print(f"[WARN] {name}: " + "; ".join(problems))
         else:
             print(f"[ok]   {name}: {len(sdf)} rows")
+    n_requested = len(only) if only else len(queries)
     print(
-        f"\n{len(queries) - len(failed)}/{len(queries)} ok"
+        f"\n{n_checked - len(failed)}/{n_checked} ok"
+        f" (checked {n_checked}/{n_requested} requested,"
+        f" registry has {len(queries)})"
         + (f", warned: {warned}" if warned else "")
         + (f", FAILED: {failed}" if failed else "")
     )
+    if only:
+        missing = sorted(only - set(queries))
+        if missing:
+            print(f"NOT IN REGISTRY: {missing}")
+            return 1
     return 1 if failed else 0
 
 

@@ -194,8 +194,39 @@ def test_psi_drift_counts_and_schema(spark):
     )
     row = psi_drift(base, cur).collect()[0]
     assert (row["n_base"], row["n_cur"]) == (10, 20)
-    assert set(row.asDict()) == {"event_type", "n_base", "n_cur", "psi"}
+    assert set(row.asDict()) == {"event_type", "n_base", "n_cur", "psi", "status"}
     assert row["psi"] >= 0.0
+    assert row["status"] == "ok"
+
+
+def test_psi_drift_one_sided_groups_flagged(spark):
+    """A group that vanishes from (or newly appears in) a snapshot is
+    the strongest drift signal — it must emit a sentinel row, not
+    silently disappear from the monitor."""
+    from quantlab_data_pipeline_spark.operators.profile import psi_drift
+
+    schema = "event_type string, value double"
+    base = spark.createDataFrame(
+        [("keeps", float(v)) for v in range(10)]
+        + [("vanishes", float(v)) for v in range(5)],
+        schema,
+    )
+    cur = spark.createDataFrame(
+        [("keeps", float(v)) for v in range(10)]
+        + [("appears", float(v)) for v in range(7)],
+        schema,
+    )
+    rows = {r["event_type"]: r for r in psi_drift(base, cur).collect()}
+    assert set(rows) == {"keeps", "vanishes", "appears"}
+    assert rows["keeps"]["status"] == "ok" and rows["keeps"]["psi"] is not None
+    v = rows["vanishes"]
+    assert (v["status"], v["psi"], v["n_base"], v["n_cur"]) == (
+        "missing_group", None, 5, 0,
+    )
+    a = rows["appears"]
+    assert (a["status"], a["psi"], a["n_base"], a["n_cur"]) == (
+        "new_group", None, 0, 7,
+    )
 
 
 def test_column_minhash_join_profile(spark):
@@ -317,6 +348,43 @@ def test_json_schema_profile_type_votes(spark):
     assert got["c"]["n_present"] == 2 and got["c"]["frac_present"] == 0.5
     assert got["m"]["inferred_type"] == "double"  # 1 int + 1 double widens
     assert got["d"]["inferred_type"] == "null"    # only a JSON null seen
+
+
+def test_json_schema_profile_null_struct_field_omitted(spark):
+    """to_json drops null struct fields, so a conditionally-present key
+    whose SOURCE is null never appears — the oracle for
+    json_schema_profile_events must count presence as
+    `value > 100 AND props IS NOT NULL`, not `value > 100` alone
+    (baking in "props is never null" would diverge the oracle, not the
+    query, on a future generator change)."""
+    from pyspark.sql import functions as F
+    from quantlab_data_pipeline_spark.operators.profile import (
+        json_schema_profile,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (150.0, '{"k":"v"}'),   # value>100, props present -> raw emitted
+            (150.0, None),          # value>100, props NULL -> raw omitted
+            (50.0, '{"k":"v"}'),    # value<=100 -> raw omitted
+        ],
+        "value double, props string",
+    )
+    j = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("value").alias("val"),
+                F.when(F.col("value") > 100, F.col("props")).alias("raw"),
+            )
+        ).alias("j")
+    )
+    got = {
+        r["key"]: r.asDict()
+        for r in json_schema_profile(j, "j", total=3).collect()
+    }
+    assert got["raw"]["n_present"] == 1
+    assert got["raw"]["frac_present"] == round(1 / 3, 6)
+    assert got["val"]["n_present"] == 3
 
 
 def test_skew_profile_detects_zipf_hot_key(spark):

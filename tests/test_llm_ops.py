@@ -208,6 +208,81 @@ def test_embedding_near_dup_pairs(spark, vecs):
     assert (0, 3) not in pairs  # opposite direction
 
 
+def test_band_signature_wrong_length_vectors_filter_not_collide(spark):
+    """Wrong-length vectors must get a NULL band signature (excluded
+    from candidate generation), NOT collapse into one shared all-zero
+    signature — the zip_with null-padding bug would make every
+    malformed vector an LSH candidate of every other one."""
+    from quantlab_data_pipeline_spark.llm.similarity import band_signature
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.5, 0.5]),            # too short
+        (2, [1.0, 2.0, 3.0, 4.0]),  # too long
+        (3, None),                  # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id",
+            band_signature("embedding", bands=4, band_bits=2, dim=3).alias("s"),
+        ).collect()
+    }
+    assert sigs[0] is not None
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is None
+    # exploding a NULL signature emits zero band keys -> never a candidate
+    n_keys = (
+        df.select("vec_id", F.explode(
+            band_signature("embedding", bands=4, band_bits=2, dim=3)
+        ).alias("b")).count()
+    )
+    assert n_keys == 4  # only vec 0's 4 bands
+
+
+def test_band_signature_null_element_contributes_zero(spark):
+    """A null ELEMENT inside a correctly-sized vector contributes 0 to
+    the plane sums instead of nulling the whole signature."""
+    from quantlab_data_pipeline_spark.llm.similarity import band_signature
+
+    df = spark.createDataFrame(
+        [(0, [1.0, None, 0.5]), (1, [1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id",
+            band_signature("embedding", bands=2, band_bits=2, dim=3).alias("s"),
+        ).collect()
+    }
+    assert sigs[0] is not None
+    # null element == zero element for the hyperplane dot products
+    assert sigs[0] == sigs[1]
+
+
+def test_lsh_topk_wrong_length_query_raises(spark, vecs):
+    """A malformed QUERY would silently return zero neighbors under the
+    filter semantics — lsh_topk validates the query frame and raises."""
+    bad_q = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="lsh_topk queries"):
+        lsh_topk(bad_q, vecs, k=3, bands=8, band_bits=1)
+
+
+def test_lsh_topk_wrong_length_corpus_row_filtered(spark, vecs):
+    """A malformed CORPUS row is excluded from candidates (a bad row
+    must not kill a batch job) and results for good rows are unchanged."""
+    bad = spark.createDataFrame(
+        [(99, [0.5] * 7)], "vec_id long, embedding array<float>"
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = lsh_topk(q, vecs.unionByName(bad), k=5, bands=8, band_bits=1).collect()
+    assert all(r["neighbor_id"] != 99 for r in out)
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
 def test_multimodal_feature_extraction(spark):
     media = synthetic_media(spark, n=30)
     feats = extract_image_features(media, decoder="fake").collect()
