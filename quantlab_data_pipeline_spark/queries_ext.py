@@ -723,6 +723,67 @@ def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ml_quality_frozen_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frozen-weight quality scoring — the 100 TB pass of the learned
+    classifier, with the trained model shipped as a committed integer
+    artifact (``llm/frozen_quality.py``, produced offline by
+    scripts/train_frozen_quality.py, the standard fasttext-style
+    frozen-classifier deployment). Unlike ``ml_quality_docs`` (train at
+    query time, weights not SQL-expressible, rows-only check) this path
+    is FULLY oracle-checked: tokens bucket by the engine-portable md5
+    hash, weights are micro-unit integers, the logit is an exact BIGINT
+    sum, and keep = score >= 0 — DuckDB replays all of it bit-exactly.
+    Pure native expressions, zero shuffle, zero Python in the plan."""
+    from .llm.classifier import score_quality_frozen
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return score_quality_frozen(
+        docs, FROZEN_QUALITY_V1_BIAS, FROZEN_QUALITY_V1_WEIGHTS
+    ).select("doc_id", "ml_score_micro", "ml_keep")
+
+
+def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML -> text main-content extraction (``llm.extract.html_to_text``)
+    over pages DERIVED deterministically from documents: each doc's text
+    is HTML-escaped and wrapped in a realistic boilerplate template
+    (head with script/style, nav and footer link bars, comments, an ad
+    div) — so the query exercises subtree stripping, entity round-trip,
+    block splitting, and the link-density filter on every row. The
+    oracle computes the expected extraction straight from the SOURCE
+    text (whitespace-squashed; empty when shorter than the 30-char
+    block minimum), so the hash match validates the whole
+    escape -> wrap -> extract round trip, same pattern as
+    ``json_schema_profile_events``."""
+    from .llm.extract import escape_html_text, html_to_text
+
+    docs = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><script type="text/javascript">'
+            'var x = "<p>not content</p>";</script>'
+            "<style>.m{color:red}</style></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">Topics</a> '
+            '<a href="/b">About</a></nav><!-- boilerplate <p>comment</p> -->'
+            '<div class="ad"><a href="/buy">Buy now</a></div><article><p>'
+        ),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(
+            '</p></article><footer><a href="/tos">Terms</a> '
+            '<a href="/privacy">Privacy</a></footer></body></html>'
+        ),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_to_text(pages, "html", "extracted").select(
+        "doc_id",
+        F.length("extracted").alias("n_chars"),
+        F.md5("extracted").alias("text_md5"),
+    )
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2657,6 +2718,8 @@ SPARK_QUERIES_EXT = {
     "repeated_spans_docs": repeated_spans_docs,
     "scrub_repeated_spans": scrub_repeated_spans_docs,
     "ml_quality_docs": ml_quality_docs,
+    "ml_quality_frozen_docs": ml_quality_frozen_docs,
+    "html_extract_docs": html_extract_docs,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
@@ -5217,6 +5280,59 @@ ORACLE_SQL_EXT["fuzzy_decontaminate_docs"] = _fuzzy_decontaminate_oracle_sql()
 # double; flag: always-present boolean; raw: string present iff
 # value > 100) — a hash match proves the Spark side's
 # to_json/from_json/explode/type-vote round trip faithful.
+# Frozen-weight quality scoring: same md5 bucket hash, same integer
+# weights, same exact BIGINT sum as score_quality_frozen — replayed
+# verbatim from the committed artifact (weights interpolated at import
+# time, so retraining the artifact updates query and oracle together).
+def _frozen_quality_oracle_sql() -> str:
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    wlist = ", ".join(str(w) for w in FROZEN_QUALITY_V1_WEIGHTS)
+    n = len(FROZEN_QUALITY_V1_WEIGHTS)
+    return f"""
+    SELECT doc_id,
+           CAST({FROZEN_QUALITY_V1_BIAS} + coalesce(list_sum(list_transform(
+               regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+               t -> [{wlist}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                              % {n} AS INT) + 1]
+           )), 0) AS BIGINT) AS ml_score_micro,
+           CAST({FROZEN_QUALITY_V1_BIAS} + coalesce(list_sum(list_transform(
+               regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+               t -> [{wlist}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                              % {n} AS INT) + 1]
+           )), 0) AS BIGINT) >= 0 AS ml_keep
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+ORACLE_SQL_EXT["ml_quality_frozen_docs"] = _frozen_quality_oracle_sql()
+
+# html_extract_docs: the derived page wraps the escaped doc text in one
+# <p> block; nav/footer/ad blocks are short and link-dense, so the
+# extraction must return exactly the whitespace-squashed source text
+# (or '' when it misses the 30-char block minimum). Computing the
+# expectation from the SOURCE — not by re-running the extractor —
+# makes this a true independent oracle of the whole round trip.
+ORACLE_SQL_EXT["html_extract_docs"] = """
+    WITH sq AS (
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                   AS squashed
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(CASE WHEN length(squashed) >= 30
+                            THEN squashed ELSE '' END) AS BIGINT) AS n_chars,
+           md5(CASE WHEN length(squashed) >= 30
+                    THEN squashed ELSE '' END) AS text_md5
+    FROM sq
+    ORDER BY doc_id
+"""
+
 ORACLE_SQL_EXT["json_schema_profile_events"] = """
     WITH t AS (
         SELECT count(*) AS n,

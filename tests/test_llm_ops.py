@@ -800,6 +800,66 @@ def test_quality_classifier_null_text_and_external_labels(spark):
     assert out[0]["ml_quality_prob"] > out[n_clean]["ml_quality_prob"]
 
 
+def test_frozen_quality_scoring_exact_and_native(spark):
+    """score_quality_frozen must equal a from-scratch Python replay of
+    the frozen contract (md5 bucket, integer micro-weights, bias-seeded
+    sum) on every row — including null/empty text — and the plan must
+    contain no Python eval node."""
+    import hashlib
+
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality_frozen,
+    )
+    from quantlab_data_pipeline_spark.llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    import re
+
+    df, _ = _clf_fixture(spark)
+    df = df.union(
+        spark.createDataFrame([(99, None), (100, "")], "doc_id long, text string")
+    )
+    out = score_quality_frozen(
+        df, FROZEN_QUALITY_V1_BIAS, FROZEN_QUALITY_V1_WEIGHTS
+    )
+    got = {r["doc_id"]: (r["ml_score_micro"], r["ml_keep"]) for r in out.collect()}
+
+    n = len(FROZEN_QUALITY_V1_WEIGHTS)
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in df.collect()]:
+        score = FROZEN_QUALITY_V1_BIAS
+        for tok in re.findall(r"[a-z0-9]+", (text or "").lower()):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+            score += FROZEN_QUALITY_V1_WEIGHTS[b]
+        assert got[doc_id] == (score, score >= 0), doc_id
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_frozen_quality_train_freeze_score_roundtrip(spark):
+    """train_frozen_quality_weights -> score_quality_frozen reproduces
+    the teacher labels on a separable corpus: the frozen integer path
+    loses nothing that matters versus the float model."""
+    from quantlab_data_pipeline_spark.llm.classifier import (
+        score_quality_frozen,
+        train_frozen_quality_weights,
+    )
+
+    df, n_clean = _clf_fixture(spark)
+    labeled = df.withColumn("label", df.doc_id < n_clean)
+    bias, weights = train_frozen_quality_weights(
+        labeled, num_buckets=64, max_iter=50
+    )
+    assert len(weights) == 64
+    out = {
+        r["doc_id"]: r["ml_keep"]
+        for r in score_quality_frozen(df, bias, weights).collect()
+    }
+    acc = sum(out[i] == (i < n_clean) for i in out) / len(out)
+    assert acc >= 0.9, acc
+
+
 def test_distributed_centroids_drive_ivf(spark):
     """MLlib-KMeans centroids plug into the same IVF contract as the
     driver-sample trainer: k unit-length centers, and full-probe IVF
