@@ -63,6 +63,15 @@ EXTENDED = [
 
 # Round-3 data-ops family — its own stable section so round-over-round
 # comparison of the original 12 extended plans stays apples-to-apples.
+#
+# dedup_keep_best_docs / leakage_safe_split_docs (and extended's
+# dedup_clusters) deliberately do NOT share their common pairs+CC
+# prefix here: the driver's contract times each queries() entry as an
+# independent plan from cold inputs, and pre-computing a shared prefix
+# would make the bench measure a different (cached) workload than the
+# correctness gate runs. A production pipeline SHOULD share it — the
+# composition functions accept precomputed pairs/cluster frames — but
+# the bench's job is to price each registry entry as registered.
 CURATION = [
     "dedup_keep_best_docs",
     "leakage_safe_split_docs",
@@ -72,6 +81,15 @@ CURATION = [
     "profile_drift_events",
     "join_profile_tpch",
     "simhash_dedup",
+]
+
+# Round-6 intake family (own section, same reasoning as above): raw
+# crawl-format parsing + main-content extraction + frozen-classifier
+# scoring — the front of the pipeline.
+INTAKE = [
+    "html_extract_docs",
+    "warc_extract_docs",
+    "ml_quality_frozen_docs",
 ]
 
 
@@ -159,6 +177,7 @@ def main() -> None:
     timings, cold = run_set([n for n in HEADLINE if n in SPARK_QUERIES])
     ext_timings, ext_cold = run_set([n for n in EXTENDED if n in SPARK_QUERIES])
     cur_timings, cur_cold = run_set([n for n in CURATION if n in SPARK_QUERIES])
+    in_timings, in_cold = run_set([n for n in INTAKE if n in SPARK_QUERIES])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -177,6 +196,10 @@ def main() -> None:
         "curation": cur_timings,
         "curation_cold_total": round(sum(cur_cold.values()), 3),
         "curation_cold": cur_cold,
+        "intake_total": round(sum(in_timings.values()), 3),
+        "intake": in_timings,
+        "intake_cold_total": round(sum(in_cold.values()), 3),
+        "intake_cold": in_cold,
         "sf": sf_val,
     }
     # Full per-query detail goes to a file (and an early stdout line for
@@ -200,6 +223,8 @@ def main() -> None:
                 "extended_cold_total": detail["extended_cold_total"],
                 "curation_total": detail["curation_total"],
                 "curation_cold_total": detail["curation_cold_total"],
+                "intake_total": detail["intake_total"],
+                "intake_cold_total": detail["intake_cold_total"],
                 "detail": str(detail_path),
                 "sf": sf_val,
             }

@@ -447,13 +447,15 @@ def stratified_split(
     total = sum(weights.values())
     # Null draws (null id) sort to the very end deterministically on
     # both engines via the 2.0 sentinel — above every real u in [0,1).
-    # CAVEAT (ADVICE r2): two or more null-id rows share that identical
-    # (u=2.0, tie='') sort key, so their relative order — and therefore
-    # their split assignment when they straddle a boundary — is
-    # engine/partitioning-dependent. The determinism guarantee requires
-    # id_col to be non-null (one null row is still fine).
+    # Their tie-break is an md5 over the FULL row content (to_json of
+    # all columns), so distinct null-id rows order deterministically on
+    # any engine/partitioning too (closing the ADVICE r2 caveat). Only
+    # fully-identical null-id rows still share a key — and such rows
+    # are interchangeable, so whichever lands in which split the
+    # resulting datasets are identical.
     u = F.coalesce(hash_uniform(id_col, salt), F.lit(2.0))
-    tie = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    row_fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    tie = F.coalesce(F.col(id_col).cast("string"), row_fp)
     w_rank = Window.partitionBy(strata_col).orderBy(u, tie)
     w_all = Window.partitionBy(strata_col)
     rn = F.row_number().over(w_rank)

@@ -784,6 +784,40 @@ def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Full crawl-intake round trip: documents -> boilerplate-wrapped
+    HTML pages -> RAW WARC response shards (``sources/warc.py``,
+    Content-Length framing, HTTP head + body payloads) -> parse ->
+    HTML->text main-content extraction (``llm/extract.py``). The oracle
+    computes the expectation straight from the SOURCE text, so one hash
+    match proves encode framing, HTTP-head split, and the extractor
+    end-to-end — the WARC twin of ``wet_roundtrip_docs`` with the
+    extraction stage that real crawls need in between."""
+    from .llm.extract import escape_html_text, html_to_text
+    from .sources.warc import parse_warc, warc_encode
+
+    docs = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var n = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'
+        ),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit('</p><footer><a href="/t">Terms</a></footer></body></html>'),
+    )
+    shards = warc_encode(
+        docs.select("doc_id", page.alias("html")), shards=8
+    )
+    parsed = parse_warc(shards)
+    extracted = html_to_text(parsed, "html", "extracted")
+    return extracted.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("http_status"),
+        F.length("extracted").alias("n_chars"),
+        F.md5("extracted").alias("text_md5"),
+    )
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2720,6 +2754,7 @@ SPARK_QUERIES_EXT = {
     "ml_quality_docs": ml_quality_docs,
     "ml_quality_frozen_docs": ml_quality_frozen_docs,
     "html_extract_docs": html_extract_docs,
+    "warc_extract_docs": warc_extract_docs,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
@@ -5310,6 +5345,26 @@ def _frozen_quality_oracle_sql() -> str:
 
 
 ORACLE_SQL_EXT["ml_quality_frozen_docs"] = _frozen_quality_oracle_sql()
+
+# warc_extract_docs: same source-side expectation as html_extract_docs
+# (the WARC encode/parse layer must be lossless; status is the encoded
+# 200 for every record).
+ORACLE_SQL_EXT["warc_extract_docs"] = """
+    WITH sq AS (
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                   AS squashed
+        FROM documents
+    )
+    SELECT doc_id,
+           200 AS http_status,
+           CAST(length(CASE WHEN length(squashed) >= 30
+                            THEN squashed ELSE '' END) AS BIGINT) AS n_chars,
+           md5(CASE WHEN length(squashed) >= 30
+                    THEN squashed ELSE '' END) AS text_md5
+    FROM sq
+    ORDER BY doc_id
+"""
 
 # html_extract_docs: the derived page wraps the escaped doc text in one
 # <p> block; nav/footer/ad blocks are short and link-dense, so the

@@ -1060,6 +1060,18 @@ def test_stratified_split_exact_counts_and_determinism(spark):
     )
     out = stratified_split(with_null, weights=w).collect()
     assert len(out) == 20 and all(r["split"] is not None for r in out)
+    # MULTIPLE distinct null-id rows: assignment must still be
+    # deterministic across partitionings (row-content md5 tie-break —
+    # the ADVICE r2 caveat this closes); key on text since ids are null
+    a = {
+        r["text"]: r["split"]
+        for r in stratified_split(with_null, weights=w).collect()
+    }
+    b = {
+        r["text"]: r["split"]
+        for r in stratified_split(with_null.repartition(7), weights=w).collect()
+    }
+    assert a == b
 
 
 def test_topic_model_structure_and_determinism(spark):
