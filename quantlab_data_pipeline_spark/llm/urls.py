@@ -1,0 +1,137 @@
+"""URL normalization, domain extraction, and URL-keyed dedup.
+
+The cheapest dedup signal a crawl pipeline has: CCNet / RefinedWeb /
+FineWeb all dedup BY NORMALIZED URL before any content hashing — the
+same page is recrawled under trivially-different URLs (scheme case,
+default ports, fragments, tracking parameters), and dropping those
+copies costs one string pass + one hash groupBy instead of shingling.
+
+Everything here is native expressions (regexp_replace chains + split),
+engine-portable (RE2-safe patterns, no lookbehind/backreferences), so
+the whole normalization replays in DuckDB for the oracle and runs
+inside the scan's codegen stage at crawl scale — zero shuffle until
+the final keyed dedup, which groups on the (short) normalized URL.
+
+Normalization steps (each deliberately conservative — reversible-risk
+rewrites like path case-folding are NOT done; URL paths are
+case-sensitive, hosts are not):
+
+1. lowercase the scheme and host (authority), leave path/query alone
+2. strip the fragment (``#...`` — never sent to the server)
+3. drop default ports (``:80`` for http, ``:443`` for https)
+4. remove tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``ref``) and re-join the survivors in original order
+5. drop a now-empty query (trailing ``?``) and a bare trailing slash
+   on an empty path (``http://x/`` == ``http://x``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never change page content
+TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid", "ref")
+
+#: common two-level public suffixes for the registered-domain heuristic
+#: (a full Public Suffix List is a data file; these cover the frequent
+#: country-code second-level registrations)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.tr", "com.ar", "com.sg",
+)
+
+
+def _scheme_host_lower(url: Column) -> Column:
+    """Lowercase only the scheme://host[:port] prefix."""
+    prefix = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(url, F.length(prefix) + 1, F.lit(1 << 30))
+    return F.when(prefix == "", url).otherwise(
+        F.concat(F.lower(prefix), rest)
+    )
+
+
+def normalize_url(url: str | Column) -> Column:
+    """Canonical form of a URL column (see module docstring for the
+    exact steps). Null-safe: null stays null."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.trim(u)
+    u = _scheme_host_lower(u)
+    # strip fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # default ports (captured-tail form, no lookahead — RE2-safe)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", r"$1$2")
+    # tracking params: kill "key=value" whether first (after ?) or
+    # later (after &), then normalize separator debris
+    for p in TRACKING_PARAMS:
+        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")   # "?&x" -> "?x"
+    u = F.regexp_replace(u, r"&&+", "&")    # "a&&b" -> "a&b"
+    u = F.regexp_replace(u, r"[?&]+$", "")  # trailing "?" / "&"
+    # bare trailing slash on an empty path
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def url_host(url: str | Column) -> Column:
+    """Lowercased host (no port, no credentials) or null."""
+    u = F.col(url) if isinstance(url, str) else url
+    h = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    )
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain(url: str | Column) -> Column:
+    """eTLD+1 heuristic: last two host labels, or last THREE when the
+    last two form a known two-level public suffix (co.uk and friends).
+    A real pipeline ships the full Public Suffix List as a broadcast
+    lookup; the heuristic keeps this dependency-free and is exact on
+    the suffixes listed."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.when(
+        n >= 3,
+        F.concat_ws(
+            ".",
+            F.element_at(parts, -3),
+            F.element_at(parts, -2),
+            F.element_at(parts, -1),
+        ),
+    )
+    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 2, host).otherwise(
+            F.when(is_two_level, last3).otherwise(last2)
+        )
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per normalized URL: the smallest ``id_col`` wins
+    (deterministic, engine-independent). Adds ``norm_url`` and
+    ``is_keeper``; rows with a null URL are all keepers (no URL — no
+    URL-dedup evidence). One hash groupBy on the normalized URL; the
+    short URL strings shuffle, never the documents."""
+    norm = df.withColumn("norm_url", normalize_url(url_col))
+    winners = (
+        norm.filter(F.col("norm_url").isNotNull())
+        .groupBy("norm_url")
+        .agg(F.min(id_col).alias("__keep"))
+    )
+    return (
+        norm.join(winners, "norm_url", "left")
+        .withColumn(
+            "is_keeper",
+            F.col("norm_url").isNull() | (F.col(id_col) == F.col("__keep")),
+        )
+        .drop("__keep")
+    )

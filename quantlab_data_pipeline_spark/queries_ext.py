@@ -818,6 +818,51 @@ def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def url_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """URL normalization + URL-keyed dedup (``llm/urls.py``) — the
+    cheapest crawl dedup signal (CCNet/RefinedWeb dedup by normalized
+    URL before any content hashing). URLs are DERIVED deterministically
+    from doc_id in four shapes that exercise every normalization step:
+    scheme/host case, default ports, fragments, tracking parameters,
+    and a planted recrawl pair (ids ≡ 2,3 mod 4 normalize to the SAME
+    URL — min id wins). The oracle constructs the expected normalized
+    URL directly from doc_id (no regex replication), so the hash match
+    proves the whole normalize → groupBy → keeper pipeline."""
+    from .llm.urls import normalize_url, registered_domain, url_dedup, url_host
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    g = F.col("doc_id") % 4
+    seed = (F.col("doc_id") - g).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/a/"), did,
+                F.lit("?utm_source=x&q=1#frag"),
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(F.lit("https://News.Example.CO.UK:443/s/"), did),
+        )
+        .when(g == 2, F.concat(F.lit("https://dup.example.com/p/"), seed))
+        .otherwise(
+            F.concat(
+                F.lit("https://DUP.Example.com/p/"), seed, F.lit("?utm_medium=y")
+            )
+        )
+    )
+    base = docs.withColumn("url", url)
+    return url_dedup(base, "url", "doc_id").select(
+        "doc_id",
+        "norm_url",
+        url_host("url").alias("host"),
+        registered_domain("url").alias("domain"),
+        "is_keeper",
+    )
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2755,6 +2800,7 @@ SPARK_QUERIES_EXT = {
     "ml_quality_frozen_docs": ml_quality_frozen_docs,
     "html_extract_docs": html_extract_docs,
     "warc_extract_docs": warc_extract_docs,
+    "url_dedup_docs": url_dedup_docs,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
@@ -5345,6 +5391,36 @@ def _frozen_quality_oracle_sql() -> str:
 
 
 ORACLE_SQL_EXT["ml_quality_frozen_docs"] = _frozen_quality_oracle_sql()
+
+# url_dedup_docs: the oracle constructs the expected NORMALIZED url /
+# host / domain straight from doc_id (the derived shapes are fixed), so
+# the regex normalization chain is validated against an independent
+# construction, not replayed.
+ORACLE_SQL_EXT["url_dedup_docs"] = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'http://www.example.com/a/' || doc_id || '?q=1'
+                   WHEN 1 THEN 'https://news.example.co.uk/s/' || doc_id
+                   ELSE 'https://dup.example.com/p/' || (doc_id - (doc_id % 4))
+               END AS norm_url,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'www.example.com'
+                   WHEN 1 THEN 'news.example.co.uk'
+                   ELSE 'dup.example.com'
+               END AS host,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'example.com'
+                   WHEN 1 THEN 'example.co.uk'
+                   ELSE 'example.com'
+               END AS domain
+        FROM documents
+    )
+    SELECT doc_id, norm_url, host, domain,
+           doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS is_keeper
+    FROM u
+    ORDER BY doc_id
+"""
 
 # warc_extract_docs: same source-side expectation as html_extract_docs
 # (the WARC encode/parse layer must be lossless; status is the encoded

@@ -1,0 +1,90 @@
+"""URL normalization / domain extraction / URL dedup (llm/urls.py)."""
+
+from pyspark.sql import functions as F
+
+from quantlab_data_pipeline_spark.llm.urls import (
+    normalize_url,
+    registered_domain,
+    url_dedup,
+    url_host,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+
+
+def test_normalize_url_steps(spark):
+    cases = {
+        # scheme+host lowercase, path case preserved
+        "HTTP://WWW.Example.COM/Articles/One": "http://www.example.com/Articles/One",
+        # fragment stripped
+        "https://a.com/x#section-2": "https://a.com/x",
+        # default ports dropped (scheme-matched only)
+        "http://a.com:80/x": "http://a.com/x",
+        "https://a.com:443/x": "https://a.com/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        "https://a.com:80/x": "https://a.com:80/x",  # 80 is NOT https default
+        # tracking params removed, survivors keep order
+        "https://a.com/x?utm_source=f&q=1&utm_medium=m&id=2": "https://a.com/x?q=1&id=2",
+        "https://a.com/x?gclid=abc": "https://a.com/x",
+        "https://a.com/x?fbclid=1&ref=tw": "https://a.com/x",
+        # empty-query and bare-slash cleanup
+        "https://a.com/?": "https://a.com",
+        "https://a.com/": "https://a.com",
+        "https://a.com/path/": "https://a.com/path/",  # non-empty path kept
+        # whitespace trim
+        "  https://a.com/x  ": "https://a.com/x",
+        # schemeless strings pass through (lowercasing skipped)
+        "Not A Url": "Not A Url",
+    }
+    got = _norm(spark, list(cases))
+    for (src, expect), g in zip(cases.items(), got):
+        assert g == expect, (src, g, expect)
+
+
+def test_normalize_null_safe(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(normalize_url("url").alias("n")).collect()[0]["n"] is None
+
+
+def test_host_and_registered_domain(spark):
+    cases = [
+        ("https://News.Example.CO.UK/s/1", "news.example.co.uk", "example.co.uk"),
+        ("http://user:pw@Sub.Deep.Example.COM:8080/p", "sub.deep.example.com", "example.com"),
+        ("https://example.com/", "example.com", "example.com"),
+        ("https://localhost/x", "localhost", "localhost"),
+        ("not a url", None, None),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        url_host("url").alias("h"), registered_domain("url").alias("d")
+    ).collect()
+    for (u, eh, ed), r in zip(cases, got):
+        assert r["h"] == eh, (u, r["h"])
+        assert r["d"] == ed, (u, r["d"])
+
+
+def test_url_dedup_min_id_wins_nulls_kept(spark):
+    rows = [
+        (1, "HTTP://A.com:80/x?utm_source=f"),  # same normalized as 2
+        (2, "http://a.com/x"),
+        (3, "http://a.com/y"),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert got[1]["is_keeper"] is True     # min id of the pair
+    assert got[2]["is_keeper"] is False
+    assert got[1]["norm_url"] == got[2]["norm_url"] == "http://a.com/x"
+    assert got[3]["is_keeper"] is True
+    assert got[4]["is_keeper"] is True and got[5]["is_keeper"] is True
+
+
+def test_plan_is_native(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
