@@ -91,10 +91,40 @@ HEADLINE = [
     "fuzzy_decontaminate_docs",
     "json_schema_profile_events",
     "skew_profile_lineitem",
+    # round-6 intake family
+    "html_extract_docs",
+    "warc_extract_docs",
+    "ml_quality_frozen_docs",
+    "url_dedup_docs",
 ]
 
 
 NOTES = {
+    "html_extract_docs": (
+        "The whole extraction (subtree strip, block split, per-block "
+        "link-density classification, entity decode) is ONE Project "
+        "inside WholeStageCodegen over the scan — zero exchanges, zero "
+        "Python; ReadSchema should show only doc_id, text."
+    ),
+    "warc_extract_docs": (
+        "Two Arrow-batched Python stages by necessity (WARC assemble is "
+        "applyInPandas per shard key, parse is mapInPandas byte "
+        "walking); everything around them — page templating, extraction, "
+        "hashing — stays in codegen. The only exchange is the 8-way "
+        "shard groupBy."
+    ),
+    "ml_quality_frozen_docs": (
+        "Frozen-weight scoring is a single codegen Project: md5 bucket "
+        "hash + element_at over a 64-literal array folded per token, "
+        "integer sum seeded with the bias. No shuffle, no Python, no "
+        "model broadcast — the weights ARE the plan."
+    ),
+    "url_dedup_docs": (
+        "Normalization is a regexp_replace chain in codegen; the only "
+        "exchange is the groupBy on the short normalized URL (min-id "
+        "keeper), then a broadcast-ready join back. Documents never "
+        "shuffle."
+    ),
     "profile_lineitem": (
         "One ObjectHashAggregate pair (partial -> final) computes every "
         "statistic for every column on a single scan; the stack() melt "
