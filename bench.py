@@ -90,6 +90,8 @@ INTAKE = [
     "html_extract_docs",
     "warc_extract_docs",
     "ml_quality_frozen_docs",
+    "url_dedup_docs",
+    "curate_corpus_docs",
 ]
 
 

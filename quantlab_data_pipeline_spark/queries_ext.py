@@ -863,6 +863,76 @@ def url_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def curate_corpus_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE registry row — the
+    composition a real pretraining intake runs, each stage an operator
+    this repo ships and oracle-checks individually:
+
+    1. intake: boilerplate-wrapped page -> ``html_to_text`` extraction
+       (docs whose extraction misses the 30-char block minimum drop
+       with reason 'too_short');
+    2. quality: FROZEN-weight classifier on the extracted text
+       (integer logit >= 0 keeps; else reason 'quality');
+    3. exact dedup among survivors: md5 of extracted text, min doc_id
+       keeps (else reason 'duplicate');
+    4. survivors get the md5-uniform 80/10/10 split.
+
+    Output: (doc_id, kept, reason, split). The oracle replays all four
+    stages in one DuckDB statement from SOURCE text — the hash match
+    proves the stages compose without drift, not just that each works
+    alone. Scale shape: stages 1-2 are pure codegen projections; the
+    only exchanges are the dedup groupBy on (md5, ...) and its join
+    back — the md5 keys shuffle, never documents."""
+    from .llm.classifier import score_quality_frozen
+    from .llm.extract import escape_html_text, html_to_text
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    from .llm.text import hash_uniform
+
+    docs = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></body></html>"),
+    )
+    extracted = html_to_text(
+        docs.select("doc_id", page.alias("html")), "html", "extracted"
+    )
+    scored = score_quality_frozen(extracted, FROZEN_QUALITY_V1_BIAS,
+                                  FROZEN_QUALITY_V1_WEIGHTS, text_col="extracted")
+    staged = scored.select(
+        "doc_id",
+        "extracted",
+        (F.length("extracted") > 0).alias("__long_enough"),
+        F.col("ml_keep").alias("__quality_ok"),
+    )
+    eligible = staged.filter("__long_enough AND __quality_ok")
+    winners = eligible.groupBy(F.md5("extracted").alias("__h")).agg(
+        F.min("doc_id").alias("__keep")
+    )
+    deduped = eligible.join(
+        winners, F.md5(eligible["extracted"]) == winners["__h"]
+    ).select("doc_id", (F.col("doc_id") == F.col("__keep")).alias("__winner"))
+    u = hash_uniform("doc_id", "curate")
+    return (
+        staged.join(deduped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__winner", F.lit(False)).alias("kept"),
+            F.when(~F.col("__long_enough"), "too_short")
+            .when(~F.col("__quality_ok"), "quality")
+            .when(~F.coalesce("__winner", F.lit(False)), "duplicate")
+            .alias("reason"),
+            F.when(
+                F.coalesce("__winner", F.lit(False)),
+                F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+            ).alias("split"),
+        )
+    )
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2801,6 +2871,7 @@ SPARK_QUERIES_EXT = {
     "html_extract_docs": html_extract_docs,
     "warc_extract_docs": warc_extract_docs,
     "url_dedup_docs": url_dedup_docs,
+    "curate_corpus_docs": curate_corpus_docs,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
@@ -5391,6 +5462,64 @@ def _frozen_quality_oracle_sql() -> str:
 
 
 ORACLE_SQL_EXT["ml_quality_frozen_docs"] = _frozen_quality_oracle_sql()
+
+
+# curate_corpus_docs: all four stages replayed in one statement from
+# SOURCE text — extraction expectation, frozen integer quality, exact
+# dedup with min-id keeper, md5-uniform split. Frozen weights are
+# interpolated from the committed artifact like the scorer above.
+def _curate_corpus_oracle_sql() -> str:
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    wlist = ", ".join(str(w) for w in FROZEN_QUALITY_V1_WEIGHTS)
+    n = len(FROZEN_QUALITY_V1_WEIGHTS)
+    u = _hash_uniform_sql("curate", "f.doc_id")
+    return f"""
+    WITH st AS (
+        SELECT doc_id,
+               CASE WHEN length(sq) >= 30 THEN sq ELSE '' END AS extracted
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS sq
+            FROM documents
+        )
+    ), scored AS (
+        SELECT doc_id, extracted,
+               length(extracted) > 0 AS long_enough,
+               ({FROZEN_QUALITY_V1_BIAS} + coalesce(list_sum(list_transform(
+                   regexp_extract_all(lower(extracted), '[a-z0-9]+'),
+                   t -> [{wlist}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                                  % {n} AS INT) + 1]
+               )), 0)) >= 0 AS quality_ok
+        FROM st
+    ), winners AS (
+        SELECT md5(extracted) AS h, min(doc_id) AS keep
+        FROM scored WHERE long_enough AND quality_ok GROUP BY 1
+    ), flags AS (
+        SELECT s.doc_id, s.long_enough, s.quality_ok,
+               CASE WHEN s.long_enough AND s.quality_ok
+                    THEN s.doc_id = w.keep ELSE FALSE END AS winner
+        FROM scored s LEFT JOIN winners w
+          ON s.long_enough AND s.quality_ok AND md5(s.extracted) = w.h
+    )
+    SELECT f.doc_id, f.winner AS kept,
+           CASE WHEN NOT f.long_enough THEN 'too_short'
+                WHEN NOT f.quality_ok THEN 'quality'
+                WHEN NOT f.winner THEN 'duplicate' END AS reason,
+           CASE WHEN f.winner THEN
+               CASE WHEN {u} < 0.8 THEN 'train'
+                    WHEN {u} < 0.9 THEN 'val'
+                    ELSE 'test' END
+           END AS split
+    FROM flags f
+    ORDER BY f.doc_id
+    """
+
+
+ORACLE_SQL_EXT["curate_corpus_docs"] = _curate_corpus_oracle_sql()
 
 # url_dedup_docs: the oracle constructs the expected NORMALIZED url /
 # host / domain straight from doc_id (the derived shapes are fixed), so

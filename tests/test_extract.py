@@ -135,3 +135,25 @@ def test_plan_is_native(spark):
         html_to_text(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_curate_corpus_pipeline_invariants(spark):
+    """The end-to-end composition row: reasons partition the corpus,
+    kept rows (and only kept rows) carry a split, and every 'duplicate'
+    has a kept doc with identical extracted text and a smaller id."""
+    from quantlab_data_pipeline_spark.queries_ext import curate_corpus_docs
+
+    rows = curate_corpus_docs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    kept = [r for r in rows if r["kept"]]
+    assert kept, "pipeline dropped everything"
+    for r in rows:
+        if r["kept"]:
+            assert r["reason"] is None and r["split"] in ("train", "val", "test")
+        else:
+            assert r["reason"] in ("too_short", "quality", "duplicate")
+            assert r["split"] is None
+    dup_ids = [r["doc_id"] for r in rows if r["reason"] == "duplicate"]
+    if dup_ids:
+        kept_ids = {r["doc_id"] for r in kept}
+        assert all(any(k < d for k in kept_ids) for d in dup_ids)
