@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never change page content
+#: query parameters that never change page content. Matched
+#: case-sensitively (the trackers emit lowercase; query keys are
+#: case-sensitive per RFC 3986, so "UTM_SOURCE" is conservatively kept).
 TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid", "ref")
 
 #: common two-level public suffixes for the registered-domain heuristic

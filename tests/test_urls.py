@@ -88,3 +88,26 @@ def test_plan_is_native(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_normalize_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — an index of stored
+    normalized URLs must survive re-normalization unchanged."""
+    urls = [
+        "HTTP://WWW.Example.COM:80/A/B?utm_source=x&q=1#f",
+        "https://a.com:443/x?gclid=1&id=2&fbclid=3",
+        "https://a.com/?utm_a=1&utm_b=2",
+        "https://a.com/",
+        "http://a.com:8080/p?x=1&ref=t",
+        "ftp://Files.Example.com/pub/",
+        "no scheme here",
+        "",
+        "https://u:p@Host.Com:443/q?msclkid=9#z",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        normalize_url("url").alias("once"),
+        normalize_url(normalize_url("url")).alias("twice"),
+    ).collect()
+    for r in got:
+        assert r["once"] == r["twice"], r
