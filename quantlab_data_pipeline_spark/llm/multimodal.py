@@ -140,6 +140,87 @@ def extract_image_features(
     return imgs.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def dhash_bits(img: "np.ndarray", hash_size: int = 8) -> int:
+    """64-bit difference hash (dHash) of a grayscale image: average-pool
+    to a (hash_size x hash_size+1) grid, set bit (r*hash_size + c) iff
+    cell (r, c+1) is brighter than (r, c). The standard perceptual
+    image fingerprint — robust to re-encoding, resizing, and small
+    edits, which is exactly what crawl image dedup needs. Pure numpy,
+    deterministic: cell means are exact (integer sums / counts), so two
+    engines computing from the same pixels agree bit-for-bit."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    rows = np.array_split(img.astype(np.float64), hash_size, axis=0)
+    grid = np.array(
+        [
+            [c.sum() / c.size for c in np.array_split(band, hash_size + 1, axis=1)]
+            for band in rows
+        ]
+    )
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # signed-long view so the value survives a Spark LongType column
+    return int(np.uint64(v).astype(np.int64))
+
+
+def image_dhash(
+    media: DataFrame,
+    decoder: str = "png",
+    hash_size: int = 8,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """(asset_id, dhash): perceptual difference hash per image via the
+    Arrow-batched decode kernel (same path as
+    :func:`extract_image_features` — a codec is the genuinely-Python
+    stage; everything downstream of the 8-byte hash is Catalyst)."""
+    if decoder not in {"fake", "png"}:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import png_decode
+
+        for pdf in _rechunk(batches, batch_hint):
+            ids, hashes = [], []
+            for _, r in pdf.iterrows():
+                if decoder == "png":
+                    img = png_decode(bytes(r["content"]))
+                else:
+                    meta = r["meta"]
+                    img = _fake_decode(
+                        r["content"], int(meta["width"] or 16), int(meta["height"] or 16)
+                    )
+                ids.append(r["asset_id"])
+                hashes.append(dhash_bits(img, hash_size))
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    imgs = media.filter(F.col("media_type") == "image")
+    return imgs.mapInPandas(kernel, "asset_id long, dhash long")
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    bands: int = 16,
+    decoder: str = "png",
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs: dHash fingerprints
+    fed through the SAME banded Hamming blocking as text SimHash
+    (``dedup.simhash_near_dup_pairs`` — pigeonhole-exact recall for
+    ``max_hamming`` <= bands-1, bucketed equi-join, never all-pairs).
+    The 8-byte hashes shuffle; pixels never leave their scan task."""
+    from .dedup import simhash_near_dup_pairs
+
+    fp = image_dhash(media, decoder=decoder).select(
+        "asset_id", F.col("dhash").alias("simhash")
+    )
+    return simhash_near_dup_pairs(
+        fp, id_col="asset_id", max_hamming=max_hamming, bands=bands
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Plan-side resize bookkeeping: computes target dimensions with
     native expressions; the pixel transform itself would ride the same
@@ -174,12 +255,20 @@ def media_from_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_hint: int = 256,
+    dims: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Encode each document's UTF-8 bytes as a REAL grayscale PNG
     (pixels = bytes tiled row-major into a doc_id-derived WxH frame,
     ``np.resize`` cycling semantics; empty text becomes one 0 byte) —
     the encode half of the codec round-trip, as an Arrow-batched
-    mapInPandas stage emitting MEDIA_SCHEMA rows."""
+    mapInPandas stage emitting MEDIA_SCHEMA rows.
+
+    ``dims``: fixed (width, height) for every frame instead of the
+    id-derived default — identical texts then produce identical PNGs,
+    which is what perceptual-dedup tests and the ``image_dhash_dedup``
+    registry row need (with id-derived dims two copies of the same text
+    tile differently and are NOT near-dups, correctly but unhelpfully).
+    """
     from .codecs import png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,7 +276,10 @@ def media_from_text(
             rows = []
             for _, r in pdf.iterrows():
                 i = int(r[id_col])
-                w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
+                if dims is not None:
+                    w, h = int(dims[0]), int(dims[1])
+                else:
+                    w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
                 b = (r[text_col] or "").encode("utf-8") or b"\x00"
                 arr = np.resize(np.frombuffer(b, dtype=np.uint8), (h, w))
                 rows.append(

@@ -933,6 +933,30 @@ def curate_corpus_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup: REAL PNG round trip (text bytes tiled
+    into fixed 32x32 frames -> pure-numpy PNG encode -> decode) ->
+    64-bit dHash -> banded Hamming near-dup pairs reusing the SimHash
+    blocking (pigeonhole-exact recall at max_hamming=6 <= bands-1).
+    The corpus has no byte-identical texts, so recrawl duplicates are
+    PLANTED: every doc_id ≡ 0 (mod 7) is re-keyed at doc_id + 1_000_000
+    with the same text — fixed dims make the copy's PNG identical, so
+    each planted pair must surface at hamming 0 (plus any natural
+    near-collisions). Mirror python oracle recomputes the hashes
+    STRAIGHT from text bytes (no PNG layer) over the same planted
+    corpus and brute-forces all pairs — one comparison proves codec
+    round trip, kernel plumbing, and blocking recall together. Driver:
+    rows-only (pixel math is not SQL)."""
+    from .llm.multimodal import image_near_dup_pairs, media_from_text
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    media = media_from_text(docs.unionByName(recrawl), dims=(32, 32))
+    return image_near_dup_pairs(media, max_hamming=6, bands=16)
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2872,6 +2896,7 @@ SPARK_QUERIES_EXT = {
     "warc_extract_docs": warc_extract_docs,
     "url_dedup_docs": url_dedup_docs,
     "curate_corpus_docs": curate_corpus_docs,
+    "image_dhash_dedup": image_dhash_dedup,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,

@@ -156,9 +156,73 @@ def _bpe_tokenize_docs_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.Dat
 # BPE training is an iterative loop. The local mirror swaps in an
 # equivalent driver-side oracle; the driver still runs the SQL oracles
 # it has at sf0.01.
+def _image_dhash_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """From-scratch dHash + brute-force Hamming reference for
+    ``image_dhash_dedup``: rebuilds the 32x32 frames STRAIGHT from the
+    documents' text bytes (no PNG layer — the registry query's PNG
+    encode/decode round trip is exactly what this independence checks),
+    pools with explicit integral sums (not np.array_split), packs bits,
+    and compares ALL pairs (the banded blocking's pigeonhole recall at
+    max_hamming=6 <= bands-1 means the sets must be identical)."""
+    df = con.execute(
+        """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        ORDER BY doc_id
+        """
+    ).fetchdf()
+    HS = 8  # hash_size
+
+    def split_sizes(length: int, n: int) -> list[int]:
+        q, r = divmod(length, n)
+        return [q + 1 if k < r else q for k in range(n)]
+
+    def dhash(arr: np.ndarray) -> int:
+        csum = arr.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+        padded = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1))
+        padded[1:, 1:] = csum
+        ys = np.cumsum([0] + split_sizes(arr.shape[0], HS))
+        xs = np.cumsum([0] + split_sizes(arr.shape[1], HS + 1))
+        v = 0
+        for r in range(HS):
+            means = []
+            for c in range(HS + 1):
+                s = (
+                    padded[ys[r + 1], xs[c + 1]]
+                    - padded[ys[r], xs[c + 1]]
+                    - padded[ys[r + 1], xs[c]]
+                    + padded[ys[r], xs[c]]
+                )
+                cnt = (ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
+                means.append(s / cnt)
+            for c in range(HS):
+                if means[c + 1] > means[c]:
+                    v |= 1 << (r * HS + c)
+        return v  # unsigned; signedness only matters for storage
+
+    ids, hashes = [], []
+    for i, t in zip(df["doc_id"], df["text"]):
+        b = (t if isinstance(t, str) else "").encode("utf-8") or b"\x00"
+        arr = np.resize(np.frombuffer(b, dtype=np.uint8), (32, 32))
+        ids.append(int(i))
+        hashes.append(dhash(arr))
+
+    hs = np.array(hashes, dtype=np.uint64)
+    pop = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+    rows = []
+    for i in range(len(hs) - 1):
+        x = (hs[i] ^ hs[i + 1 :]).copy()
+        ham = pop[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        for j in np.nonzero(ham <= 6)[0]:
+            rows.append((ids[i], ids[i + 1 + int(j)], int(ham[j])))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
 PYTHON_ORACLES = {
     "pagerank_suppliers": _pagerank_suppliers_python_oracle,
     "bpe_tokenize_docs": _bpe_tokenize_docs_python_oracle,
+    "image_dhash_dedup": _image_dhash_python_oracle,
 }
 
 

@@ -151,3 +151,52 @@ def test_rgb_png_reduces_to_luma_in_kernel(spark):
     luma = rgb.mean(axis=2).astype(np.uint8)
     assert (f["height"], f["width"]) == luma.shape
     assert f["mean_intensity"] == float(luma.mean())
+
+
+def test_dhash_invariance_and_sensitivity():
+    """dHash is identical for a re-encoded copy, within a small Hamming
+    distance for a lightly-edited image, and far for unrelated noise —
+    the three properties perceptual dedup rests on."""
+    from quantlab_data_pipeline_spark.llm.multimodal import dhash_bits
+
+    rng = np.random.default_rng(11)
+    base = np.cumsum(
+        rng.integers(-3, 4, size=(64, 64)), axis=1
+    ).astype(np.int64) % 256
+    base = base.astype(np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert dhash_bits(base) == dhash_bits(base.copy())
+    edited = base.copy()
+    edited[:4, :4] = 255  # small local edit
+    assert ham(dhash_bits(base), dhash_bits(edited)) <= 8
+    noise = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    assert ham(dhash_bits(base), dhash_bits(noise)) > 16
+
+
+def test_image_near_dup_pairs_finds_recrawl_copy(spark):
+    """A byte-identical PNG under a new asset_id is found at hamming 0
+    through the real decode kernel + banded blocking; an unrelated
+    image is not paired."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    smooth = (np.add.outer(np.arange(40), np.arange(40)) * 3 % 256).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    meta = {"width": 40, "height": 40, "n_frames": 1, "sample_rate": None, "format": "png"}
+    media = spark.createDataFrame(
+        [
+            (1, "image", png_encode(smooth), meta),
+            (2, "image", png_encode(smooth), meta),  # recrawl copy
+            (3, "image", png_encode(noise), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(media, max_hamming=6).collect()}
+    assert pairs == {(1, 2): 0}
