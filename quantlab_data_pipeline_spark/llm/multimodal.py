@@ -221,6 +221,135 @@ def image_near_dup_pairs(
     )
 
 
+def audio_spectral_matrix(samples: "np.ndarray", frames: int = 8, bands: int = 9) -> "np.ndarray":
+    """(frames x bands) log-energy spectrogram of a mono PCM signal:
+    split into ``frames`` equal chunks, per chunk the squared rFFT
+    magnitudes (DC excluded) sum into ``bands`` frequency bands — the
+    coarse time-frequency grid the Haitsma-Kalker audio fingerprint
+    family thresholds. log1p compresses the dynamic range so bit
+    decisions track spectral SHAPE, not loudness."""
+    out = np.empty((frames, bands), dtype=np.float64)
+    for r, chunk in enumerate(np.array_split(samples.astype(np.float64), frames)):
+        e = np.abs(np.fft.rfft(chunk)) ** 2
+        for c, band in enumerate(np.array_split(e[1:], bands)):
+            out[r, c] = np.log1p(band.sum())
+    return out
+
+
+def audio_fingerprint(
+    media: DataFrame, frames: int = 8, bands: int = 9, batch_hint: int = 256
+) -> DataFrame:
+    """(asset_id, afp): 64-bit spectral fingerprint per audio asset —
+    the audio twin of :func:`image_dhash`. The WAV decodes in the
+    Arrow kernel, the (frames x bands) spectrogram packs through the
+    same adjacent-cell comparison as dHash (an 8x9 matrix pools to
+    itself, so :func:`dhash_bits` applies verbatim), and the 8-byte
+    fingerprints are all that ever shuffles."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import wav_decode
+
+        for pdf in _rechunk(batches, batch_hint):
+            ids, fps = [], []
+            for _, r in pdf.iterrows():
+                samples, _rate = wav_decode(bytes(r["content"]))
+                m = audio_spectral_matrix(samples, frames, bands)
+                ids.append(r["asset_id"])
+                fps.append(dhash_bits(m, hash_size=frames))
+            yield pd.DataFrame({"asset_id": ids, "afp": fps})
+
+    auds = media.filter(F.col("media_type") == "audio")
+    return auds.mapInPandas(kernel, "asset_id long, afp long")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 6, bands: int = 16
+) -> DataFrame:
+    """(id_a, id_b, hamming) audio near-dup pairs via the shared banded
+    Hamming blocking (see :func:`image_near_dup_pairs`)."""
+    from .dedup import simhash_near_dup_pairs
+
+    fp = audio_fingerprint(media).select(
+        "asset_id", F.col("afp").alias("simhash")
+    )
+    return simhash_near_dup_pairs(
+        fp, id_col="asset_id", max_hamming=max_hamming, bands=bands
+    )
+
+
+def text_to_wave(
+    text: str | None, n_samples: int = 4096, frames: int = 8
+) -> "np.ndarray":
+    """Deterministic content-keyed SYNTHESIZER, non-stationary by
+    construction: the text's adjacent byte pairs split into ``frames``
+    positional groups, and each time-frame of the wave is the irfft of
+    ITS OWN group's frequency votes ((b1*256+b2) mod bins, DC
+    excluded). Identical texts give identical waves; texts sharing a
+    prefix share the corresponding frames (small fingerprint distance,
+    localized to the edited region); different texts give different
+    dominant tones per frame. Two failure modes this design dodges:
+    a byte-cycled waveform's spectrum is dominated by the cycle PERIOD
+    (same-length texts collide), and a single whole-text synthesis is
+    STATIONARY (all analysis frames alike — only one row of fingerprint
+    bits is effective)."""
+    b = np.frombuffer((text or "").encode("utf-8") or b"\x00", dtype=np.uint8)
+    pairs = (
+        b[:-1].astype(np.int64) * 256 + b[1:]
+        if len(b) >= 2
+        else b.astype(np.int64)
+    )
+    flen = n_samples // frames
+    nbins = flen // 2 - 1
+    out = np.empty(n_samples)
+    for f, grp in enumerate(np.array_split(pairs, frames)):
+        spec = np.zeros(flen // 2 + 1)
+        if len(grp):
+            np.add.at(spec, grp % nbins + 1, 1.0)
+        out[f * flen : (f + 1) * flen] = np.fft.irfft(spec, flen)
+    peak = np.abs(out).max()
+    if peak > 0:
+        out = out / peak * 20000.0
+    return out.astype(np.int16)
+
+
+def audio_from_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 4096,
+    sample_rate: int = 16000,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Encode each document as a REAL mono PCM16 WAV of its
+    :func:`text_to_wave` synthesis — the audio twin of
+    :func:`media_from_text`; identical texts produce identical WAVs,
+    which the audio-dedup registry row relies on."""
+    from .codecs import wav_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _rechunk(batches, batch_hint):
+            rows = []
+            for _, r in pdf.iterrows():
+                wave = text_to_wave(r[text_col], n_samples)
+                rows.append(
+                    {
+                        "asset_id": int(r[id_col]),
+                        "media_type": "audio",
+                        "content": wav_encode(wave, sample_rate),
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "n_frames": 1,
+                            "sample_rate": sample_rate,
+                            "format": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Plan-side resize bookkeeping: computes target dimensions with
     native expressions; the pixel transform itself would ride the same

@@ -957,6 +957,26 @@ def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=6, bands=16)
 
 
+def audio_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup dedup — the audio twin of ``image_dhash_dedup``:
+    text bytes -> REAL mono PCM16 WAV (pure-numpy codec) -> spectral
+    64-bit fingerprint (8-frame x 9-band log-energy grid, adjacent-band
+    comparison bits) -> banded Hamming pairs. Recrawl copies planted at
+    doc_id ≡ 0 (mod 7) + 2_000_000 must surface at hamming 0. Mirror
+    python oracle skips the WAV layer (fingerprints the constructed
+    samples directly) and brute-forces all pairs — proving the codec
+    round trip, the Arrow kernel, and the blocking recall. Driver:
+    rows-only (FFT is not SQL)."""
+    from .llm.multimodal import audio_from_text, audio_near_dup_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    media = audio_from_text(docs.unionByName(recrawl))
+    return audio_near_dup_pairs(media, max_hamming=2, bands=16)
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2897,6 +2917,7 @@ SPARK_QUERIES_EXT = {
     "url_dedup_docs": url_dedup_docs,
     "curate_corpus_docs": curate_corpus_docs,
     "image_dhash_dedup": image_dhash_dedup,
+    "audio_dhash_dedup": audio_dhash_dedup,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,

@@ -219,10 +219,50 @@ def _image_dhash_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
 
+def _audio_dhash_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """Reference for ``audio_dhash_dedup``: constructs the PCM samples
+    straight from text bytes (skipping the WAV encode/decode the
+    registry query round-trips), fingerprints with the library's
+    spectral grid, and brute-forces all Hamming pairs — checking the
+    codec layer, the Arrow kernel plumbing, and the banded blocking's
+    pigeonhole recall (not the FFT itself, which both sides share)."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        audio_spectral_matrix,
+        dhash_bits,
+        text_to_wave,
+    )
+
+    df = con.execute(
+        """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        ORDER BY doc_id
+        """
+    ).fetchdf()
+    ids, fps = [], []
+    for i, t in zip(df["doc_id"], df["text"]):
+        wave = text_to_wave(t if isinstance(t, str) else None)
+        m = audio_spectral_matrix(wave, 8, 9)
+        ids.append(int(i))
+        fps.append(dhash_bits(m, hash_size=8) & ((1 << 64) - 1))
+
+    hs = np.array(fps, dtype=np.uint64)
+    pop = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+    rows = []
+    for i in range(len(hs) - 1):
+        x = (hs[i] ^ hs[i + 1 :]).copy()
+        ham = pop[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        for j in np.nonzero(ham <= 2)[0]:
+            rows.append((ids[i], ids[i + 1 + int(j)], int(ham[j])))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
 PYTHON_ORACLES = {
     "pagerank_suppliers": _pagerank_suppliers_python_oracle,
     "bpe_tokenize_docs": _bpe_tokenize_docs_python_oracle,
     "image_dhash_dedup": _image_dhash_python_oracle,
+    "audio_dhash_dedup": _audio_dhash_python_oracle,
 }
 
 

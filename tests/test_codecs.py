@@ -200,3 +200,52 @@ def test_image_near_dup_pairs_finds_recrawl_copy(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_near_dup_pairs(media, max_hamming=6).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_audio_fingerprint_invariance_and_sensitivity(spark):
+    """Audio fingerprint through the REAL WAV round trip: identical
+    synth waves collide at hamming 0; a prefix-shared text lands close;
+    unrelated text lands far."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        audio_from_text,
+        audio_near_dup_pairs,
+        audio_fingerprint,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:-20] + "and then sat down tired"
+    other = "completely different words about spark shuffles and joins " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    media = audio_from_text(docs)
+    fps = {r["asset_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert fps[1] == fps[2]                    # identical text -> identical WAV
+    # ordering is the contract: a small edit lands strictly closer than
+    # an unrelated text, and the unrelated text is outside the dedup
+    # threshold (absolute distances depend on the toy strings' byte
+    # diversity, so only the ordering and the threshold are asserted)
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+    assert ham(fps[1], fps[4]) > 2
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dup_pairs(media, max_hamming=2).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
+
+
+def test_text_to_wave_is_content_keyed_not_length_keyed():
+    """Two different same-length texts must synthesize different waves
+    (the byte-cycled design this replaced collided on length)."""
+    from quantlab_data_pipeline_spark.llm.multimodal import text_to_wave
+
+    a = text_to_wave("aaaa bbbb cccc dddd")
+    b = text_to_wave("eeee ffff gggg hhhh")
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)
+    assert np.array_equal(a, text_to_wave("aaaa bbbb cccc dddd"))
