@@ -92,6 +92,8 @@ INTAKE = [
     "ml_quality_frozen_docs",
     "url_dedup_docs",
     "curate_corpus_docs",
+    "image_dhash_dedup",
+    "audio_dhash_dedup",
 ]
 
 
