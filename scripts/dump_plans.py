@@ -96,10 +96,27 @@ HEADLINE = [
     "warc_extract_docs",
     "ml_quality_frozen_docs",
     "url_dedup_docs",
+    "curate_corpus_docs",
+    "image_dhash_dedup",
+    "audio_dhash_dedup",
 ]
 
 
 NOTES = {
+    "curate_corpus_docs": (
+        "Extraction + frozen-quality gating fuse into one codegen "
+        "Project; the pipeline's only exchanges are the dedup groupBy "
+        "on md5 keys and the keeper join back."
+    ),
+    "image_dhash_dedup": (
+        "Two Arrow kernels (PNG encode from text, decode+dHash); the "
+        "banded Hamming self-join keys on (band_idx, band_val) over "
+        "8-byte hashes — pixels never leave their scan task."
+    ),
+    "audio_dhash_dedup": (
+        "Same shape as the image twin with WAV + FFT kernels; the "
+        "join side is the 64-bit fingerprint, four 16-bit bands each."
+    ),
     "html_extract_docs": (
         "The whole extraction (subtree strip, block split, per-block "
         "link-density classification, entity decode) is ONE Project "
