@@ -111,23 +111,24 @@ def extract_image_features(
 
         for pdf in _rechunk(batches, batch_hint):
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
                 if decoder == "png":
-                    img = png_decode(bytes(r["content"]))
+                    img = png_decode(bytes(content))
                     if img.ndim == 3:  # luma plane for RGB
                         img = img.mean(axis=2).astype(np.uint8)
                     h, w = img.shape
                 else:
-                    img = _fake_decode(r["content"], w, h)
+                    img = _fake_decode(content, w, h)
                 # feature: row-band mean intensities, fixed dim
                 bands = np.array_split(img, feature_dim, axis=0)
                 feat = [float(b.mean()) for b in bands]
                 rows.append(
                     {
-                        "asset_id": r["asset_id"],
+                        "asset_id": aid,
                         "width": w,
                         "height": h,
                         "mean_intensity": float(img.mean()),
@@ -184,15 +185,16 @@ def image_dhash(
 
         for pdf in _rechunk(batches, batch_hint):
             ids, hashes = [], []
-            for _, r in pdf.iterrows():
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
                 if decoder == "png":
-                    img = png_decode(bytes(r["content"]))
+                    img = png_decode(bytes(content))
                 else:
-                    meta = r["meta"]
                     img = _fake_decode(
-                        r["content"], int(meta["width"] or 16), int(meta["height"] or 16)
+                        content, int(meta["width"] or 16), int(meta["height"] or 16)
                     )
-                ids.append(r["asset_id"])
+                ids.append(aid)
                 hashes.append(dhash_bits(img, hash_size))
             yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
 
@@ -251,10 +253,10 @@ def audio_fingerprint(
 
         for pdf in _rechunk(batches, batch_hint):
             ids, fps = [], []
-            for _, r in pdf.iterrows():
-                samples, _rate = wav_decode(bytes(r["content"]))
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                samples, _rate = wav_decode(bytes(content))
                 m = audio_spectral_matrix(samples, frames, bands)
-                ids.append(r["asset_id"])
+                ids.append(aid)
                 fps.append(dhash_bits(m, hash_size=frames))
             yield pd.DataFrame({"asset_id": ids, "afp": fps})
 
@@ -302,9 +304,9 @@ def text_to_wave(
     nbins = flen // 2 - 1
     out = np.empty(n_samples)
     for f, grp in enumerate(np.array_split(pairs, frames)):
-        spec = np.zeros(flen // 2 + 1)
-        if len(grp):
-            np.add.at(spec, grp % nbins + 1, 1.0)
+        spec = np.bincount(
+            grp % nbins + 1, minlength=flen // 2 + 1
+        ).astype(np.float64)
         out[f * flen : (f + 1) * flen] = np.fft.irfft(spec, flen)
     peak = np.abs(out).max()
     if peak > 0:
@@ -329,11 +331,11 @@ def audio_from_text(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _rechunk(batches, batch_hint):
             rows = []
-            for _, r in pdf.iterrows():
-                wave = text_to_wave(r[text_col], n_samples)
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                wave = text_to_wave(t, n_samples)
                 rows.append(
                     {
-                        "asset_id": int(r[id_col]),
+                        "asset_id": int(i),
                         "media_type": "audio",
                         "content": wav_encode(wave, sample_rate),
                         "meta": {
@@ -403,13 +405,13 @@ def media_from_text(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _rechunk(batches, batch_hint):
             rows = []
-            for _, r in pdf.iterrows():
-                i = int(r[id_col])
+            for raw_id, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(raw_id)
                 if dims is not None:
                     w, h = int(dims[0]), int(dims[1])
                 else:
                     w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
-                b = (r[text_col] or "").encode("utf-8") or b"\x00"
+                b = (t or "").encode("utf-8") or b"\x00"
                 arr = np.resize(np.frombuffer(b, dtype=np.uint8), (h, w))
                 rows.append(
                     {

@@ -54,8 +54,8 @@ def warc_encode(
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id")
         buf = bytearray()
-        for _, r in pdf.iterrows():
-            body = str(r["__html"]).encode("utf-8")
+        for rid, html in zip(pdf["__id"], pdf["__html"]):
+            body = str(html).encode("utf-8")
             http = (
                 f"HTTP/1.1 {status} OK\r\n"
                 f"Content-Type: {content_type}\r\n"
@@ -64,7 +64,7 @@ def warc_encode(
             header = (
                 "WARC/1.0\r\n"
                 "WARC-Type: response\r\n"
-                f"WARC-Target-URI: http://doc/{int(r['__id'])}\r\n"
+                f"WARC-Target-URI: http://doc/{int(rid)}\r\n"
                 "Content-Type: application/http; msgtype=response\r\n"
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode("ascii")
