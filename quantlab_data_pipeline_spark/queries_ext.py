@@ -977,6 +977,45 @@ def audio_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return audio_near_dup_pairs(media, max_hamming=2, bands=16)
 
 
+def domain_quota_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN quota capping over crawl URLs — the web-scale variant
+    of ``source_quota_docs`` (RefinedWeb/FineWeb cap documents per
+    registered domain, not per dataset source). URLs derive from doc_id
+    in the same four shapes as ``url_dedup_docs``; the registered
+    domain (`llm.urls.registered_domain`, eTLD+1 incl. co.uk handling)
+    is the quota key; the 20 md5-smallest docs per domain survive via
+    the SAME two-phase top-k as source_quota (no mega-domain ever
+    shuffles whole into one task). Oracle constructs the domain
+    independently from doc_id and replays the md5 ranking."""
+    from .llm.urls import registered_domain
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    g = F.col("doc_id") % 4
+    seed = (F.col("doc_id") - g).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(g == 0, F.concat(F.lit("HTTP://WWW.Example.COM:80/a/"), did))
+        .when(g == 1, F.concat(F.lit("https://News.Example.CO.UK:443/s/"), did))
+        .when(g == 2, F.concat(F.lit("https://dup.example.com/p/"), seed))
+        .otherwise(F.concat(F.lit("https://Mirror.Archive.ORG/m/"), did))
+    )
+    base = docs.select("doc_id", registered_domain(url).alias("domain"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    local = Window.partitionBy("domain", "__pid").orderBy(h, "doc_id")
+    pruned = (
+        base.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(local))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+    final = Window.partitionBy("domain").orderBy(h, "doc_id")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(final))
+        .filter(F.col("__rn") <= 20)
+        .select("doc_id", "domain")
+    )
+
+
 def chunk_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence-boundary greedy chunking (Python UDTF, SURVEY §2.10 —
     per-row variable-arity imperative output is the one legitimate UDTF
@@ -2918,6 +2957,7 @@ SPARK_QUERIES_EXT = {
     "curate_corpus_docs": curate_corpus_docs,
     "image_dhash_dedup": image_dhash_dedup,
     "audio_dhash_dedup": audio_dhash_dedup,
+    "domain_quota_docs": domain_quota_docs,
     "chunk_sentences_docs": chunk_sentences_docs,
     "gopher_repetition": gopher_repetition,
     "line_dedup_docs": line_dedup_docs,
@@ -5595,6 +5635,28 @@ ORACLE_SQL_EXT["url_dedup_docs"] = """
            doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS is_keeper
     FROM u
     ORDER BY doc_id
+"""
+
+# domain_quota_docs: domain constructed independently from doc_id (the
+# derived URL shapes are fixed), md5 ranking replayed — the two-phase
+# top-k must equal the naive per-domain window.
+ORACLE_SQL_EXT["domain_quota_docs"] = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'example.com'
+                   WHEN 1 THEN 'example.co.uk'
+                   WHEN 2 THEN 'example.com'
+                   ELSE 'archive.org'
+               END AS domain,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), r AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+        FROM u
+    )
+    SELECT doc_id, domain FROM r WHERE rn <= 20 ORDER BY doc_id
 """
 
 # warc_extract_docs: same source-side expectation as html_extract_docs
