@@ -86,7 +86,11 @@ def _drop_non_content(col: Column) -> Column:
     """Stage 1: comments and never-prose subtrees replaced by a space."""
     col = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
     for tag in _DROP_SUBTREES:
-        col = F.regexp_replace(col, rf"(?is)<{tag}[^>]*>.*?</{tag}\s*>", " ")
+        # (\s[^>]*)? — exact-tag match only: bare '<head>' must not
+        # also swallow '<header ...>' (ADVICE r6: a malformed page with
+        # a <header> element and a stray later </head> silently dropped
+        # all article content between them).
+        col = F.regexp_replace(col, rf"(?is)<{tag}(\s[^>]*)?>.*?</{tag}\s*>", " ")
     return col
 
 

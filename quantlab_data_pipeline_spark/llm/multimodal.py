@@ -302,7 +302,11 @@ def text_to_wave(
     )
     flen = n_samples // frames
     nbins = flen // 2 - 1
-    out = np.empty(n_samples)
+    # zeros, not empty: when frames does not divide n_samples the frame
+    # loop only writes frames*flen samples — the tail must be a
+    # deterministic 0, not uninitialized memory, to keep the
+    # identical-text => identical-WAV contract (ADVICE r6).
+    out = np.zeros(n_samples)
     for f, grp in enumerate(np.array_split(pairs, frames)):
         spec = np.bincount(
             grp % nbins + 1, minlength=flen // 2 + 1

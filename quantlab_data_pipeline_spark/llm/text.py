@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language stopword lexicons for the n-gram scoring heuristic.
 STOPWORDS = {
@@ -447,15 +448,28 @@ def stratified_split(
     total = sum(weights.values())
     # Null draws (null id) sort to the very end deterministically on
     # both engines via the 2.0 sentinel — above every real u in [0,1).
-    # Their tie-break is an md5 over the FULL row content (to_json of
-    # all columns), so distinct null-id rows order deterministically on
-    # any engine/partitioning too (closing the ADVICE r2 caveat). Only
-    # fully-identical null-id rows still share a key — and such rows
-    # are interchangeable, so whichever lands in which split the
-    # resulting datasets are identical.
+    # Their tie-break is an md5 row fingerprint, so distinct null-id
+    # rows order deterministically on any engine/partitioning too
+    # (closing the ADVICE r2 caveat).
     u = F.coalesce(hash_uniform(id_col, salt), F.lit(2.0))
-    row_fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    tie = F.coalesce(F.col(id_col).cast("string"), row_fp)
+    # The row fingerprint (a) only ever evaluates for null-id rows —
+    # CASE WHEN short-circuits, so non-null-id rows never pay the
+    # to_json and never require every column to be json-serializable —
+    # and (b) covers only primitively-typed columns: a MapType's key
+    # order or a UDT's rendering is not deterministically serialized,
+    # which would break the engine-independent ordering this relies on
+    # (ADVICE r6). Caveat: null-id rows identical on every primitive
+    # column but differing inside a complex column share a key; such
+    # rows are interchangeable for splitting purposes.
+    _atomic = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.AtomicType)
+    ] or list(df.columns)
+    row_fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in _atomic])))
+    tie = F.when(F.col(id_col).isNull(), row_fp).otherwise(
+        F.col(id_col).cast("string")
+    )
     w_rank = Window.partitionBy(strata_col).orderBy(u, tie)
     w_all = Window.partitionBy(strata_col)
     rn = F.row_number().over(w_rank)

@@ -20,7 +20,9 @@ case-sensitive, hosts are not):
 2. strip the fragment (``#...`` — never sent to the server)
 3. drop default ports (``:80`` for http, ``:443`` for https)
 4. remove tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
-   ``msclkid``, ``ref``) and re-join the survivors in original order
+   ``msclkid``) and re-join the survivors in original order — bare
+   ``ref`` is content-bearing too often (branch selectors, pagination)
+   and is only stripped in the opt-in aggressive mode
 5. drop a now-empty query (trailing ``?``) and a bare trailing slash
    on an empty path (``http://x/`` == ``http://x``)
 """
@@ -33,7 +35,16 @@ from pyspark.sql import functions as F
 #: query parameters that never change page content. Matched
 #: case-sensitively (the trackers emit lowercase; query keys are
 #: case-sensitive per RFC 3986, so "UTM_SOURCE" is conservatively kept).
-TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid", "ref")
+#: Bare "ref" is NOT here (ADVICE r6): it is frequently content-bearing
+#: (?ref=<branch> on code hosts, ?ref=<page> pagination), so stripping
+#: it would merge genuinely different pages — pass
+#: ``AGGRESSIVE_TRACKING_PARAMS`` explicitly to opt in.
+TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid")
+
+#: opt-in aggressive list: adds referrer-style keys that are usually —
+#: but not always — trackers. Only for corpora where the dedup recall
+#: win outweighs occasional false merges.
+AGGRESSIVE_TRACKING_PARAMS = TRACKING_PARAMS + ("ref", "source")
 
 #: common two-level public suffixes for the registered-domain heuristic
 #: (a full Public Suffix List is a data file; these cover the frequent
@@ -54,9 +65,14 @@ def _scheme_host_lower(url: Column) -> Column:
     )
 
 
-def normalize_url(url: str | Column) -> Column:
+def normalize_url(
+    url: str | Column,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
     """Canonical form of a URL column (see module docstring for the
-    exact steps). Null-safe: null stays null."""
+    exact steps). Null-safe: null stays null. Pass
+    ``AGGRESSIVE_TRACKING_PARAMS`` to also strip referrer-style keys
+    (``ref``, ``source``) that are usually — not always — trackers."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.trim(u)
     u = _scheme_host_lower(u)
@@ -67,7 +83,7 @@ def normalize_url(url: str | Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", r"$1$2")
     # tracking params: kill "key=value" whether first (after ?) or
     # later (after &), then normalize separator debris
-    for p in TRACKING_PARAMS:
+    for p in tracking_params:
         u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")   # "?&x" -> "?x"
     u = F.regexp_replace(u, r"&&+", "&")    # "a&&b" -> "a&b"

@@ -249,3 +249,16 @@ def test_text_to_wave_is_content_keyed_not_length_keyed():
     assert a.shape == b.shape
     assert not np.array_equal(a, b)
     assert np.array_equal(a, text_to_wave("aaaa bbbb cccc dddd"))
+
+
+def test_text_to_wave_deterministic_when_frames_dont_divide():
+    """ADVICE r6: with frames ∤ n_samples the unwritten tail was
+    uninitialized memory — identical text must give identical waves for
+    ANY (n_samples, frames), and the tail must be exactly zero."""
+    from quantlab_data_pipeline_spark.llm.multimodal import text_to_wave
+
+    a = text_to_wave("determinism check", n_samples=4100, frames=8)
+    b = text_to_wave("determinism check", n_samples=4100, frames=8)
+    assert np.array_equal(a, b)
+    assert a.shape == (4100,)
+    assert np.all(a[8 * (4100 // 8):] == 0)

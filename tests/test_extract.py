@@ -54,6 +54,20 @@ def test_script_style_comment_contents_never_leak(spark):
     assert "x" * 10 not in out and "y" * 10 not in out and "z" * 10 not in out
 
 
+def test_header_element_not_swallowed_by_head_strip(spark):
+    """ADVICE r6: '<head...>' subtree-strip must not treat an opening
+    '<header>' as '<head'; on a malformed page with a stray later
+    '</head>' that dropped all article content between them."""
+    html = (
+        "<html><body><header>Site menu</header>"
+        f"<p>{ARTICLE}</p>"
+        "</head>"  # stray close tag, malformed page
+        f"<p>{PARA2}</p></body></html>"
+    )
+    out = _extract(spark, html)
+    assert ARTICLE in out and PARA2 in out
+
+
 def test_uppercase_and_attribute_heavy_tags(spark):
     html = (
         f'<DIV CLASS="main" data-x="a>b"><P style="x">{ARTICLE}</P></DIV>'

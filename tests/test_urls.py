@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from quantlab_data_pipeline_spark.llm.urls import (
+    AGGRESSIVE_TRACKING_PARAMS,
     normalize_url,
     registered_domain,
     url_dedup,
@@ -29,7 +30,9 @@ def test_normalize_url_steps(spark):
         # tracking params removed, survivors keep order
         "https://a.com/x?utm_source=f&q=1&utm_medium=m&id=2": "https://a.com/x?q=1&id=2",
         "https://a.com/x?gclid=abc": "https://a.com/x",
-        "https://a.com/x?fbclid=1&ref=tw": "https://a.com/x",
+        # bare ref is content-bearing (branch/pagination) — kept by
+        # default (ADVICE r6); only fbclid goes
+        "https://a.com/x?fbclid=1&ref=tw": "https://a.com/x?ref=tw",
         # empty-query and bare-slash cleanup
         "https://a.com/?": "https://a.com",
         "https://a.com/": "https://a.com",
@@ -88,6 +91,20 @@ def test_plan_is_native(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_aggressive_mode_strips_ref(spark):
+    """Opt-in aggressive list also strips ref/source; the default
+    must not (content-bearing on code hosts / pagination)."""
+    df = spark.createDataFrame(
+        [("https://a.com/x?ref=main&q=1&source=rss",)], "url string"
+    )
+    got = df.select(
+        normalize_url("url").alias("default"),
+        normalize_url("url", AGGRESSIVE_TRACKING_PARAMS).alias("aggr"),
+    ).collect()[0]
+    assert got["default"] == "https://a.com/x?ref=main&q=1&source=rss"
+    assert got["aggr"] == "https://a.com/x?q=1"
 
 
 def test_normalize_is_idempotent(spark):
