@@ -84,6 +84,12 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt IDAT length")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not scan[:, 0].any():
+        # all scanlines filter-0 (what png_encode writes): no
+        # unfiltering needed — skip the per-row Python loop entirely
+        out = np.ascontiguousarray(scan[:, 1:])
+        return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

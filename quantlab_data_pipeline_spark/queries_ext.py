@@ -953,7 +953,15 @@ def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    media = media_from_text(docs.unionByName(recrawl), dims=(32, 32))
+    # fan the CPU-heavy encode/decode kernels out to every core: the
+    # small-sf corpus arrives as ONE parquet split, which would pin the
+    # whole synthesis+fingerprint chain to a single python worker (at
+    # crawl scale the scan has thousands of splits and this repartition
+    # of (id, text) rows is noise)
+    assets = docs.unionByName(recrawl).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = media_from_text(assets, dims=(32, 32))
     return image_near_dup_pairs(media, max_hamming=6, bands=16)
 
 
@@ -973,7 +981,11 @@ def audio_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
-    media = audio_from_text(docs.unionByName(recrawl))
+    # same single-split fan-out as image_dhash_dedup (see there)
+    assets = docs.unionByName(recrawl).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = audio_from_text(assets)
     return audio_near_dup_pairs(media, max_hamming=2, bands=16)
 
 
