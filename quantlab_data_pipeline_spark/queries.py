@@ -1510,3 +1510,45 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# ---------------------------------------------------------------------------
+# Round-7 driver-window rotation (VERDICT r6 item 1, same mechanism as
+# the r3 rotation): the driver's correctness harness records rows for
+# the FIRST 50 registry entries only, and the whole round-6
+# intake/curation family — each fully oracle-checked in the local
+# mirror at sf0.01 AND sf0.1 — sat outside that window, so none of it
+# had DRIVER-verified evidence. Promote the six DuckDB-oracled rows
+# into the window and park six extension-grade rows right after it,
+# where the local mirror (scripts/check_correctness.py, run every
+# round over the full registry) still hash-checks them. Every
+# displaced row keeps an in-window relative exercising the same
+# operator family: cube_counts -> rollup_counts, dense_rank_balances ->
+# topk_per_group, json_struct_parse -> json_extract_cast,
+# pivot_event_counts / distinct_users_exact / revenue_percentiles ->
+# the grouped-aggregate rows (q1, hourly_rollup, rollup_counts).
+_R7_PROMOTED = [
+    "ml_quality_frozen_docs",
+    "html_extract_docs",
+    "warc_extract_docs",
+    "url_dedup_docs",
+    "curate_corpus_docs",
+    "domain_quota_docs",
+]
+_R7_DISPLACED = [
+    "pivot_event_counts",
+    "dense_rank_balances",
+    "json_struct_parse",
+    "cube_counts",
+    "distinct_users_exact",
+    "revenue_percentiles",
+]
+
+_window = [k for k in list(SPARK_QUERIES)[:50] if k not in set(_R7_DISPLACED)]
+_window += _R7_PROMOTED
+assert len(_window) == 50, f"window must stay 50 rows, got {len(_window)}"
+_rest = [k for k in SPARK_QUERIES if k not in set(_window)]
+_reordered = {k: SPARK_QUERIES[k] for k in _window + _R7_DISPLACED}
+_reordered.update({k: SPARK_QUERIES[k] for k in _rest if k not in _reordered})
+assert set(_reordered) == set(SPARK_QUERIES)
+SPARK_QUERIES.clear()
+SPARK_QUERIES.update(_reordered)
