@@ -185,9 +185,15 @@ class JdbcWrdsSource(WrdsSource):
     big at the 100 TB design point — reads in parallel partitioned on
     ``date`` so the scan fans out across executors.
 
-    Untested against a live server in this environment (no network /
-    credentials); the class exists so the DAG's source boundary is real
-    and swappable, per the reference's DataHandler design contract.
+    Live coverage in this environment: every generated query (and the
+    full candidate/degrade ladder of ``_probe_read``) executes against
+    a real local PostgreSQL 15 server loaded with a WRDS-shaped fixture
+    schema — see ``tests/test_wrds_live_pg.py``, which swaps only the
+    transport (``psql --csv`` instead of ``spark.read.format("jdbc")``)
+    because the image ships no postgresql JDBC driver jar. The Spark
+    JDBC *transport* layer itself (fetchsize, date partitioning bounds)
+    therefore remains exercised only by the offline pytests; with a
+    vendored driver jar it would run unchanged.
     """
 
     def __init__(
