@@ -94,6 +94,7 @@ INTAKE = [
     "curate_corpus_docs",
     "image_dhash_dedup",
     "audio_dhash_dedup",
+    "curate_corpus_full",  # round 7: full multimodal composition
 ]
 
 

@@ -5766,3 +5766,306 @@ ORACLE_SQL_EXT["skew_profile_lineitem"] = """
     FROM f, t
     GROUP BY t.top_sum
 """
+
+
+# --------------------------------------------------------------- round 7
+
+
+def curate_corpus_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full multimodal intake composition (VERDICT r6 item 8) — the
+    superset of ``curate_corpus_docs`` a crawl-scale pipeline actually
+    runs, every stage an operator this repo ships and oracle-checks
+    individually:
+
+    0. planted recrawls: doc_id % 7 == 0 re-keyed at +2_000_000 with
+       IDENTICAL text (byte-identical recrawl — exact dedup's prey);
+       doc_id % 5 == 0 re-keyed at +3_000_000 with the squashed text
+       CYCLED to a fixed 1088 chars (byte-different and
+       length-different, so exact dedup must miss it — but its first
+       1024 cycled bytes equal the base's, so the fixed 32x32 frame
+       tiles to IDENTICAL pixels and the perceptual image stage must
+       catch it: the crawl-mirror / re-pagination case perceptual
+       dedup exists for);
+    1. URL dedup over the four derived URL shapes (``llm/urls.py``,
+       same construction as ``url_dedup_docs``) — losers drop with
+       reason 'url_dup';
+    2. boilerplate-wrapped page -> ``html_to_text`` extraction
+       ('too_short' under the 30-char block minimum);
+    3. frozen-weight quality classifier ('quality');
+    4. exact dedup on md5(extracted), min doc_id keeps ('duplicate');
+    5. perceptual image dedup over the text-dedup SURVIVORS: REAL PNG
+       round trip of the extracted text tiled into fixed 32x32 frames
+       (np.resize cycles the bytes to 1024) -> 64-bit dHash ->
+       hash-equality classes (hamming 0), min doc_id keeps
+       ('image_dup');
+    6. audio twin flag over ELIGIBLE docs (post URL/length/quality,
+       pre text-dedup, where twins still exist): text -> REAL WAV ->
+       spectral fingerprint; ``audio_dup`` marks docs whose
+       fingerprint class has >1 member — exact recrawls must flag,
+       everything else must not;
+    7. survivors get the md5-uniform 80/10/10 split.
+
+    Output: (doc_id, kept, reason, audio_dup, split). The DuckDB
+    oracle replays ALL stages from source text in one statement: URL
+    classes from doc_id arithmetic, extraction/quality/text-dedup as
+    in ``curate_corpus_docs``, image classes as md5 of the extracted
+    text CYCLED to 1024 chars (the independent construction of what
+    the PNG->dHash chain must merge: the corpus is pure ASCII, so
+    char cycling == np.resize byte cycling), audio classes as
+    md5(extracted) equality. A hash match therefore proves the PNG
+    and WAV codec round trips, both fingerprint kernels, and the
+    five-stage composition in one comparison. Scale shape: stages
+    1-4 are codegen projections + md5-key exchanges; stages 5-6
+    shuffle only 8-byte fingerprints — pixels and samples never
+    leave their scan task."""
+    from .llm.classifier import score_quality_frozen
+    from .llm.extract import escape_html_text, html_to_text
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    from .llm.multimodal import audio_from_text, audio_fingerprint, image_dhash, media_from_text
+    from .llm.text import hash_uniform
+    from .llm.urls import normalize_url
+
+    base = load_table(spark, sf, "documents").select("doc_id", "text")
+    squash_len = F.length(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    exact_re = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    # the squashed text cycled to a fixed 1088 chars: byte- and
+    # length-different from the base (so md5 text dedup misses it),
+    # but its first 1024 cycled bytes — exactly what np.resize tiles
+    # into the 32x32 frame — equal the base's
+    boiler_re = (
+        base.filter((F.col("doc_id") % 5 == 0) & (squash_len >= 30))
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.expr(
+                "substring(repeat(trim(regexp_replace(text, '\\\\s+', ' ')),"
+                " cast(ceil(1088.0 / length(trim(regexp_replace(text,"
+                " '\\\\s+', ' ')))) as int)), 1, 1088)"
+            ).alias("text"),
+        )
+    )
+    corpus = (
+        base.unionByName(exact_re)
+        .unionByName(boiler_re)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    # stage 1: URL dedup (derived shapes, as url_dedup_docs)
+    g = F.col("doc_id") % 4
+    seed = (F.col("doc_id") - g).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(g == 0, F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/a/"), did,
+            F.lit("?utm_source=x&q=1#frag")))
+        .when(g == 1, F.concat(
+            F.lit("https://News.Example.CO.UK:443/s/"), did))
+        .when(g == 2, F.concat(F.lit("https://dup.example.com/p/"), seed))
+        .otherwise(F.concat(
+            F.lit("https://DUP.Example.com/p/"), seed, F.lit("?utm_medium=y")))
+    )
+    withurl = corpus.withColumn("norm_url", normalize_url(url))
+    url_win = withurl.groupBy("norm_url").agg(F.min("doc_id").alias("__ukeep"))
+    staged0 = withurl.join(url_win, "norm_url").withColumn(
+        "url_ok", F.col("doc_id") == F.col("__ukeep")
+    ).select("doc_id", "text", "url_ok")
+
+    # stages 2-3: extraction + frozen quality
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></body></html>"),
+    )
+    extracted = html_to_text(
+        staged0.select("doc_id", "url_ok", page.alias("html")),
+        "html", "extracted",
+    )
+    scored = score_quality_frozen(
+        extracted, FROZEN_QUALITY_V1_BIAS, FROZEN_QUALITY_V1_WEIGHTS,
+        text_col="extracted",
+    ).select(
+        "doc_id", "extracted", "url_ok",
+        (F.length("extracted") > 0).alias("long_ok"),
+        F.col("ml_keep").alias("qual_ok"),
+    )
+    eligible = scored.filter("url_ok AND long_ok AND qual_ok")
+
+    # stage 4: exact text dedup among eligible
+    t_win = eligible.groupBy(F.md5("extracted").alias("__h")).agg(
+        F.min("doc_id").alias("__tkeep")
+    )
+    t_flag = eligible.join(
+        t_win, F.md5(eligible["extracted"]) == t_win["__h"]
+    ).select("doc_id", (F.col("doc_id") == F.col("__tkeep")).alias("text_win"))
+
+    # stage 5: perceptual image dedup over text-dedup survivors
+    survivors = eligible.join(t_flag.filter("text_win"), "doc_id").select(
+        "doc_id", "extracted"
+    )
+    fp = image_dhash(
+        media_from_text(survivors, text_col="extracted", dims=(32, 32))
+    )
+    i_win = fp.groupBy("dhash").agg(F.min("asset_id").alias("__ikeep"))
+    i_flag = fp.join(i_win, "dhash").select(
+        F.col("asset_id").alias("doc_id"),
+        (F.col("asset_id") == F.col("__ikeep")).alias("image_win"),
+    )
+
+    # stage 6: audio twin flag over eligible (twins still present)
+    afp = audio_fingerprint(
+        audio_from_text(eligible.select("doc_id", "extracted"),
+                        text_col="extracted")
+    )
+    a_win = afp.groupBy("afp").agg(F.count("*").alias("__an"))
+    a_flag = afp.join(a_win, "afp").select(
+        F.col("asset_id").alias("doc_id"),
+        (F.col("__an") > 1).alias("audio_dup"),
+    )
+
+    u = hash_uniform("doc_id", "curate")
+    out = (
+        scored.join(t_flag, "doc_id", "left")
+        .join(i_flag, "doc_id", "left")
+        .join(a_flag, "doc_id", "left")
+    )
+    kept = (
+        F.col("url_ok") & F.col("long_ok") & F.col("qual_ok")
+        & F.coalesce("text_win", F.lit(False))
+        & F.coalesce("image_win", F.lit(False))
+    )
+    return out.select(
+        "doc_id",
+        kept.alias("kept"),
+        F.when(~F.col("long_ok"), "too_short")
+        .when(~F.col("qual_ok"), "quality")
+        .when(~F.col("url_ok"), "url_dup")
+        .when(~F.coalesce("text_win", F.lit(False)), "duplicate")
+        .when(~F.coalesce("image_win", F.lit(False)), "image_dup")
+        .alias("reason"),
+        F.coalesce("audio_dup", F.lit(False)).alias("audio_dup"),
+        F.when(
+            kept,
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+        ).alias("split"),
+    )
+
+
+SPARK_QUERIES_EXT["curate_corpus_full"] = curate_corpus_full
+
+
+def _curate_corpus_full_oracle_sql() -> str:
+    """Replays every curate_corpus_full stage from SOURCE text: URL
+    classes from doc_id arithmetic, extraction/quality/text-dedup as
+    curate_corpus_docs, image classes as md5 of the extracted text
+    cycled to 1024 chars (pure-ASCII corpus: char cycling == np.resize
+    byte cycling, so this is the independent expectation for what the
+    PNG->dHash chain must merge at hamming 0), audio classes as
+    md5(extracted) equality (identical text must fingerprint
+    identically; distinct text must not collide on THIS corpus — a
+    collision would surface as a hash mismatch, which is the point)."""
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    wlist = ", ".join(str(w) for w in FROZEN_QUALITY_V1_WEIGHTS)
+    n = len(FROZEN_QUALITY_V1_WEIGHTS)
+    u = _hash_uniform_sql("curate", "s.doc_id")
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 3000000,
+               substring(repeat(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                   CAST(ceil(1088.0 / length(trim(regexp_replace(text,
+                       '\\s+', ' ', 'g')))) AS INT)), 1, 1088)
+        FROM base
+        WHERE doc_id % 5 = 0
+          AND length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 30
+    ),
+    uflag AS (
+        SELECT doc_id, text,
+               doc_id = min(doc_id) OVER (PARTITION BY
+                   CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 'http://www.example.com/a/' || doc_id
+                                   || '?q=1'
+                       WHEN 1 THEN 'https://news.example.co.uk/s/' || doc_id
+                       ELSE 'https://dup.example.com/p/'
+                            || (doc_id - (doc_id % 4))
+                   END) AS url_ok
+        FROM corpus
+    ),
+    st AS (
+        SELECT doc_id, url_ok,
+               CASE WHEN length(sq) >= 30 THEN sq ELSE '' END AS extracted
+        FROM (
+            SELECT doc_id, url_ok,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                       AS sq
+            FROM uflag
+        )
+    ),
+    scored AS (
+        SELECT doc_id, url_ok, extracted,
+               length(extracted) > 0 AS long_ok,
+               ({FROZEN_QUALITY_V1_BIAS} + coalesce(list_sum(list_transform(
+                   regexp_extract_all(lower(extracted), '[a-z0-9]+'),
+                   t -> [{wlist}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                                  % {n} AS INT) + 1]
+               )), 0)) >= 0 AS qual_ok
+        FROM st
+    ),
+    elig AS (SELECT * FROM scored WHERE url_ok AND long_ok AND qual_ok),
+    tf AS (
+        SELECT doc_id, extracted,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(extracted))
+                   AS text_win
+        FROM elig
+    ),
+    iflag AS (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(substring(
+                   repeat(extracted,
+                          CAST(ceil(1024.0 / length(extracted)) AS INT)),
+                   1, 1024))) AS image_win
+        FROM tf WHERE text_win
+    ),
+    aclass AS (
+        SELECT doc_id,
+               count(*) OVER (PARTITION BY md5(extracted)) > 1 AS audio_dup
+        FROM elig
+    )
+    SELECT s.doc_id,
+           s.url_ok AND s.long_ok AND s.qual_ok
+               AND coalesce(f.text_win, FALSE)
+               AND coalesce(i.image_win, FALSE) AS kept,
+           CASE WHEN NOT s.long_ok THEN 'too_short'
+                WHEN NOT s.qual_ok THEN 'quality'
+                WHEN NOT s.url_ok THEN 'url_dup'
+                WHEN NOT coalesce(f.text_win, FALSE) THEN 'duplicate'
+                WHEN NOT coalesce(i.image_win, FALSE) THEN 'image_dup'
+           END AS reason,
+           coalesce(a.audio_dup, FALSE) AS audio_dup,
+           CASE WHEN s.url_ok AND s.long_ok AND s.qual_ok
+                     AND coalesce(f.text_win, FALSE)
+                     AND coalesce(i.image_win, FALSE)
+                THEN CASE WHEN {u} < 0.8 THEN 'train'
+                          WHEN {u} < 0.9 THEN 'val'
+                          ELSE 'test' END
+           END AS split
+    FROM scored s
+    LEFT JOIN tf f USING (doc_id)
+    LEFT JOIN iflag i USING (doc_id)
+    LEFT JOIN aclass a USING (doc_id)
+    ORDER BY s.doc_id
+    """
+
+
+ORACLE_SQL_EXT["curate_corpus_full"] = _curate_corpus_full_oracle_sql()
