@@ -282,6 +282,79 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _hll_tolerance(con: "duckdb.DuckDBPyConnection", sdf: pd.DataFrame) -> list[str]:
+    """Error-bound check for hll_distinct_rollup_events (VERDICT r6
+    item 5): above sparse mode the HLL estimate is no longer exact, so
+    the cross-scale gate checks the published accuracy contract
+    instead — datasketches HLL rsd = 1.04/sqrt(2^lgk); with lgk=12
+    (storage/rollup.py default) that is 1.625%, and 3*rsd is the
+    99.7%-confidence band."""
+    truth = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type"
+    ).fetchdf()
+    expected = dict(zip(truth["event_type"], truth["n"]))
+    problems: list[str] = []
+    if len(sdf) != len(expected):
+        problems.append(f"groups spark={len(sdf)} truth={len(expected)}")
+    bound = 3 * 1.04 / (2**12) ** 0.5
+    for _, row in sdf.iterrows():
+        exp = expected.get(row["event_type"])
+        if exp is None:
+            problems.append(f"unknown group {row['event_type']!r}")
+            continue
+        rel = abs(float(row["n_distinct"]) - exp) / max(exp, 1)
+        if rel > bound:
+            problems.append(
+                f"{row['event_type']}: rel err {rel:.4f} > 3*rsd {bound:.4f}"
+            )
+    return problems
+
+
+def _kll_tolerance(con: "duckdb.DuckDBPyConnection", sdf: pd.DataFrame) -> list[str]:
+    """Error-bound check for kll_quantile_rollup_events: once merged
+    cells exceed k the sketch compacts and quantiles are approximate;
+    the contract is NORMALIZED RANK error, so each estimate must lie
+    between the true quantiles at rank p +/- eps. k=8192 gives a
+    one-sided rank error ~0.05% (datasketches 2.296/k^0.9433); 0.5%
+    here is a 10x safety margin that still pins p50 to the
+    [0.495, 0.505] rank band."""
+    eps = 0.005
+    problems: list[str] = []
+    for p, col in ((0.5, "q_0_5"), (0.95, "q_0_95"), (0.99, "q_0_99")):
+        band = con.execute(
+            f"""
+            SELECT event_type,
+                   quantile_disc(value, {max(p - eps, 0.0)}) AS lo,
+                   quantile_disc(value, {min(p + eps, 1.0)}) AS hi
+            FROM events GROUP BY event_type
+            """
+        ).fetchdf()
+        bands = {
+            r.event_type: (r.lo, r.hi) for r in band.itertuples(index=False)
+        }
+        for _, row in sdf.iterrows():
+            lo, hi = bands[row["event_type"]]
+            v = float(row[col])
+            if not (lo <= v <= hi):
+                problems.append(
+                    f"{row['event_type']} {col}={v} outside rank band "
+                    f"[{lo}, {hi}] (p +/- {eps})"
+                )
+    return problems
+
+
+# Queries whose exactness is scale-bounded by design (sketches are
+# exact until sparse-mode/compaction boundaries): the mirror tries the
+# exact oracle first and falls back to the published error bound, so
+# the cross-scale gate is green at every sf without weakening the
+# small-sf exact check.
+TOLERANCE_CHECKS = {
+    "hll_distinct_rollup_events": _hll_tolerance,
+    "kll_quantile_rollup_events": _kll_tolerance,
+}
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_df) != len(oracle_df):
@@ -367,6 +440,17 @@ def main() -> int:
                 continue
         problems = compare(name, sdf, odf)
         hard = [p for p in problems if not p.startswith("WARN")]
+        if hard and name in TOLERANCE_CHECKS:
+            tol = TOLERANCE_CHECKS[name](con, sdf)
+            if tol:
+                failed.append(name)
+                print(f"[FAIL] {name}: exact AND tolerance failed: " + "; ".join(tol))
+            else:
+                print(
+                    f"[ok-tol] {name}: {len(sdf)} rows — exact compare off at "
+                    f"this sf (sketch boundary), estimate within error bound"
+                )
+            continue
         if hard:
             failed.append(name)
             print(f"[FAIL] {name}: " + "; ".join(problems))
