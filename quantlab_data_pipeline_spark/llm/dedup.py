@@ -451,7 +451,7 @@ def simhash_near_dup_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 7,
-    bands: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded blocking.
 
@@ -460,7 +460,28 @@ def simhash_near_dup_pairs(
     hamming < ``bands`` is guaranteed a clean band, so recall is exact
     for ``max_hamming`` <= bands-1). The self-join keys on
     (band_idx, band_value) — bucketed, never all-pairs.
+
+    ``bands`` defaults to ``max_hamming + 1`` — the pigeonhole MINIMUM,
+    which is also the SCALE-OPTIMAL choice: recall is exact for every
+    bands >= max_hamming+1 and the final hamming filter is unchanged,
+    so the OUTPUT is identical for any valid bands — but fewer bands
+    mean wider band values (64/bands bits), exponentially more
+    selective buckets, and fewer join candidates. 16 bands at
+    max_hamming=2 key on 4-bit values (16 buckets per band — a
+    quadratic candidate blowup at crawl scale); the minimal 3 bands
+    key on 21-bit values (2M buckets — candidates stay ~linear). The
+    round-7 100k-asset probe measured the difference directly
+    (scripts/multimodal_scaling_probe.py). Bits beyond bands*(64//bands)
+    are uncovered by any band, which only HELPS recall (differences
+    there dirty no band).
     """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} breaks pigeonhole recall for "
+            f"max_hamming={max_hamming}; need bands >= max_hamming+1"
+        )
     width = 64 // bands
     # Both self-join sides reuse the fingerprints; without persist the
     # explode+64-bit-sum aggregation upstream runs twice.

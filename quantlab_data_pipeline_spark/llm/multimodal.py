@@ -260,13 +260,14 @@ def image_dhash(
 def image_near_dup_pairs(
     media: DataFrame,
     max_hamming: int = 10,
-    bands: int = 16,
+    bands: int | None = None,
     decoder: str = "png",
 ) -> DataFrame:
     """(id_a, id_b, hamming) image near-dup pairs: dHash fingerprints
     fed through the SAME banded Hamming blocking as text SimHash
     (``dedup.simhash_near_dup_pairs`` — pigeonhole-exact recall for
-    ``max_hamming`` <= bands-1, bucketed equi-join, never all-pairs).
+    ``max_hamming`` <= bands-1, bucketed equi-join, never all-pairs;
+    bands defaults to the scale-optimal pigeonhole minimum there).
     The 8-byte hashes shuffle; pixels never leave their scan task."""
     from .dedup import simhash_near_dup_pairs
 
@@ -372,7 +373,7 @@ def audio_fingerprint(
 
 
 def audio_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 6, bands: int = 16
+    media: DataFrame, max_hamming: int = 6, bands: int | None = None
 ) -> DataFrame:
     """(id_a, id_b, hamming) audio near-dup pairs via the shared banded
     Hamming blocking (see :func:`image_near_dup_pairs`)."""

@@ -962,7 +962,9 @@ def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     media = media_from_text(assets, dims=(32, 32))
-    return image_near_dup_pairs(media, max_hamming=6, bands=16)
+    # bands defaults to the pigeonhole minimum (7): identical output,
+    # 9-bit band values instead of 4-bit — see simhash_near_dup_pairs
+    return image_near_dup_pairs(media, max_hamming=6)
 
 
 def audio_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -986,7 +988,9 @@ def audio_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     media = audio_from_text(assets)
-    return audio_near_dup_pairs(media, max_hamming=2, bands=16)
+    # bands defaults to the pigeonhole minimum (3): identical output,
+    # 21-bit band values instead of 4-bit — candidates stay ~linear
+    return audio_near_dup_pairs(media, max_hamming=2)
 
 
 def domain_quota_docs(spark: SparkSession, sf: str) -> DataFrame:
