@@ -344,14 +344,80 @@ def _kll_tolerance(con: "duckdb.DuckDBPyConnection", sdf: pd.DataFrame) -> list[
     return problems
 
 
+def _sketch_distinct_tolerance(
+    con: "duckdb.DuckDBPyConnection", sdf: pd.DataFrame
+) -> list[str]:
+    """distinct_users_sketch: n_events must be EXACT; the HLL++
+    estimate (rsd=0.01) must sit within a 4*rsd band of the true
+    distinct count."""
+    truth = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS nd, "
+        "count(*) AS ne FROM events GROUP BY event_type"
+    ).fetchdf()
+    expected = {
+        r.event_type: (r.nd, r.ne) for r in truth.itertuples(index=False)
+    }
+    problems: list[str] = []
+    if len(sdf) != len(expected):
+        problems.append(f"groups spark={len(sdf)} truth={len(expected)}")
+    for _, row in sdf.iterrows():
+        nd, ne = expected[row["event_type"]]
+        if int(row["n_events"]) != ne:
+            problems.append(
+                f"{row['event_type']}: n_events {row['n_events']} != {ne}"
+            )
+        rel = abs(float(row["n_users_approx"]) - nd) / max(nd, 1)
+        if rel > 0.04:
+            problems.append(
+                f"{row['event_type']}: distinct rel err {rel:.4f} > 0.04"
+            )
+    return problems
+
+
+def _approx_quantiles_tolerance(
+    con: "duckdb.DuckDBPyConnection", sdf: pd.DataFrame
+) -> list[str]:
+    """approx_quantiles_events: percentile_approx(accuracy=10000)
+    guarantees rank error <= 1/accuracy; check each estimate against
+    the true quantiles at rank p +/- 0.001 (10x the guarantee)."""
+    eps = 0.001
+    problems: list[str] = []
+    for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+        band = con.execute(
+            f"""
+            SELECT event_type,
+                   quantile_disc(value, {max(p - eps, 0.0)}) AS lo,
+                   quantile_disc(value, {min(p + eps, 1.0)}) AS hi
+            FROM events GROUP BY event_type
+            """
+        ).fetchdf()
+        bands = {
+            r.event_type: (r.lo, r.hi) for r in band.itertuples(index=False)
+        }
+        for _, row in sdf.iterrows():
+            lo, hi = bands[row["event_type"]]
+            v = float(row[col])
+            if not (lo <= v <= hi):
+                problems.append(
+                    f"{row['event_type']} {col}={v} outside rank band "
+                    f"[{lo}, {hi}] (p +/- {eps})"
+                )
+    return problems
+
+
 # Queries whose exactness is scale-bounded by design (sketches are
 # exact until sparse-mode/compaction boundaries): the mirror tries the
-# exact oracle first and falls back to the published error bound, so
-# the cross-scale gate is green at every sf without weakening the
-# small-sf exact check.
+# exact oracle first (when one exists) and falls back to the published
+# error bound, so the cross-scale gate is green at every sf without
+# weakening the small-sf exact check. distinct_users_sketch and
+# approx_quantiles_events have NO exact oracle (sketch values are
+# engine-specific at any sf) — for them the tolerance check upgrades
+# the previous rows-only status to a real accuracy gate.
 TOLERANCE_CHECKS = {
     "hll_distinct_rollup_events": _hll_tolerance,
     "kll_quantile_rollup_events": _kll_tolerance,
+    "distinct_users_sketch": _sketch_distinct_tolerance,
+    "approx_quantiles_events": _approx_quantiles_tolerance,
 }
 
 
@@ -429,7 +495,18 @@ def main() -> int:
                 print(f"[FAIL] {name}: python oracle error: {exc}")
                 continue
         elif sql is None:
-            print(f"[rows-only] {name}: {len(sdf)} rows")
+            if name in TOLERANCE_CHECKS:
+                tol = TOLERANCE_CHECKS[name](con, sdf)
+                if tol:
+                    failed.append(name)
+                    print(f"[FAIL] {name}: tolerance check failed: " + "; ".join(tol))
+                else:
+                    print(
+                        f"[ok-tol] {name}: {len(sdf)} rows — no exact "
+                        f"oracle (sketch), estimate within error bound"
+                    )
+            else:
+                print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
         else:
             try:

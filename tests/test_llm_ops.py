@@ -116,6 +116,24 @@ def test_simhash_near_dup(spark, docs):
     assert (1, 3) in pairs  # one word changed -> few bits differ
 
 
+def test_simhash_banding_output_invariant_and_guarded(spark, docs):
+    """Any bands >= max_hamming+1 must yield the SAME pair set
+    (pigeonhole recall is exact, the hamming filter unchanged) — the
+    round-7 scale fix relies on this; below the minimum must raise."""
+    import pytest
+
+    fps = simhash_fingerprints(docs)
+    key = lambda rows: {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
+    minimal = key(simhash_near_dup_pairs(fps, max_hamming=3).collect())
+    wide = key(
+        simhash_near_dup_pairs(fps, max_hamming=3, bands=16).collect()
+    )
+    mid = key(simhash_near_dup_pairs(fps, max_hamming=3, bands=8).collect())
+    assert minimal == wide == mid
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(fps, max_hamming=3, bands=3)
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0]),
