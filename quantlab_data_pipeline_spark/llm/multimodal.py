@@ -110,32 +110,46 @@ def extract_image_features(
         from .codecs import png_decode
 
         for pdf in _rechunk(batches, batch_hint):
-            rows = []
+            ids, imgs = [], []
             for aid, content, meta in zip(
                 pdf["asset_id"], pdf["content"], pdf["meta"]
             ):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
                 if decoder == "png":
                     img = png_decode(bytes(content))
                     if img.ndim == 3:  # luma plane for RGB
                         img = img.mean(axis=2).astype(np.uint8)
-                    h, w = img.shape
                 else:
-                    img = _fake_decode(content, w, h)
-                # feature: row-band mean intensities, fixed dim
-                bands = np.array_split(img, feature_dim, axis=0)
-                feat = [float(b.mean()) for b in bands]
-                rows.append(
-                    {
-                        "asset_id": aid,
-                        "width": w,
-                        "height": h,
-                        "mean_intensity": float(img.mean()),
-                        "feature": np.array(feat, dtype=np.float64),
-                    }
-                )
-            yield pd.DataFrame(rows)
+                    img = _fake_decode(
+                        content, int(meta["width"] or 16), int(meta["height"] or 16)
+                    )
+                ids.append(aid)
+                imgs.append(img)
+            n = len(imgs)
+            means = np.empty(n)
+            feats: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+            shapes = np.array([im.shape for im in imgs]).reshape(n, 2)
+            # band means per same-shape group in one reduceat pass:
+            # integer pixel sums are exact in float64, so the values
+            # match the per-image array_split means bit-for-bit
+            for shape in np.unique(shapes, axis=0) if n else ():
+                idx = np.nonzero((shapes == shape).all(axis=1))[0]
+                stack = np.stack([imgs[i] for i in idx]).astype(np.float64)
+                h, w = int(shape[0]), int(shape[1])
+                offs = _split_offsets(h, feature_dim)
+                sums = np.add.reduceat(stack, offs[:-1], axis=1).sum(axis=2)
+                band_means = sums / (np.diff(offs) * w)
+                means[idx] = stack.sum(axis=(1, 2)) / (h * w)
+                for j, i in enumerate(idx):
+                    feats[i] = band_means[j]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": shapes[:, 1],
+                    "height": shapes[:, 0],
+                    "mean_intensity": means,
+                    "feature": feats,
+                }
+            )
 
     imgs = media.filter(F.col("media_type") == "image")
     return imgs.mapInPandas(kernel, FEATURE_SCHEMA)
