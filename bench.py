@@ -81,6 +81,7 @@ CURATION = [
     "profile_drift_events",
     "join_profile_tpch",
     "simhash_dedup",
+    "perplexity_bucket_docs",  # round 7: CCNet LM-perplexity terciles
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw

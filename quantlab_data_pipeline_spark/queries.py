@@ -1552,3 +1552,72 @@ _reordered.update({k: SPARK_QUERIES[k] for k in _rest if k not in _reordered})
 assert set(_reordered) == set(SPARK_QUERIES)
 SPARK_QUERIES.clear()
 SPARK_QUERIES.update(_reordered)
+
+# perplexity_bucket_docs oracle lives here (not queries_ext) because it
+# composes the bigram-LM replay with the language-id CASE, whose
+# stopword macros are this module's. Registered AFTER the window
+# reorder, so dict order is unaffected (ORACLE_SQL is not
+# order-sensitive).
+ORACLE_SQL["perplexity_bucket_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS w
+        FROM documents
+    ),
+    db AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM toks WHERE len(w) >= 2
+    ),
+    bc AS (SELECT bigram, CAST(count(*) AS DOUBLE) AS c12
+           FROM db GROUP BY bigram),
+    uc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(count(*) AS DOUBLE) AS c1
+           FROM db GROUP BY 1),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+           FROM (SELECT unnest(w) AS tok FROM toks)),
+    lp AS (
+        SELECT bc.bigram, ln((c12 + 0.5) / (c1 + 0.5 * v)) AS lp
+        FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1
+        CROSS JOIN vv
+    ),
+    sc AS (
+        SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+        FROM db JOIN lp USING (bigram)
+        GROUP BY doc_id
+    ),
+    lang AS (
+        SELECT doc_id,
+               CASE
+                   WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                   WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                   ELSE 'fr'
+               END AS lang_pred
+        FROM (
+            SELECT doc_id, text,
+                   len(list_filter(w, x -> list_contains({_STOP_EN}, x))) AS s_en,
+                   len(list_filter(w, x -> list_contains({_STOP_DE}, x))) AS s_de,
+                   len(list_filter(w, x -> list_contains({_STOP_ES}, x))) AS s_es,
+                   len(list_filter(w, x -> list_contains({_STOP_FR}, x))) AS s_fr
+            FROM toks
+        )
+    ),
+    r AS (
+        SELECT s.doc_id, l.lang_pred, s.avg_logprob,
+               row_number() OVER (PARTITION BY l.lang_pred
+                                  ORDER BY s.avg_logprob DESC, s.doc_id) AS rn,
+               count(*) OVER (PARTITION BY l.lang_pred) AS n
+        FROM sc s JOIN lang l USING (doc_id)
+    )
+    SELECT doc_id, lang_pred, avg_logprob,
+           CASE WHEN rn <= n // 3 THEN 'head'
+                WHEN rn <= (n * 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           rn <= (n * 2) // 3 AS keep
+    FROM r ORDER BY doc_id
+"""

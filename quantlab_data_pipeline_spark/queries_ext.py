@@ -6080,3 +6080,49 @@ def _curate_corpus_full_oracle_sql() -> str:
 
 
 ORACLE_SQL_EXT["curate_corpus_full"] = _curate_corpus_full_oracle_sql()
+
+
+def perplexity_bucket_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's perplexity DECISION step, completing the LM-quality
+    family (`bigram_lm_docs` scores; this buckets and keeps): per
+    LANGUAGE (CCNet trains one LM per language — here the stopword
+    lang-id partitions the corpus), documents rank by mean bigram
+    log-probability (higher = more LM-typical = lower perplexity) and
+    cut into exact head/middle/tail terciles; CCNet keeps head+middle
+    and drops the tail. Ranking key is the ROUNDED avg_logprob (the
+    hash-stable value `bigram_lm_docs` proves engine-identical) with
+    doc_id tie-break, so the cut is deterministic on any engine or
+    partitioning. Docs with fewer than two tokens have no bigrams and
+    are absent (unscorable, the caller's policy decision — same
+    contract as bigram_logprob). Scale shape: the LM is two count
+    aggregates + a broadcast vocab scalar; the tercile cut is one
+    window over the per-language DOC frame (id, lang, score — never
+    tokens); nothing collects."""
+    from .llm.lm import bigram_logprob
+    from .llm.text import with_language_id
+
+    docs = load_table(spark, sf, "documents")
+    scored = bigram_logprob(docs)
+    langs = with_language_id(docs).select("doc_id", "lang_pred")
+    j = scored.join(langs, "doc_id")
+    w_rank = Window.partitionBy("lang_pred").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("lang_pred")
+    rn = F.row_number().over(w_rank)
+    n = F.count(F.lit(1)).over(w_all)
+    bucket = (
+        F.when(rn <= F.floor(n / 3), F.lit("head"))
+        .when(rn <= F.floor(n * 2 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        "doc_id",
+        "lang_pred",
+        "avg_logprob",
+        bucket.alias("ppl_bucket"),
+        (rn <= F.floor(n * 2 / 3)).alias("keep"),
+    )
+
+
+SPARK_QUERIES_EXT["perplexity_bucket_docs"] = perplexity_bucket_docs

@@ -399,3 +399,25 @@ def test_twap_matches_pandas(spark, events_pd):
     for k in exp:
         assert got[k][1] == exp[k][1]
         assert got[k][0] == pytest.approx(exp[k][0], abs=2e-6)
+
+
+def test_perplexity_bucket_terciles_and_keep(spark):
+    """Exact per-language terciles; keep == not tail; ranking
+    deterministic; unscorable (sub-2-token) docs absent."""
+    from quantlab_data_pipeline_spark.queries_ext import perplexity_bucket_docs
+
+    out = perplexity_bucket_docs(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(out["ppl_bucket"]) <= {"head", "middle", "tail"}
+    assert (out["keep"] == (out["ppl_bucket"] != "tail")).all()
+    for lang, g in out.groupby("lang_pred"):
+        n = len(g)
+        counts = g["ppl_bucket"].value_counts()
+        assert counts.get("head", 0) == n // 3
+        assert counts.get("middle", 0) == (n * 2) // 3 - n // 3
+        # within a language, every head score >= every tail score
+        # (ties broken by doc_id cannot cross the rounded-score order)
+        if counts.get("head", 0) and counts.get("tail", 0):
+            assert (
+                g.loc[g["ppl_bucket"] == "head", "avg_logprob"].min()
+                >= g.loc[g["ppl_bucket"] == "tail", "avg_logprob"].max()
+            )
