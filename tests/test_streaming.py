@@ -692,3 +692,86 @@ def test_windowed_psi_streaming_matches_batch(spark):
     )
     expect = sorted(map(tuple, psi_from_cells(batch_cells, hist).collect()))
     assert got == expect and len(got) > 0
+
+
+def test_streaming_crawl_intake_matches_batch(spark, tmp_path):
+    """Round-7 streaming intake: extraction + frozen quality are
+    stateless projections (plans identical to the batch rows); the
+    stateful normalized-URL dedup keeps the FIRST arrival, which equals
+    the batch min-id keeper when arrival order follows doc ids."""
+    import os
+    from pyspark.sql import types as T
+    from quantlab_data_pipeline_spark.llm.classifier import score_quality_frozen
+    from quantlab_data_pipeline_spark.llm.extract import html_to_text
+    from quantlab_data_pipeline_spark.llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    from quantlab_data_pipeline_spark.llm.urls import normalize_url
+    from quantlab_data_pipeline_spark.streaming.intake import streaming_crawl_intake
+    from pyspark.sql import functions as F
+
+    prose = (
+        "The distributed planner rewrites each declarative stage into "
+        "pipelined physical operators and schedules them over the whole "
+        "cluster with adaptive exchanges."
+    )
+    page = lambda body: f'<html><body><nav><a href="/">Home</a></nav><p>{body}</p></body></html>'
+    schema = "doc_id long, url string, html string, fetch_ts timestamp"
+    rows1 = [
+        (1, "HTTP://A.com:80/x?utm_source=z", page(prose), "2024-01-01 10:00:00"),
+        (2, "https://a.com/x", page(prose + " Second fetch."), "2024-01-01 10:01:00"),
+        (3, "https://b.com/y", page("too short"), "2024-01-01 10:02:00"),
+    ]
+    rows2 = [
+        (4, "https://b.com/z#frag", page(prose + " A b.com page."), "2024-01-01 10:03:00"),
+        (5, "https://a.com/x?utm_medium=m", page(prose + " Third fetch."), "2024-01-01 10:04:00"),
+    ]
+    d = tmp_path / "crawl_src"
+    os.makedirs(d)
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        spark.createDataFrame(
+            [(i, u, h, __import__("datetime").datetime.fromisoformat(t))
+             for i, u, h, t in rows],
+            schema,
+        ).coalesce(1).write.parquet(str(d / f"{name}.parquet"))
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        streaming_crawl_intake(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_intake")
+        .option("checkpointLocation", str(tmp_path / "crawl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM crawl_intake").toPandas()
+
+    # batch twin: same projections, min-id keeper per normalized URL
+    all_rows = spark.createDataFrame(
+        [(i, u, h, __import__("datetime").datetime.fromisoformat(t))
+         for i, u, h, t in rows1 + rows2],
+        schema,
+    )
+    ext = html_to_text(all_rows, "html", "text").drop("html")
+    scored = score_quality_frozen(
+        ext, FROZEN_QUALITY_V1_BIAS, FROZEN_QUALITY_V1_WEIGHTS, text_col="text"
+    )
+    kept = scored.filter(F.col("ml_keep") & (F.length("text") >= 1)).withColumn(
+        "norm_url", normalize_url("url")
+    )
+    win = kept.groupBy("norm_url").agg(F.min("doc_id").alias("k"))
+    twin = kept.join(win, "norm_url").filter("doc_id = k").toPandas()
+    assert set(got["doc_id"]) == set(twin["doc_id"])
+    # docs 2 and 5 normalize to the same https URL (2 arrives first and
+    # wins); doc 1's http URL is a DIFFERENT resource and survives; the
+    # short page never reaches the state store
+    assert set(got["doc_id"]) == {1, 2, 4}
+    assert "html" not in got.columns and "text" in got.columns
