@@ -1,0 +1,227 @@
+"""Persistent perceptual-fingerprint index — incremental media dedup.
+
+The media twin of :mod:`.dedup_index` (MinHash text index): a crawl
+ingests image/audio batches continuously, and re-fingerprinting or
+re-shuffling the whole already-accepted corpus per batch is the cost
+this index removes. Stored layout at ``path``:
+
+* ``fingerprints/`` — (asset_id, fp) parquet: 8 bytes per asset plus
+  the id; the pixels/samples NEVER enter the index.
+* ``buckets`` — (asset_id, band_idx, band_val) as a Hive-bucketed
+  table on (band_idx, band_val) (``bucket_n`` buckets): a probe batch
+  shuffles ITSELF into the stored bucketing and the corpus side reads
+  in place — no corpus-wide exchange per batch (same exchange-saving
+  layout the text index measured: the gap grows with index size).
+* ``meta`` — (modality, max_hamming, bands, bucket_n) pinned at build
+  time so callers cannot drift the band structure between batches.
+
+Banding follows ``dedup.simhash_near_dup_pairs``: ``bands`` defaults
+to the pigeonhole minimum ``max_hamming + 1`` (recall exact, widest —
+most selective — band values; see the round-7 probe numbers in
+BASELINE.md). The typical intake loop is
+``flag_new_media -> keep !is_dup -> append_to_media_index``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "build_media_index",
+    "append_to_media_index",
+    "query_media_index",
+    "flag_new_media",
+]
+
+_FINGERPRINTERS = {"image": "image_dhash", "audio": "audio_fingerprint"}
+
+
+def _fingerprint(media: DataFrame, modality: str) -> DataFrame:
+    """(asset_id, fp) via the modality's Arrow kernel."""
+    from . import multimodal
+
+    if modality not in _FINGERPRINTERS:
+        raise ValueError(f"unknown modality {modality!r}")
+    fp = getattr(multimodal, _FINGERPRINTERS[modality])(media)
+    return fp.select("asset_id", F.col(fp.columns[1]).alias("fp"))
+
+
+def _bands(fp_df: DataFrame, bands: int) -> DataFrame:
+    """(asset_id, band_idx, band_val) — bit-band explode of the 64-bit
+    fingerprint, identical construction to simhash_near_dup_pairs."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("fp"), i * width)
+                    .bitwiseAND(mask)
+                    .alias("band_val"),
+                )
+                for i in range(bands)
+            ]
+        )
+    )
+    return fp_df.select("asset_id", band.alias("b")).select(
+        "asset_id", "b.band_idx", "b.band_val"
+    )
+
+
+def _bucket_table_name(path: str) -> str:
+    return "media_idx_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def _register_bucketed(spark: SparkSession, path: str, bucket_n: int) -> DataFrame:
+    name = _bucket_table_name(path)
+    if not spark.catalog.tableExists(name):
+        # SORTED BY must match the writer's sortBy or Spark rejects
+        # appended buckets as a different layout
+        spark.sql(
+            f"CREATE TABLE {name} (asset_id BIGINT, band_idx INT, "
+            f"band_val BIGINT) USING parquet "
+            f"CLUSTERED BY (band_idx, band_val) "
+            f"SORTED BY (band_idx, band_val) INTO {bucket_n} BUCKETS "
+            f"LOCATION '{path}/buckets'"
+        )
+    return spark.table(name)
+
+
+def build_media_index(
+    media: DataFrame,
+    path: str,
+    modality: str = "image",
+    max_hamming: int = 6,
+    bands: int | None = None,
+    bucket_n: int = 8,
+) -> None:
+    """Create the index at ``path`` from the current corpus (overwrite)."""
+    spark = media.sparkSession
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} breaks pigeonhole recall for "
+            f"max_hamming={max_hamming}"
+        )
+    fp = _fingerprint(media, modality).persist()
+    try:
+        fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+        name = _bucket_table_name(path)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _register_bucketed(spark, path, bucket_n)
+        (
+            _bands(fp, bands)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(bucket_n, "band_idx", "band_val")
+            .sortBy("band_idx", "band_val")
+            .saveAsTable(name)
+        )
+    finally:
+        fp.unpersist()
+    spark.createDataFrame(
+        [(modality, max_hamming, bands, bucket_n)],
+        "modality string, max_hamming int, bands int, bucket_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[str, int, int, int]:
+    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    return r["modality"], int(r["max_hamming"]), int(r["bands"]), int(r["bucket_n"])
+
+
+def append_to_media_index(media: DataFrame, path: str) -> None:
+    """Add an accepted batch with the build-time band structure."""
+    spark = media.sparkSession
+    modality, _mh, bands, bucket_n = _read_meta(spark, path)
+    fp = _fingerprint(media, modality).persist()
+    try:
+        fp.write.mode("append").parquet(f"{path}/fingerprints")
+        _register_bucketed(spark, path, bucket_n)  # fresh-session safe
+        (
+            _bands(fp, bands)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(bucket_n, "band_idx", "band_val")
+            .sortBy("band_idx", "band_val")
+            .saveAsTable(_bucket_table_name(path))
+        )
+    finally:
+        fp.unpersist()
+
+
+def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
+    """(new_id, indexed_id, hamming) for every probe asset within the
+    index's ``max_hamming`` of a stored fingerprint. Candidates come
+    from the banded equi-join against the bucketed layout (pigeonhole-
+    exact recall); only the candidate pairs' two 8-byte fingerprints
+    join back for the exact Hamming check."""
+    spark = new_media.sparkSession
+    modality, max_hamming, bands, bucket_n = _read_meta(spark, path)
+    new_fp = _fingerprint(new_media, modality).persist()
+    idx_buckets = _register_bucketed(spark, path, bucket_n)
+    idx_fp = spark.read.parquet(f"{path}/fingerprints")
+    candidates = (
+        _bands(new_fp, bands)
+        .select(F.col("asset_id").alias("new_id"), "band_idx", "band_val")
+        .join(
+            idx_buckets.select(
+                F.col("asset_id").alias("indexed_id"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    return (
+        candidates.join(
+            new_fp.select(F.col("asset_id").alias("new_id"), F.col("fp").alias("fa")),
+            "new_id",
+        )
+        .join(
+            idx_fp.select(
+                F.col("asset_id").alias("indexed_id"), F.col("fp").alias("fb")
+            ),
+            "indexed_id",
+        )
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "indexed_id", "hamming")
+    )
+
+
+def flag_new_media(new_media: DataFrame, path: str) -> DataFrame:
+    """Annotate a probe batch: (asset_id, is_dup, best_match_id,
+    best_hamming, n_matches) — best match = lowest hamming, then lowest
+    indexed id (deterministic)."""
+    pairs = query_media_index(new_media, path)
+    best = (
+        pairs.groupBy("new_id")
+        .agg(
+            F.min(F.struct("hamming", "indexed_id")).alias("__b"),
+            F.count("*").alias("n_matches"),
+        )
+        .select(
+            "new_id",
+            F.col("__b.indexed_id").alias("best_match_id"),
+            F.col("__b.hamming").alias("best_hamming"),
+            "n_matches",
+        )
+    )
+    ids = new_media.select("asset_id").distinct()
+    return (
+        ids.join(best, ids["asset_id"] == best["new_id"], "left")
+        .drop("new_id")
+        .select(
+            "asset_id",
+            F.col("best_match_id").isNotNull().alias("is_dup"),
+            "best_match_id",
+            "best_hamming",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )

@@ -6126,3 +6126,91 @@ def perplexity_bucket_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SPARK_QUERIES_EXT["perplexity_bucket_docs"] = perplexity_bucket_docs
+
+
+def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental perceptual media dedup against a PERSISTED index
+    (``llm/media_index.py`` — the media twin of the bucketed MinHash
+    text index): the indexed corpus is every doc with doc_id % 4 != 3
+    rendered to fixed 32x32 PNGs; the probe batch is (a) recrawls of
+    indexed docs (% 3 == 0, re-keyed at +4_000_000, same text ->
+    identical pixels -> MUST flag with best_match = the original at
+    hamming 0) and (b) the held-out % 4 == 3 docs (never indexed ->
+    MUST pass clean). Only 8-byte fingerprints live in the index; the
+    probe batch shuffles itself into the stored bucketing while the
+    corpus side reads in place. The index is built at max_hamming=0
+    (exact perceptual match) with 4 bands, so the banded candidate
+    join still runs (16-bit band values pull in near-matches; the
+    final filter keeps hamming 0). The oracle derives the expected
+    flags from CONTENT: probe-vs-index equality of the text cycled to
+    1024 chars — exactly the pixels np.resize tiles into the 32x32
+    frame — so planted recrawls AND the corpus's own natural duplicate
+    texts (sf0.1 ships byte-identical texts under different ids; the
+    standalone image row surfaces them as its 51 extra hamming-0
+    pairs) are both predicted, and a lossy dHash collision between
+    DIFFERENT pixels would surface as a loud mismatch. Near-dup
+    recall at hamming>0 is pytest-covered on planted fingerprints.
+    Driver/mirror: full DuckDB oracle."""
+    import tempfile
+
+    from .llm.media_index import build_media_index, flag_new_media
+    from .llm.multimodal import media_from_text
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    indexed = docs.filter(F.col("doc_id") % 4 != 3).repartition(par)
+    probe = (
+        docs.filter((F.col("doc_id") % 4 != 3) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + 4_000_000).alias("doc_id"), "text")
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 3))
+        .repartition(par)
+    )
+    path = tempfile.mkdtemp(prefix="mediaidx-") + "/png32"
+    build_media_index(
+        media_from_text(indexed, dims=(32, 32)), path,
+        modality="image", max_hamming=0, bands=4,
+    )
+    return flag_new_media(media_from_text(probe, dims=(32, 32)), path).select(
+        F.col("asset_id").alias("doc_id"),
+        "is_dup",
+        "best_match_id",
+        "best_hamming",
+        "n_matches",
+    )
+
+
+SPARK_QUERIES_EXT["media_index_dedup_docs"] = media_index_dedup_docs
+
+# media_index_dedup_docs: expected flags from CONTENT — cycled-1024
+# equality between probe and index is the independent construction of
+# the pixels the PNG round trip must reproduce; hamming 0 must equal
+# pixel equality (a lossy dHash collision would mismatch loudly).
+ORACLE_SQL_EXT["media_index_dedup_docs"] = """
+    WITH cyc AS (
+        SELECT doc_id,
+               md5(substring(repeat(text,
+                   CAST(ceil(1024.0 / greatest(length(text), 1)) AS INT)),
+                   1, 1024)) AS ck
+        FROM documents
+    ),
+    idx AS (SELECT doc_id, ck FROM cyc WHERE doc_id % 4 <> 3),
+    probe AS (
+        SELECT doc_id + 4000000 AS doc_id, ck
+        FROM cyc WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, ck FROM cyc WHERE doc_id % 4 = 3
+    ),
+    best AS (
+        SELECT p.doc_id, min(i.doc_id) AS best_match_id,
+               CAST(count(*) AS BIGINT) AS n_matches
+        FROM probe p JOIN idx i USING (ck)
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           b.doc_id IS NOT NULL AS is_dup,
+           b.best_match_id,
+           CASE WHEN b.doc_id IS NOT NULL THEN 0 END AS best_hamming,
+           coalesce(b.n_matches, 0) AS n_matches
+    FROM probe p LEFT JOIN best b USING (doc_id)
+    ORDER BY p.doc_id
+"""
