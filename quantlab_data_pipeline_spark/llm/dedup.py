@@ -486,7 +486,10 @@ def simhash_near_dup_pairs(
     # Both self-join sides reuse the fingerprints; without persist the
     # explode+64-bit-sum aggregation upstream runs twice.
     fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
-    mask = F.lit((1 << width) - 1).cast("long")
+    # Signed-64 view of the low-`width` ones-mask (bands=1, e.g.
+    # max_hamming=0 exact matching, needs all 64 bits = -1 as a long).
+    m = (1 << width) - 1
+    mask = F.lit(m - (1 << 64) if m >= 1 << 63 else m).cast("long")
     band = F.explode(
         F.array(
             *[

@@ -268,7 +268,13 @@ def query_dedup_index(
     new_sigs, new_buckets = _sig_and_buckets(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     )
-    new_sigs = new_sigs.persist()
+    # No persist: the band branch and the estimator branch each
+    # re-shingle the (batch-sized) probe — bounded CPU — while a
+    # persist here would outlive the returned lazy DataFrame and leak
+    # a cached frame per intake batch (ADVICE r7 on the media twin).
+    # Carrying the 64-slot signature through 16 band rows (the media
+    # index's keep_fp fix) would 16x the candidate-join shuffle, so
+    # recomputation is the cheaper leak-free shape for text.
     idx_buckets = _index_buckets(spark, path)
     idx_sigs = spark.read.parquet(f"{path}/signatures")
 

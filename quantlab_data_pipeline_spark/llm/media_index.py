@@ -49,11 +49,20 @@ def _fingerprint(media: DataFrame, modality: str) -> DataFrame:
     return fp.select("asset_id", F.col(fp.columns[1]).alias("fp"))
 
 
-def _bands(fp_df: DataFrame, bands: int) -> DataFrame:
+def _bands(fp_df: DataFrame, bands: int, keep_fp: bool = False) -> DataFrame:
     """(asset_id, band_idx, band_val) — bit-band explode of the 64-bit
-    fingerprint, identical construction to simhash_near_dup_pairs."""
+    fingerprint, identical construction to simhash_near_dup_pairs.
+    ``keep_fp`` carries the 8-byte fingerprint through the band rows
+    (query path: the probe batch is then scanned ONCE — the exact
+    Hamming check reads ``fp`` off the band row instead of joining the
+    fingerprint frame back, so no persist/cache lifecycle exists on
+    the probe side at all)."""
     width = 64 // bands
-    mask = F.lit((1 << width) - 1).cast("long")
+    # Signed-64 view of the low-`width` ones-mask: at bands=1 the band
+    # is the whole fingerprint and (1 << 64) - 1 overflows a Java long,
+    # but its two's-complement value -1 is the same 64 set bits.
+    m = (1 << width) - 1
+    mask = F.lit(m - (1 << 64) if m >= 1 << 63 else m).cast("long")
     band = F.explode(
         F.array(
             *[
@@ -67,9 +76,20 @@ def _bands(fp_df: DataFrame, bands: int) -> DataFrame:
             ]
         )
     )
-    return fp_df.select("asset_id", band.alias("b")).select(
-        "asset_id", "b.band_idx", "b.band_val"
+    head = ["asset_id", "fp"] if keep_fp else ["asset_id"]
+    return fp_df.select(*head, band.alias("b")).select(
+        *head, "b.band_idx", "b.band_val"
     )
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API so
+    any scheme the session can write (local, HDFS, s3a) can also be
+    cleared on rebuild."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def _bucket_table_name(path: str) -> str:
@@ -113,6 +133,11 @@ def build_media_index(
         fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
         name = _bucket_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # The bucket table is EXTERNAL (CREATE ... LOCATION), so DROP
+        # TABLE leaves the files: clear the directory or a rebuild at
+        # an existing path appends fresh band rows on top of stale
+        # ones and the candidate set grows across rebuilds (ADVICE r7).
+        _delete_path(spark, f"{path}/buckets")
         _register_bucketed(spark, path, bucket_n)
         (
             _bands(fp, bands)
@@ -159,31 +184,38 @@ def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
     """(new_id, indexed_id, hamming) for every probe asset within the
     index's ``max_hamming`` of a stored fingerprint. Candidates come
     from the banded equi-join against the bucketed layout (pigeonhole-
-    exact recall); only the candidate pairs' two 8-byte fingerprints
-    join back for the exact Hamming check."""
+    exact recall); only the candidate pairs' 8-byte fingerprints enter
+    the exact Hamming check. The probe fingerprint rides the band rows
+    (``keep_fp`` — 8 extra bytes per band row), so the probe batch is
+    decoded and fingerprinted exactly once per action with NO cached
+    state left behind (the r7 ``persist`` leak is gone by design: the
+    second probe-side join it was caching no longer exists)."""
     spark = new_media.sparkSession
     modality, max_hamming, bands, bucket_n = _read_meta(spark, path)
-    new_fp = _fingerprint(new_media, modality).persist()
+    new_fp = _fingerprint(new_media, modality)
     idx_buckets = _register_bucketed(spark, path, bucket_n)
     idx_fp = spark.read.parquet(f"{path}/fingerprints")
     candidates = (
-        _bands(new_fp, bands)
-        .select(F.col("asset_id").alias("new_id"), "band_idx", "band_val")
+        _bands(new_fp, bands, keep_fp=True)
+        .select(
+            F.col("asset_id").alias("new_id"),
+            F.col("fp").alias("fa"),
+            "band_idx",
+            "band_val",
+        )
         .join(
             idx_buckets.select(
                 F.col("asset_id").alias("indexed_id"), "band_idx", "band_val"
             ),
             ["band_idx", "band_val"],
         )
-        .select("new_id", "indexed_id")
+        # fa is functionally dependent on new_id, so carrying it through
+        # the distinct leaves the candidate cardinality unchanged.
+        .select("new_id", "fa", "indexed_id")
         .distinct()
     )
     return (
         candidates.join(
-            new_fp.select(F.col("asset_id").alias("new_id"), F.col("fp").alias("fa")),
-            "new_id",
-        )
-        .join(
             idx_fp.select(
                 F.col("asset_id").alias("indexed_id"), F.col("fp").alias("fb")
             ),

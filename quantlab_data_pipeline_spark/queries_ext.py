@@ -6151,6 +6151,7 @@ def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     DIFFERENT pixels would surface as a loud mismatch. Near-dup
     recall at hamming>0 is pytest-covered on planted fingerprints.
     Driver/mirror: full DuckDB oracle."""
+    import hashlib
     import tempfile
 
     from .llm.media_index import build_media_index, flag_new_media
@@ -6165,7 +6166,16 @@ def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(docs.filter(F.col("doc_id") % 4 == 3))
         .repartition(par)
     )
-    path = tempfile.mkdtemp(prefix="mediaidx-") + "/png32"
+    # Deterministic per-sf path: repeat runs REBUILD in place (the
+    # build clears {path}/buckets and recreates the one md5-named
+    # catalog table) instead of accumulating a mkdtemp directory and
+    # a catalog entry per invocation (ADVICE r7).
+    path = (
+        tempfile.gettempdir()
+        + "/mediaidx-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+        + "/png32"
+    )
     build_media_index(
         media_from_text(indexed, dims=(32, 32)), path,
         modality="image", max_hamming=0, bands=4,

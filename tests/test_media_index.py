@@ -1,0 +1,270 @@
+"""Persistent perceptual media index (llm/media_index.py).
+
+The intake-loop contract, mirroring tests/test_dedup_index.py for the
+media twin: build once, flag each probe batch against the stored
+8-byte fingerprints (banded candidate join, exact Hamming check),
+append accepted assets. Near-dup recall at max_hamming > 0 is checked
+against a brute-force local dHash computation (pigeonhole recall must
+be EXACT, not probabilistic), rebuilds at an existing path must not
+stack stale bucket rows (ADVICE r7), and no cached DataFrames may
+outlive a query (the r7 persist leak)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quantlab_data_pipeline_spark.llm.codecs import png_encode, wav_encode
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return str(tmp_path / "media_index")
+
+
+_IMG_META = {
+    "width": 40,
+    "height": 40,
+    "n_frames": 1,
+    "sample_rate": None,
+    "format": "png",
+}
+
+
+def _img(seed: int) -> np.ndarray:
+    """Deterministic smooth 40x40 grayscale frame — smooth, so a small
+    local edit moves only a few dHash bits (the property the near-dup
+    tests rely on)."""
+    base = (np.add.outer(np.arange(40), np.arange(40)) * (3 + seed) + seed * 17) % 256
+    return base.astype(np.uint8)
+
+
+def _edit(img: np.ndarray, patch: int) -> np.ndarray:
+    out = img.copy()
+    out[:patch, :patch] = 255
+    return out
+
+
+def _media(spark, imgs: dict[int, np.ndarray]):
+    from quantlab_data_pipeline_spark.llm.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (aid, "image", png_encode(img), _IMG_META) for aid, img in imgs.items()
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_near_dup_recall_matches_brute_force(spark, index_path):
+    """max_hamming > 0: the banded index must return EXACTLY the pairs a
+    brute-force all-pairs dHash comparison finds within the bound —
+    pigeonhole banding is a recall-exact blocking, not an approximation."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        query_media_index,
+    )
+    from quantlab_data_pipeline_spark.llm.multimodal import dhash_bits
+
+    corpus = {i: _img(i) for i in range(1, 6)}
+    probes = {
+        101: corpus[1].copy(),        # exact re-crawl -> hamming 0
+        102: _edit(corpus[2], 4),     # light edit -> small hamming
+        103: _edit(corpus[3], 8),     # heavier edit
+        109: np.random.default_rng(9).integers(0, 256, (40, 40), dtype=np.uint8),
+    }
+    max_h = 8
+    build_media_index(
+        _media(spark, corpus), index_path, modality="image", max_hamming=max_h
+    )
+    expected = {
+        (pid, cid, _ham(dhash_bits(pimg), dhash_bits(cimg)))
+        for pid, pimg in probes.items()
+        for cid, cimg in corpus.items()
+        if _ham(dhash_bits(pimg), dhash_bits(cimg)) <= max_h
+    }
+    assert (101, 1, 0) in expected  # the plant is in scope
+    got = {
+        (r["new_id"], r["indexed_id"], r["hamming"])
+        for r in query_media_index(_media(spark, probes), index_path).collect()
+    }
+    assert got == expected
+
+
+def test_flag_append_then_findable(spark, index_path):
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        append_to_media_index,
+        build_media_index,
+        flag_new_media,
+    )
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(1, 4)}),
+        index_path,
+        modality="image",
+        max_hamming=0,
+    )
+    fresh = _media(spark, {50: _img(50)})
+    flagged = {r["asset_id"]: r for r in flag_new_media(fresh, index_path).collect()}
+    assert not flagged[50]["is_dup"] and flagged[50]["n_matches"] == 0
+    append_to_media_index(fresh, index_path)
+
+    again = _media(spark, {51: _img(50)})  # re-crawl of the appended asset
+    flagged = {r["asset_id"]: r for r in flag_new_media(again, index_path).collect()}
+    assert flagged[51]["is_dup"]
+    assert flagged[51]["best_match_id"] == 50
+    assert flagged[51]["best_hamming"] == 0
+
+
+def test_band_structure_pinned_in_meta(spark, index_path):
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        _read_meta,
+        build_media_index,
+    )
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        build_media_index(
+            _media(spark, {1: _img(1)}), index_path, max_hamming=6, bands=4
+        )
+    build_media_index(_media(spark, {1: _img(1)}), index_path, max_hamming=6)
+    # bands defaults to the pigeonhole minimum max_hamming + 1
+    assert _read_meta(spark, index_path) == ("image", 6, 7, 8)
+
+
+def test_audio_modality_round_trip(spark, index_path):
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        flag_new_media,
+    )
+    from quantlab_data_pipeline_spark.llm.multimodal import MEDIA_SCHEMA
+
+    def tone(freq: float) -> bytes:
+        t = np.arange(800) / 16000.0
+        return wav_encode(
+            (2000 * np.sin(2 * np.pi * freq * t)).astype(np.int16), 16000
+        )
+
+    meta = {
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": 16000,
+        "format": "wav",
+    }
+    corpus = spark.createDataFrame(
+        [(1, "audio", tone(440.0), meta), (2, "audio", tone(1200.0), meta)],
+        MEDIA_SCHEMA,
+    )
+    build_media_index(corpus, index_path, modality="audio", max_hamming=0)
+    probe = spark.createDataFrame(
+        [(10, "audio", tone(440.0), meta), (11, "audio", tone(2500.0), meta)],
+        MEDIA_SCHEMA,
+    )
+    flagged = {r["asset_id"]: r for r in flag_new_media(probe, index_path).collect()}
+    assert flagged[10]["is_dup"] and flagged[10]["best_match_id"] == 1
+    assert not flagged[11]["is_dup"]
+
+
+def test_index_stores_no_pixels(spark, index_path):
+    """The scale contract: ids + 8-byte fingerprints only — payload
+    bytes never enter the index."""
+    from quantlab_data_pipeline_spark.llm.media_index import build_media_index
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(1, 4)}), index_path
+    )
+    fp_cols = spark.read.parquet(f"{index_path}/fingerprints").columns
+    bucket_cols = spark.read.parquet(f"{index_path}/buckets").columns
+    assert set(fp_cols) == {"asset_id", "fp"}
+    assert set(bucket_cols) == {"asset_id", "band_idx", "band_val"}
+
+
+def test_fresh_session_reregisters_bucketed_scan(spark, index_path):
+    """Bucket metadata lives in the session catalog; dropping the table
+    (= a fresh session, files intact) must re-register from meta and
+    keep both the answers and the bucketed index-side scan."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        _bucket_table_name,
+        build_media_index,
+        flag_new_media,
+    )
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(1, 4)}),
+        index_path,
+        max_hamming=0,
+    )
+    probe = _media(spark, {20: _img(2)})
+    before = sorted(
+        (r["asset_id"], r["is_dup"], r["n_matches"])
+        for r in flag_new_media(probe, index_path).collect()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(index_path)}")
+    flagged = flag_new_media(probe, index_path)
+    after = sorted(
+        (r["asset_id"], r["is_dup"], r["n_matches"]) for r in flagged.collect()
+    )
+    assert before == after
+    assert before[0][1]  # the re-crawl of asset 2 is still caught
+    assert "Bucketed: true" in (
+        flagged._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_rebuild_clears_stale_bucket_rows(spark, index_path):
+    """build at an existing path must OVERWRITE: the bucket table is
+    external, so DROP TABLE alone keeps the files and a rebuild would
+    stack new band rows on stale ones (ADVICE r7). After rebuilding
+    with a different corpus the bucket store must hold exactly the new
+    corpus's rows and old assets must be gone from query results."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        query_media_index,
+    )
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(1, 6)}),
+        index_path,
+        max_hamming=0,
+        bands=4,
+    )
+    n_first = spark.read.parquet(f"{index_path}/buckets").count()
+    assert n_first == 5 * 4
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(10, 13)}),
+        index_path,
+        max_hamming=0,
+        bands=4,
+    )
+    assert spark.read.parquet(f"{index_path}/buckets").count() == 3 * 4
+
+    probe = _media(spark, {90: _img(1), 91: _img(10)})
+    got = {
+        (r["new_id"], r["indexed_id"])
+        for r in query_media_index(probe, index_path).collect()
+    }
+    assert got == {(91, 10)}  # asset 1 was only in the replaced corpus
+
+
+def test_query_leaves_no_cached_dataframes(spark, index_path):
+    """The r7 leak: query persisted the probe fingerprints and never
+    released them, accumulating one cached frame per intake batch.
+    After a full flag_new_media materialization the persistent-RDD set
+    must not have grown (build/append persist transiently but release
+    in try/finally)."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        flag_new_media,
+    )
+
+    build_media_index(
+        _media(spark, {i: _img(i) for i in range(1, 4)}), index_path
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for batch_id in (30, 31):
+        flag_new_media(_media(spark, {batch_id: _img(batch_id)}), index_path).collect()
+    assert jsc.getPersistentRDDs().size() == before
