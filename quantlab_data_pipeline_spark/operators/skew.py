@@ -1,4 +1,5 @@
-"""Skew-handling join utilities.
+"""Skew-handling utilities: salted joins, skew diagnosis, and
+giant-group exact ranking.
 
 AQE's skew-join splitting (enabled in the session factory) handles
 sort-merge skew at runtime, but it cannot help when the skewed side
@@ -10,11 +11,17 @@ hot key spreads over ``salt_n`` tasks.
 
 Use when key-frequency skew is known and heavy (one key >> mean);
 measure first — salting multiplies the replicated side by ``salt_n``.
+
+:func:`grouped_global_rank` is the window-skew counterpart: an exact
+``row_number() OVER (PARTITION BY group ORDER BY ...)`` whose plan
+never sorts a whole group in one task — the fix for low-cardinality
+group columns (per-language ranking, per-tenant ordering) where the
+naive window funnels billions of rows through a single partition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,6 +57,87 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )
     return s.join(o, [*on, "__salt"], how).drop("__salt")
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    rank_col: str = "rank",
+    n_col: str = "n_in_group",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group dense ordering without a per-group global sort:
+    ``df`` plus ``rank_col`` (= ``row_number() OVER (PARTITION BY
+    group_cols ORDER BY order_cols)``) and ``n_col`` (= group size).
+
+    The naive window hash-partitions on ``group_cols`` alone, so a
+    low-cardinality group column (a handful of languages over billions
+    of documents) sorts each group's ENTIRE frame through one task —
+    correct at test scale, a straggler-or-OOM at 100x. Two-phase shape
+    instead:
+
+    1. ``repartitionByRange(group_cols + order_cols)`` — each group
+       spreads over consecutive partitions in sort order, every
+       partition holds ~|df|/parts rows regardless of group sizes;
+    2. rank locally within (group, partition) — bounded sorts;
+    3. aggregate the tiny (group, partition) -> count frame, turn it
+       into per-partition rank offsets and group totals with a window
+       over that FRAME (groups x partitions rows, never the data), and
+       broadcast-join the offsets back: global rank = offset + local
+       rank.
+
+    Range partitioning guarantees every row in partition p of group g
+    sorts before every row of g in partition p+1, so composed ranks
+    equal the single-window ranks EXACTLY — provided ``order_cols``
+    (with ``group_cols``) is a total order; pass a unique tie-break
+    column, exactly as a deterministic window requires. Cost: one
+    range exchange + one hash exchange on (group, pid) vs the naive
+    window's single exchange — the price of never building a
+    group-sized task.
+
+    ``order_cols`` entries may be strings or Column sort expressions
+    (``F.desc(...)``); they are used identically for the range
+    partitioning and the local window, which is what makes phases 1
+    and 2 agree."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    group_exprs = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(
+        parts, *group_exprs, *order_exprs
+    ).withColumn("__pid", F.spark_partition_id())
+    local = Window.partitionBy(*group_cols, "__pid").orderBy(*order_exprs)
+    ranked = ranged.withColumn("__local_rn", F.row_number().over(local))
+
+    cell_counts = ranged.groupBy(*group_cols, "__pid").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    by_group = Window.partitionBy(*group_cols).orderBy("__pid")
+    offsets = cell_counts.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(
+                by_group.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+        F.sum("__cnt")
+        .over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias(n_col),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(rank_col, F.col("__offset") + F.col("__local_rn"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
 
 
 def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:

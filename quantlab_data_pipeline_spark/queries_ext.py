@@ -6095,28 +6095,37 @@ def perplexity_bucket_docs(spark: SparkSession, sf: str) -> DataFrame:
     partitioning. Docs with fewer than two tokens have no bigrams and
     are absent (unscorable, the caller's policy decision — same
     contract as bigram_logprob). Scale shape: the LM is two count
-    aggregates + a broadcast vocab scalar; the tercile cut is one
-    window over the per-language DOC frame (id, lang, score — never
-    tokens); nothing collects."""
+    aggregates + a broadcast vocab scalar; the tercile cut uses
+    ``grouped_global_rank`` (VERDICT r7 item 2) — a single-window
+    rank partitioned by language alone would sort each language's
+    WHOLE doc frame through one task (a handful of languages at 100 TB
+    = billions of rows per task), so the rank is composed from
+    range-partitioned local ranks + broadcast per-partition offsets;
+    output is bit-identical to the naive window (equality pytest in
+    tests/test_operators.py) and no task ever holds more than
+    ~|docs|/parts rows."""
     from .llm.lm import bigram_logprob
     from .llm.text import with_language_id
+    from .operators.skew import grouped_global_rank
 
     docs = load_table(spark, sf, "documents")
     scored = bigram_logprob(docs)
     langs = with_language_id(docs).select("doc_id", "lang_pred")
     j = scored.join(langs, "doc_id")
-    w_rank = Window.partitionBy("lang_pred").orderBy(
-        F.desc("avg_logprob"), F.asc("doc_id")
+    ranked = grouped_global_rank(
+        j,
+        group_cols=["lang_pred"],
+        order_cols=[F.desc("avg_logprob"), F.asc("doc_id")],
+        rank_col="__rn",
+        n_col="__n",
     )
-    w_all = Window.partitionBy("lang_pred")
-    rn = F.row_number().over(w_rank)
-    n = F.count(F.lit(1)).over(w_all)
+    rn, n = F.col("__rn"), F.col("__n")
     bucket = (
         F.when(rn <= F.floor(n / 3), F.lit("head"))
         .when(rn <= F.floor(n * 2 / 3), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return j.select(
+    return ranked.select(
         "doc_id",
         "lang_pred",
         "avg_logprob",

@@ -1029,3 +1029,61 @@ def test_bucketed_filter_prunes_buckets(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS bk_prune")
+
+
+def test_grouped_global_rank_equals_naive_window(spark):
+    """grouped_global_rank must reproduce row_number() OVER (PARTITION
+    BY group ORDER BY ...) and the group size EXACTLY — on a skewed
+    frame (one group holds ~90% of rows, the giant-group shape the
+    operator exists for), across desc/asc mixed order and a
+    num_partitions much smaller than the data."""
+    from pyspark.sql import Window
+
+    from quantlab_data_pipeline_spark.operators import grouped_global_rank
+
+    df = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        (F.xxhash64(F.col("id")) % 1000).alias("score"),
+        F.col("id"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    w = Window.partitionBy("grp").orderBy(*order)
+    naive = df.select(
+        "grp",
+        "id",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_in_group"),
+    )
+    got = grouped_global_rank(
+        df, ["grp"], order, num_partitions=8
+    ).select("grp", "id", "rank", "n_in_group")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_grouped_global_rank_no_group_only_data_sort(spark):
+    """The whole point: no window over the DATA may be partitioned by
+    the group column alone (that is the one-task-per-language shape).
+    Group-only windows are allowed only over the aggregated
+    (group, partition) -> count frame — groups x partitions rows —
+    which the plan identifies by its __cnt column. Also pins AQE
+    exchange reuse: the range-partitioned input subtree must execute
+    once, not once per branch."""
+    import re
+
+    from quantlab_data_pipeline_spark.operators import grouped_global_rank
+
+    df = spark.range(1_000).select(
+        (F.col("id") % 3).alias("grp"), F.col("id").alias("v")
+    )
+    out = grouped_global_rank(df, ["grp"], [F.asc("v")], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b.*\], \[grp#\d+L?\](,|$)", line):
+            assert "__cnt" in line, f"group-only window over data: {line}"
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:2000]

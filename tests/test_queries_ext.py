@@ -421,3 +421,43 @@ def test_perplexity_bucket_terciles_and_keep(spark):
                 g.loc[g["ppl_bucket"] == "head", "avg_logprob"].min()
                 >= g.loc[g["ppl_bucket"] == "tail", "avg_logprob"].max()
             )
+
+
+def test_perplexity_bucket_matches_naive_window(spark):
+    """The two-phase grouped_global_rank formulation (VERDICT r7 item
+    2) must be bit-identical to the per-language window it replaced —
+    same rows, same buckets, same keep flags."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.lm import bigram_logprob
+    from quantlab_data_pipeline_spark.llm.text import with_language_id
+    from quantlab_data_pipeline_spark.queries_ext import perplexity_bucket_docs
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    scored = bigram_logprob(docs)
+    langs = with_language_id(docs).select("doc_id", "lang_pred")
+    j = scored.join(langs, "doc_id")
+    w_rank = Window.partitionBy("lang_pred").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    rn = F.row_number().over(w_rank)
+    n = F.count(F.lit(1)).over(Window.partitionBy("lang_pred"))
+    bucket = (
+        F.when(rn <= F.floor(n / 3), F.lit("head"))
+        .when(rn <= F.floor(n * 2 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    naive = j.select(
+        "doc_id",
+        "lang_pred",
+        "avg_logprob",
+        bucket.alias("ppl_bucket"),
+        (rn <= F.floor(n * 2 / 3)).alias("keep"),
+    )
+    got = perplexity_bucket_docs(spark, sf)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
