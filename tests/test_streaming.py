@@ -775,3 +775,91 @@ def test_streaming_crawl_intake_matches_batch(spark, tmp_path):
     # short page never reaches the state store
     assert set(got["doc_id"]) == {1, 2, 4}
     assert "html" not in got.columns and "text" in got.columns
+
+
+def test_streaming_crawl_intake_state_survives_restart(spark, tmp_path):
+    """Stop-and-restart the crawl intake from the SAME checkpoint
+    (VERDICT r7 item 6): the watermarked URL-dedup state must persist —
+    a re-crawl of an already-admitted URL arriving after the restart
+    (inside the watermark window) is still dropped, already-processed
+    pages are not re-emitted, and a genuinely new URL is admitted."""
+    import datetime as _dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.streaming.intake import streaming_crawl_intake
+
+    prose = (
+        "The distributed planner rewrites each declarative stage into "
+        "pipelined physical operators and schedules them over the whole "
+        "cluster with adaptive exchanges."
+    )
+    page = lambda body: (
+        f'<html><body><nav><a href="/">Home</a></nav><p>{body}</p></body></html>'
+    )
+    schema = "doc_id long, url string, html string, fetch_ts timestamp"
+
+    def rows(raw):
+        return [
+            (i, u, h, _dt.datetime.fromisoformat(t)) for i, u, h, t in raw
+        ]
+
+    batch1 = rows(
+        [(1, "https://a.com/x", page(prose), "2024-01-01 10:00:00")]
+    )
+    # doc 2 re-crawls doc 1's URL ACROSS the restart, well inside the
+    # 1-hour watermark; doc 3 is a new URL
+    batch2 = rows(
+        [
+            (2, "https://a.com/x?utm_source=s", page(prose + " Refetch."),
+             "2024-01-01 10:05:00"),
+            (3, "https://b.com/y", page(prose + " New page."),
+             "2024-01-01 10:06:00"),
+        ]
+    )
+    d = tmp_path / "crawl_restart_src"
+    os.makedirs(d)
+    ckpt = str(tmp_path / "crawl_restart_ckpt")
+    sink = tmp_path / "crawl_restart_out"
+
+    def start():
+        src = (
+            spark.readStream.schema(T.StructType.fromDDL(schema))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*.parquet"))
+        )
+        return (
+            streaming_crawl_intake(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert set(
+        r["doc_id"] for r in spark.read.parquet(str(sink)).collect()
+    ) == {1}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(str(sink)).toPandas()
+    # the re-crawl was dropped by state restored from the checkpoint,
+    # nothing was re-emitted, the new URL landed
+    assert final["doc_id"].value_counts().max() == 1
+    assert set(final["doc_id"]) == {1, 3}
