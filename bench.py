@@ -96,6 +96,7 @@ INTAKE = [
     "image_dhash_dedup",
     "audio_dhash_dedup",
     "curate_corpus_full",  # round 7: full multimodal composition
+    "media_index_dedup_docs",  # round 8: persisted perceptual index
 ]
 
 
