@@ -1553,6 +1553,26 @@ assert set(_reordered) == set(SPARK_QUERIES)
 SPARK_QUERIES.clear()
 SPARK_QUERIES.update(_reordered)
 
+# Round-8 rotation (VERDICT r7 item 4, same playbook): promote
+# `media_index_dedup_docs` — the round-7 flagship with a full DuckDB
+# oracle that sat outside the window — so the persisted perceptual
+# index gains DRIVER-verified evidence. Displaced: `embedding_near_dup`
+# (exact all-pairs cosine baseline), whose operator family keeps the
+# in-window relative `embedding_cosine_topk` (same vector expressions,
+# same scoring) and which stays oracle-checked in the mirror at 51.
+_R8_PROMOTED = ["media_index_dedup_docs"]
+_R8_DISPLACED = ["embedding_near_dup"]
+_window8 = [
+    k for k in list(SPARK_QUERIES)[:50] if k not in set(_R8_DISPLACED)
+] + _R8_PROMOTED
+assert len(_window8) == 50, f"window must stay 50 rows, got {len(_window8)}"
+_rest8 = [k for k in SPARK_QUERIES if k not in set(_window8)]
+_reordered8 = {k: SPARK_QUERIES[k] for k in _window8 + _R8_DISPLACED}
+_reordered8.update({k: SPARK_QUERIES[k] for k in _rest8 if k not in _reordered8})
+assert set(_reordered8) == set(SPARK_QUERIES)
+SPARK_QUERIES.clear()
+SPARK_QUERIES.update(_reordered8)
+
 # perplexity_bucket_docs oracle lives here (not queries_ext) because it
 # composes the bigram-LM replay with the language-id CASE, whose
 # stopword macros are this module's. Registered AFTER the window

@@ -37,11 +37,11 @@ FROZEN_FIRST_50 = [
     "sessionize_batch", "asof_join_events", "multimodal_meta",
     "multimodal_features", "text_stats", "text_quality", "language_id",
     "doc_fingerprint", "pii_scrub", "exact_dedup_docs",
-    "ngram_jaccard_dedup", "embedding_cosine_topk", "embedding_near_dup",
+    "ngram_jaccard_dedup", "embedding_cosine_topk",
     "asof_forward_events", "merge_intervals_events", "scd2_events",
     "bm25_search_docs", "ml_quality_frozen_docs", "html_extract_docs",
     "warc_extract_docs", "url_dedup_docs", "curate_corpus_docs",
-    "domain_quota_docs",
+    "domain_quota_docs", "media_index_dedup_docs",
 ]
 
 # Extension queries deliberately promoted into the driver window
@@ -51,7 +51,7 @@ PROMOTED_EXT = {
     "asof_forward_events", "merge_intervals_events", "scd2_events",
     "bm25_search_docs", "ml_quality_frozen_docs", "html_extract_docs",
     "warc_extract_docs", "url_dedup_docs", "curate_corpus_docs",
-    "domain_quota_docs",
+    "domain_quota_docs", "media_index_dedup_docs",
 }
 
 
@@ -73,11 +73,14 @@ def test_extension_queries_register_after_the_window():
     from quantlab_data_pipeline_spark.queries_ext import SPARK_QUERIES_EXT
 
     order = list(SPARK_QUERIES)
-    # Positions 51-61: the six rows displaced by the round-7 rotation
-    # (oracle-checked in the mirror every round), then the rows-only
-    # queries parked outside the window since round 3 (each has an
-    # oracle-checked exact twin inside it).
-    assert order[50:61] == [
+    # Position 51: the row displaced by the round-8 rotation (exact
+    # all-pairs cosine baseline, in-window relative
+    # embedding_cosine_topk); 52-57: the six rows displaced by the
+    # round-7 rotation (oracle-checked in the mirror every round);
+    # then the rows-only queries parked outside the window since round
+    # 3 (each has an oracle-checked exact twin inside it).
+    assert order[50:62] == [
+        "embedding_near_dup",
         "pivot_event_counts", "dense_rank_balances", "json_struct_parse",
         "cube_counts", "distinct_users_exact", "revenue_percentiles",
         "distinct_users_sketch", "minhash_lsh_dedup", "simhash_dedup",
