@@ -224,28 +224,36 @@ def append_to_index(
     spark = docs.sparkSession
     num_hashes, bands, shingle_k = read_index_meta(spark, path)
     bucket_n = _read_bucket_n(spark, path)
-    sigs, buckets = _sig_and_buckets(
-        docs, id_col, text_col, num_hashes, bands, shingle_k
-    )
-    sigs = sigs.persist()
-    try:
-        sigs.write.mode("append").parquet(f"{path}/signatures")
-        if bucket_n:
-            _register_bucketed(spark, path, bucket_n)  # fresh-session safe
-            (
-                buckets.write.mode("append")
-                .format("parquet")
-                .bucketBy(bucket_n, "band_idx", "band_hash")
-                .sortBy("band_idx", "band_hash")
-                .saveAsTable(_bucket_table_name(path))
-            )
-        else:
-            buckets.write.mode("append").parquet(f"{path}/buckets")
-    finally:
-        sigs.unpersist()
-    _exact_hashes(docs, id_col, text_col).write.mode("append").parquet(
-        f"{path}/exact"
-    )
+    # An intake caller naturally derives ``docs`` from a read of this
+    # index (anti-join against {path}/exact or the flag output), and
+    # Spark RE-EXECUTES cached plans whose input paths are appended to
+    # — so a persist here is not a freeze, and without one each write
+    # below would re-evaluate the batch against the partially-mutated
+    # index and silently drop the very docs being admitted.
+    # localCheckpoint materializes batch-sized blocks with no lineage
+    # to re-execute; every write then sees the pre-append decision.
+    sigs = minhash_signatures(
+        ensure_parallelism(docs),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    ).select(id_col, "signature").localCheckpoint()
+    buckets = band_buckets(sigs, id_col=id_col, bands=bands)
+    exact = _exact_hashes(docs, id_col, text_col).localCheckpoint()
+    sigs.write.mode("append").parquet(f"{path}/signatures")
+    if bucket_n:
+        _register_bucketed(spark, path, bucket_n)  # fresh-session safe
+        (
+            buckets.write.mode("append")
+            .format("parquet")
+            .bucketBy(bucket_n, "band_idx", "band_hash")
+            .sortBy("band_idx", "band_hash")
+            .saveAsTable(_bucket_table_name(path))
+        )
+    else:
+        buckets.write.mode("append").parquet(f"{path}/buckets")
+    exact.write.mode("append").parquet(f"{path}/exact")
 
 
 def query_dedup_index(

@@ -161,23 +161,37 @@ def _read_meta(spark: SparkSession, path: str) -> tuple[str, int, int, int]:
 
 
 def append_to_media_index(media: DataFrame, path: str) -> None:
-    """Add an accepted batch with the build-time band structure."""
+    """Add an accepted batch with the build-time band structure.
+
+    Write order is load-bearing: BANDS first, fingerprints last. An
+    intake caller naturally derives ``media`` from a read of
+    ``{path}/fingerprints`` (e.g. anti-joining a batch against what is
+    already indexed), and Spark re-caches cached plans that read a
+    path the moment that path is appended to — so if fingerprints
+    were written first, the bands action would re-evaluate ``media``
+    against the POST-append file list and silently drop every asset
+    it just admitted. With the self-referential write last, both
+    actions see the pre-append index."""
     spark = media.sparkSession
     modality, _mh, bands, bucket_n = _read_meta(spark, path)
-    fp = _fingerprint(media, modality).persist()
-    try:
-        fp.write.mode("append").parquet(f"{path}/fingerprints")
-        _register_bucketed(spark, path, bucket_n)  # fresh-session safe
-        (
-            _bands(fp, bands)
-            .write.mode("append")
-            .format("parquet")
-            .bucketBy(bucket_n, "band_idx", "band_val")
-            .sortBy("band_idx", "band_val")
-            .saveAsTable(_bucket_table_name(path))
-        )
-    finally:
-        fp.unpersist()
+    # localCheckpoint, not persist: persist is NOT a freeze — Spark
+    # re-caches (re-executes) cached plans whose input paths are
+    # written to, so a persisted frame whose lineage reads this index
+    # would silently flip under the second write. Checkpointed blocks
+    # have no lineage to re-execute. Batch-sized, so the
+    # materialization is cheap; blocks are freed when the frame is
+    # garbage-collected.
+    fp = _fingerprint(media, modality).localCheckpoint()
+    _register_bucketed(spark, path, bucket_n)  # fresh-session safe
+    (
+        _bands(fp, bands)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(bucket_n, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .saveAsTable(_bucket_table_name(path))
+    )
+    fp.write.mode("append").parquet(f"{path}/fingerprints")
 
 
 def query_media_index(new_media: DataFrame, path: str) -> DataFrame:

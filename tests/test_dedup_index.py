@@ -236,3 +236,54 @@ def test_bucketed_index_append_keeps_layout(spark, index_path):
     )
     pairs = query_dedup_index(probe, index_path, threshold=0.9).collect()
     assert {(r["new_id"], r["indexed_id"]) for r in pairs} == {(301, 300)}
+
+
+def test_append_with_index_derived_lineage_drops_nothing(spark, index_path):
+    """The intake loop's natural shape: the batch to append is derived
+    from a read of the index itself (anti-join against {path}/exact).
+    Spark re-executes cached/lazy plans whose input paths are appended
+    to, so without the localCheckpoint freeze inside append_to_index
+    the later writes would re-evaluate the anti-join against the
+    partially-mutated index and silently drop the docs being admitted
+    (the bug the media twin hit through its fingerprints path)."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        append_to_index,
+        build_dedup_index,
+        query_dedup_index,
+    )
+
+    build_dedup_index(_corpus(spark), index_path, num_hashes=32, bands=8,
+                      bucket_n=4)
+    batch = _docs(
+        spark,
+        [(500, "an admitted document about lineage freezes and index "
+               "appends " * 3),
+         (501, "another admitted document on checkpoint semantics and "
+               "bucketed layouts " * 3)],
+    )
+    # lineage reads {path}/exact — the self-referential intake shape
+    to_append = batch.join(
+        spark.read.parquet(f"{index_path}/exact")
+        .select(F.col("doc_id").alias("indexed_id")),
+        batch["doc_id"] == F.col("indexed_id"),
+        "left_anti",
+    )
+    append_to_index(to_append, index_path)
+
+    # every appended doc is in all three stores and findable
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_path}/signatures").collect()
+    } >= {500, 501}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{index_path}/exact").collect()
+    } >= {500, 501}
+    probe = _docs(
+        spark,
+        [(600, "an admitted document about lineage freezes and index "
+               "appends " * 3)],
+    )
+    hits = query_dedup_index(probe, index_path, threshold=0.9).collect()
+    assert {(r["new_id"], r["indexed_id"]) for r in hits} == {(600, 500)}

@@ -863,3 +863,122 @@ def test_streaming_crawl_intake_state_survives_restart(spark, tmp_path):
     # nothing was re-emitted, the new URL landed
     assert final["doc_id"].value_counts().max() == 1
     assert set(final["doc_id"]) == {1, 3}
+
+
+def test_streaming_media_intake_twin_and_replay_idempotent(spark, tmp_path):
+    """foreachBatch media intake (streaming/media_intake.py): the
+    persisted perceptual index arbitrates across micro-batches (exact
+    recrawl AND near-dup caught, novel admitted), intra-batch exact
+    copies dedup to the min id, the verdict log equals the manual
+    batch loop, and a REPLAYED batch id (crash between sink and
+    checkpoint commit) leaves the index untouched via the ledger."""
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.llm.codecs import png_encode
+    from quantlab_data_pipeline_spark.llm.multimodal import MEDIA_SCHEMA
+    from quantlab_data_pipeline_spark.streaming.media_intake import (
+        media_intake_sink,
+        read_intake_verdicts,
+    )
+
+    meta = {"width": 40, "height": 40, "n_frames": 1,
+            "sample_rate": None, "format": "png"}
+
+    def img(seed):
+        a = (np.add.outer(np.arange(40), np.arange(40)) * (3 + seed)
+             + seed * 17) % 256
+        return a.astype(np.uint8)
+
+    def edit(a):
+        out = a.copy()
+        out[:3, :3] = 255
+        return out
+
+    A, B, C = img(1), img(2), img(3)
+    b1 = [(1, "image", png_encode(A), meta),
+          (2, "image", png_encode(A), meta),   # intra-batch exact copy
+          (3, "image", png_encode(B), meta)]
+    b2 = [(4, "image", png_encode(A), meta),   # cross-batch exact recrawl
+          (5, "image", png_encode(C), meta),   # novel
+          (6, "image", png_encode(edit(A)), meta)]  # near-dup of A
+
+    import os
+    d = tmp_path / "media_src"
+    os.makedirs(d)
+    idx = str(tmp_path / "media_idx")
+    out = str(tmp_path / "media_out")
+    spark.createDataFrame(b1, MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(b2, MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    src = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        src.writeStream
+        .foreachBatch(media_intake_sink(idx, out, max_hamming=8))
+        .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    v = {r["asset_id"]: r for r in read_intake_verdicts(spark, out).collect()}
+    assert len(v) == 6
+    assert {a for a, r in v.items() if r["kept"]} == {1, 3, 5}
+    assert not v[2]["is_dup"] and not v[2]["kept"]  # lost intra-batch dedup
+    assert v[4]["is_dup"] and v[4]["best_match_id"] == 1
+    assert v[4]["best_hamming"] == 0
+    assert v[6]["is_dup"] and v[6]["best_match_id"] == 1
+    assert 0 < v[6]["best_hamming"] <= 8
+
+    # only keepers' fingerprints entered the index
+    fp_ids = {
+        r["asset_id"]
+        for r in spark.read.parquet(f"{idx}/fingerprints").collect()
+    }
+    assert fp_ids == {1, 3, 5}
+
+    # replayed batch id: ledger skips, index and verdict log unchanged
+    sink = media_intake_sink(idx, out, max_hamming=8)
+    sink(spark.createDataFrame(b2, MEDIA_SCHEMA), 1)
+    assert spark.read.parquet(f"{idx}/fingerprints").count() == 3
+    assert read_intake_verdicts(spark, out).count() == 6
+
+    # harder replay: crash BEFORE the ledger write (ledger entry gone,
+    # the whole sink re-runs) — verdict partition overwrites instead
+    # of duplicating, the anti-join appends nothing twice
+    import shutil
+    shutil.rmtree(f"{idx}/_applied_batch")
+    sink(spark.createDataFrame(b2, MEDIA_SCHEMA), 1)
+    assert spark.read.parquet(f"{idx}/fingerprints").count() == 3
+    v2 = {r["asset_id"]: r for r in read_intake_verdicts(spark, out).collect()}
+    assert len(v2) == 6
+    assert v2[5]["is_dup"] and v2[5]["best_match_id"] == 5  # now vs itself
+    assert not v2[5]["kept"]  # but never re-appended
+
+    # batch twin: the manual loop over the same two batches agrees
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        flag_new_media,
+    )
+
+    idx2 = str(tmp_path / "media_idx_twin")
+    m1 = spark.createDataFrame([b1[0], b1[2]], MEDIA_SCHEMA)  # keepers of b1
+    build_media_index(m1, idx2, modality="image", max_hamming=8)
+    twin = {
+        r["asset_id"]: r
+        for r in flag_new_media(
+            spark.createDataFrame(b2, MEDIA_SCHEMA), idx2
+        ).collect()
+    }
+    for aid in (4, 5, 6):
+        assert twin[aid]["is_dup"] == v[aid]["is_dup"]
+        assert twin[aid]["best_match_id"] == v[aid]["best_match_id"]
+        assert twin[aid]["best_hamming"] == v[aid]["best_hamming"]
