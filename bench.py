@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the JVM-side noop sink (full plan
 execution, no driver collect, no Python serialization in the timing).
+
+MEASUREMENT PROTOCOL (VERDICT r7 item 3 — twice the committed bench
+was taken under concurrent load and read as a regression): a BENCH_rN
+meant for round-over-round comparison must run on an otherwise-idle
+box — never concurrently with the mirror, pytest, or probes. The
+1-minute load average at start is recorded in BENCH_DETAIL.json as
+``loadavg_start`` and a loud stderr warning fires when it exceeds 2,
+so a loaded run is self-evident in the committed artifact.
 """
 
 from __future__ import annotations
@@ -19,6 +27,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_LOADAVG_START = round(os.getloadavg()[0], 2)
+if _LOADAVG_START > 2:
+    print(
+        f"WARNING: loadavg {_LOADAVG_START} at bench start — numbers from "
+        "a loaded box are NOT comparable round-over-round (see protocol "
+        "note in the module docstring)",
+        file=sys.stderr,
+    )
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -189,6 +206,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
+        "loadavg_start": _LOADAVG_START,
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
