@@ -99,10 +99,30 @@ HEADLINE = [
     "curate_corpus_docs",
     "image_dhash_dedup",
     "audio_dhash_dedup",
+    "curate_corpus_full",
+    "perplexity_bucket_docs",
+    "media_index_dedup_docs",
 ]
 
 
 NOTES = {
+    "curate_corpus_full": (
+        "Seven-stage multimodal composition; the scored frame persists "
+        "once and each dedup stage keys on hashes (md5, dHash) — the "
+        "document/pixel payloads never re-shuffle between stages."
+    ),
+    "perplexity_bucket_docs": (
+        "Two-phase grouped_global_rank: range exchange on (lang, score, "
+        "id), local rank per (lang, pid), broadcast offsets — no window "
+        "is partitioned by language alone over the data (round-8 "
+        "de-skew; the counts-frame windows are groups x partitions rows)."
+    ),
+    "media_index_dedup_docs": (
+        "Builds the bucketed perceptual index then probes it: the "
+        "banded candidate join reads the index side with no exchange "
+        "(Bucketed: true), the probe fingerprint rides its band rows, "
+        "and only 8-byte hashes shuffle."
+    ),
     "curate_corpus_docs": (
         "Extraction + frozen-quality gating fuse into one codegen "
         "Project; the pipeline's only exchanges are the dedup groupBy "
