@@ -982,3 +982,51 @@ def test_streaming_media_intake_twin_and_replay_idempotent(spark, tmp_path):
         assert twin[aid]["is_dup"] == v[aid]["is_dup"]
         assert twin[aid]["best_match_id"] == v[aid]["best_match_id"]
         assert twin[aid]["best_hamming"] == v[aid]["best_hamming"]
+
+
+def test_streaming_media_intake_empty_and_audio(spark, tmp_path):
+    """Sink edge cases: an empty micro-batch is a no-op (no index, no
+    ledger entry), and the audio modality runs the same loop through
+    the WAV fingerprint kernel."""
+    import os
+
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.llm.codecs import wav_encode
+    from quantlab_data_pipeline_spark.llm.multimodal import MEDIA_SCHEMA
+    from quantlab_data_pipeline_spark.streaming.media_intake import (
+        media_intake_sink,
+        read_intake_verdicts,
+    )
+
+    idx = str(tmp_path / "audio_idx")
+    out = str(tmp_path / "audio_out")
+    sink = media_intake_sink(idx, out, modality="audio", max_hamming=0)
+
+    empty = spark.createDataFrame([], MEDIA_SCHEMA)
+    sink(empty, 0)
+    assert not os.path.isdir(f"{idx}/meta")  # nothing built
+    assert not os.path.isdir(out)
+
+    meta = {"width": None, "height": None, "n_frames": None,
+            "sample_rate": 16000, "format": "wav"}
+
+    def tone(freq):
+        t = np.arange(800) / 16000.0
+        return wav_encode(
+            (2000 * np.sin(2 * np.pi * freq * t)).astype(np.int16), 16000
+        )
+
+    sink(spark.createDataFrame(
+        [(1, "audio", tone(440.0), meta)], MEDIA_SCHEMA), 1)
+    sink(spark.createDataFrame(
+        [(2, "audio", tone(440.0), meta),      # recrawl of 1
+         (3, "audio", tone(2500.0), meta)], MEDIA_SCHEMA), 2)
+    v = {r["asset_id"]: r for r in read_intake_verdicts(spark, out).collect()}
+    assert v[1]["kept"] and not v[1]["is_dup"]
+    assert v[2]["is_dup"] and v[2]["best_match_id"] == 1 and not v[2]["kept"]
+    assert v[3]["kept"]
+    assert {
+        r["asset_id"]
+        for r in spark.read.parquet(f"{idx}/fingerprints").collect()
+    } == {1, 3}
