@@ -114,6 +114,7 @@ INTAKE = [
     "audio_dhash_dedup",
     "curate_corpus_full",  # round 7: full multimodal composition
     "media_index_dedup_docs",  # round 8: persisted perceptual index
+    "media_intake_loop_docs",  # round 8: incremental intake loop replay
 ]
 
 

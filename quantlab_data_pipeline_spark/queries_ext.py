@@ -6233,3 +6233,91 @@ ORACLE_SQL_EXT["media_index_dedup_docs"] = """
     FROM probe p LEFT JOIN best b USING (doc_id)
     ORDER BY p.doc_id
 """
+
+
+def media_intake_loop_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL media-intake loop end-to-end, driver-checkable
+    (`streaming/media_intake.py` — the foreachBatch sink the
+    `media_index_dedup_docs` row builds toward): documents arrive in
+    three "crawl batches" (doc_id % 3), each rendered to fixed 32x32
+    PNGs; batch 0 builds the perceptual index, batches 1-2 are flagged
+    against everything accepted so far, intra-batch exact copies dedup
+    to the min id, and only keepers' fingerprints append. Returns the
+    accumulated verdict log. At max_hamming=0 a cross-batch duplicate
+    is exactly content equality of the cycled-1024 pixel frame, so the
+    DuckDB oracle replays the whole loop from source text: a doc is
+    kept iff it is the min-id holder of its content key within the
+    EARLIEST batch where that key appears; it is a dup iff its key was
+    accepted in an earlier batch (then exactly one indexed match — one
+    keeper per key ever enters the index). Proves the loop semantics
+    the sink tests assert, against an engine-independent replay. The
+    returned frame is a parquet read (the loop runs eagerly at build
+    time into a deterministic per-sf path, cleared at entry so repeat
+    runs are identical); plan-audit note: the audited plan is the
+    verdict-log scan."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .llm.multimodal import media_from_text
+    from .streaming.media_intake import media_intake_sink, read_intake_verdicts
+
+    base = (
+        tempfile.gettempdir()
+        + "/mediaintake-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx, out = f"{base}/idx", f"{base}/out"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    sink = media_intake_sink(idx, out, modality="image", max_hamming=0, bands=4)
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k).repartition(par)
+        sink(media_from_text(batch, dims=(32, 32)), k)
+    return read_intake_verdicts(spark, out).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("batch_id").cast("int").alias("batch_id"),
+        "is_dup",
+        "best_match_id",
+        "best_hamming",
+        "n_matches",
+        "kept",
+    )
+
+
+SPARK_QUERIES_EXT["media_intake_loop_docs"] = media_intake_loop_docs
+
+# media_intake_loop_docs: the oracle replays the incremental loop from
+# CONTENT — earliest-batch-wins across batches, min-id-wins within a
+# batch, exactly one keeper per content key ever indexed. A dHash
+# collision between different pixel frames, a leaked cache evaluated
+# after an append, or a double-append on any batch would each surface
+# as a loud mismatch in is_dup / n_matches / kept.
+ORACLE_SQL_EXT["media_intake_loop_docs"] = """
+    WITH cyc AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 AS INT) AS b,
+               md5(substring(repeat(text,
+                   CAST(ceil(1024.0 / greatest(length(text), 1)) AS INT)),
+                   1, 1024)) AS ck
+        FROM documents
+    ),
+    firstb AS (SELECT ck, min(b) AS fb FROM cyc GROUP BY ck),
+    keeper AS (
+        SELECT c.ck, min(c.doc_id) AS keeper_id
+        FROM cyc c JOIN firstb f ON c.ck = f.ck AND c.b = f.fb
+        GROUP BY c.ck
+    )
+    SELECT c.doc_id,
+           c.b AS batch_id,
+           f.fb < c.b AS is_dup,
+           CASE WHEN f.fb < c.b THEN k.keeper_id END AS best_match_id,
+           CASE WHEN f.fb < c.b THEN 0 END AS best_hamming,
+           CAST(CASE WHEN f.fb < c.b THEN 1 ELSE 0 END AS BIGINT) AS n_matches,
+           c.b = f.fb AND c.doc_id = k.keeper_id AS kept
+    FROM cyc c
+    JOIN firstb f USING (ck)
+    JOIN keeper k USING (ck)
+    ORDER BY c.doc_id
+"""
