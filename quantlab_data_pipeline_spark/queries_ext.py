@@ -6150,16 +6150,17 @@ def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     corpus side reads in place. The index is built at max_hamming=0
     (exact perceptual match) with 4 bands, so the banded candidate
     join still runs (16-bit band values pull in near-matches; the
-    final filter keeps hamming 0). The oracle derives the expected
-    flags from CONTENT: probe-vs-index equality of the text cycled to
-    1024 chars — exactly the pixels np.resize tiles into the 32x32
-    frame — so planted recrawls AND the corpus's own natural duplicate
-    texts (sf0.1 ships byte-identical texts under different ids; the
-    standalone image row surfaces them as its 51 extra hamming-0
-    pairs) are both predicted, and a lossy dHash collision between
-    DIFFERENT pixels would surface as a loud mismatch. Near-dup
-    recall at hamming>0 is pytest-covered on planted fingerprints.
-    Driver/mirror: full DuckDB oracle."""
+    final filter keeps hamming 0). The oracle replays each frame's
+    64-bit dHash straight from the text bytes in pure SQL
+    (``_dhash32_key_ctes``: cycled-1024 bytes, exact pooling geometry,
+    integer cross-multiplied mean comparisons) and joins on hash
+    equality — the index's exact semantics — so planted recrawls,
+    natural duplicate texts, AND genuine dHash collisions between
+    different texts (sf0.1 ships several; a lossy 64-bit hash collides
+    at scale by design) are all predicted, while any corruption in the
+    PNG round trip or pooling kernel flips replayed bits and
+    mismatches loudly. Near-dup recall at hamming>0 is pytest-covered
+    on planted fingerprints. Driver/mirror: full DuckDB oracle."""
     import hashlib
     import tempfile
 
@@ -6200,29 +6201,85 @@ def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 SPARK_QUERIES_EXT["media_index_dedup_docs"] = media_index_dedup_docs
 
-# media_index_dedup_docs: expected flags from CONTENT — cycled-1024
-# equality between probe and index is the independent construction of
-# the pixels the PNG round trip must reproduce; hamming 0 must equal
-# pixel equality (a lossy dHash collision would mismatch loudly).
-ORACLE_SQL_EXT["media_index_dedup_docs"] = """
-    WITH cyc AS (
+def _dhash32_key_ctes() -> str:
+    """CTE chain ending in ``keyd(doc_id, hk)``: a bit-for-bit SQL
+    replay of the 64-bit dHash each document's fixed 32x32 PNG frame
+    hashes to — computed straight from the text bytes (cycled to 1024,
+    ``np.resize`` semantics; ASCII corpus so char == byte), with the
+    exact ``pool_grid_batch`` geometry (rows split 8x4, cols split
+    [4,4,4,4,4,3,3,3,3]) and the mean comparisons done as
+    cross-multiplied INTEGER block sums, which provably agree with the
+    kernel's float64 means (integer sums; adjacent-mean gaps are >=
+    1/192, orders of magnitude above float64 rounding; exact ties are
+    representable, so strict > agrees). Keying the media oracles on
+    the REAL fingerprint makes lossy dHash collisions between
+    different texts (sf0.1 ships several) predictions instead of
+    false mismatches — and every one of the 64 threshold bits checks
+    the PNG encode->decode->pool pipeline against an independent
+    byte-level reconstruction (prototype validated bit-identical on
+    all 5000 sf0.1 docs against dhash_pack_batch)."""
+    col_starts = [0, 4, 8, 12, 16, 20, 23, 26, 29]
+    col_sizes = [4, 4, 4, 4, 4, 3, 3, 3, 3]
+    sum_exprs = []
+    for r in range(8):
+        for c in range(9):
+            pos = [
+                32 * (4 * r + i) + col_starts[c] + j + 1
+                for i in range(4)
+                for j in range(col_sizes[c])
+            ]
+            sum_exprs.append(f"list_sum(list_select(bl, {pos})) AS s{r}_{c}")
+    bit_exprs = []
+    for r in range(8):
+        for c in range(8):
+            na, nb = 4 * col_sizes[c], 4 * col_sizes[c + 1]
+            bit_exprs.append(
+                f"CASE WHEN s{r}_{c + 1} * {na} > s{r}_{c} * {nb} "
+                "THEN '1' ELSE '0' END"
+            )
+    return f"""
+    raw AS (
         SELECT doc_id,
-               md5(substring(repeat(text,
-                   CAST(ceil(1024.0 / greatest(length(text), 1)) AS INT)),
-                   1, 1024)) AS ck
+               substring(repeat(coalesce(text, ''),
+                   CAST(ceil(1024.0 / greatest(length(coalesce(text, '')), 1))
+                        AS INT)), 1, 1024) AS cyc
         FROM documents
     ),
-    idx AS (SELECT doc_id, ck FROM cyc WHERE doc_id % 4 <> 3),
+    bytes_ AS (
+        SELECT doc_id,
+               list_transform(range(1, 1025),
+                   p -> CASE WHEN p <= length(cyc)
+                             THEN ascii(substr(cyc, CAST(p AS INT), 1))
+                             ELSE 0 END) AS bl
+        FROM raw
+    ),
+    sums AS (SELECT doc_id, {", ".join(sum_exprs)} FROM bytes_),
+    keyd AS (SELECT doc_id, concat({", ".join(bit_exprs)}) AS hk FROM sums)"""
+
+
+# media_index_dedup_docs: expected flags from the REPLAYED FINGERPRINT
+# — the oracle recomputes each frame's 64-bit dHash from text bytes
+# (_dhash32_key_ctes) and joins on hash equality, which IS the index's
+# hamming-0 semantics. Planted recrawls, natural duplicate texts, AND
+# genuine dHash collisions between different texts (present at sf0.1)
+# are all predicted; any corruption in the PNG round trip or the
+# pooling kernel flips replayed bits and mismatches loudly. (Round 7's
+# md5-content key asserted hash equality == content equality, which a
+# lossy 64-bit hash cannot promise at scale — it broke on sf0.1's
+# first real collisions, exactly as its own comment warned.)
+ORACLE_SQL_EXT["media_index_dedup_docs"] = f"""
+    WITH {_dhash32_key_ctes()},
+    idx AS (SELECT doc_id, hk FROM keyd WHERE doc_id % 4 <> 3),
     probe AS (
-        SELECT doc_id + 4000000 AS doc_id, ck
-        FROM cyc WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+        SELECT doc_id + 4000000 AS doc_id, hk
+        FROM keyd WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
         UNION ALL
-        SELECT doc_id, ck FROM cyc WHERE doc_id % 4 = 3
+        SELECT doc_id, hk FROM keyd WHERE doc_id % 4 = 3
     ),
     best AS (
         SELECT p.doc_id, min(i.doc_id) AS best_match_id,
                CAST(count(*) AS BIGINT) AS n_matches
-        FROM probe p JOIN idx i USING (ck)
+        FROM probe p JOIN idx i USING (hk)
         GROUP BY p.doc_id
     )
     SELECT p.doc_id,
@@ -6288,20 +6345,17 @@ def media_intake_loop_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 SPARK_QUERIES_EXT["media_intake_loop_docs"] = media_intake_loop_docs
 
-# media_intake_loop_docs: the oracle replays the incremental loop from
-# CONTENT — earliest-batch-wins across batches, min-id-wins within a
-# batch, exactly one keeper per content key ever indexed. A dHash
-# collision between different pixel frames, a leaked cache evaluated
-# after an append, or a double-append on any batch would each surface
-# as a loud mismatch in is_dup / n_matches / kept.
-ORACLE_SQL_EXT["media_intake_loop_docs"] = """
-    WITH cyc AS (
-        SELECT doc_id,
-               CAST(doc_id % 3 AS INT) AS b,
-               md5(substring(repeat(text,
-                   CAST(ceil(1024.0 / greatest(length(text), 1)) AS INT)),
-                   1, 1024)) AS ck
-        FROM documents
+# media_intake_loop_docs: the oracle replays the incremental loop over
+# the REPLAYED FINGERPRINT (_dhash32_key_ctes — hash equality IS the
+# index's hamming-0 semantics, so real dHash collisions are predicted)
+# — earliest-batch-wins across batches, min-id-wins within a batch,
+# exactly one keeper per fingerprint ever indexed. A leaked cache
+# evaluated after an append or a double-append on any batch would
+# surface as a loud mismatch in is_dup / n_matches / kept.
+ORACLE_SQL_EXT["media_intake_loop_docs"] = f"""
+    WITH {_dhash32_key_ctes()},
+    cyc AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, hk AS ck FROM keyd
     ),
     firstb AS (SELECT ck, min(b) AS fb FROM cyc GROUP BY ck),
     keeper AS (
