@@ -5968,16 +5968,79 @@ def curate_corpus_full(spark: SparkSession, sf: str) -> DataFrame:
 SPARK_QUERIES_EXT["curate_corpus_full"] = curate_corpus_full
 
 
+def _dhash32_key_ctes(
+    src: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE chain ending in ``keyd(doc_id, hk)``: a bit-for-bit SQL
+    replay of the 64-bit dHash a fixed 32x32 PNG frame of ``text_col``
+    hashes to — computed straight from the text bytes (cycled to 1024,
+    ``np.resize`` semantics; ASCII corpus so char == byte), with the
+    exact ``pool_grid_batch`` geometry (rows split 8x4, cols split
+    [4,4,4,4,4,3,3,3,3]) and the mean comparisons done as
+    cross-multiplied INTEGER block sums, which provably agree with the
+    kernel's float64 means (integer sums; adjacent-mean gaps are >=
+    1/192, orders of magnitude above float64 rounding; exact ties are
+    representable, so strict > agrees). Keying the media oracles on
+    the REAL fingerprint makes lossy dHash collisions between
+    different texts (sf0.1 ships several) predictions instead of
+    false mismatches — and every one of the 64 threshold bits checks
+    the PNG encode->decode->pool pipeline against an independent
+    byte-level reconstruction (prototype validated bit-identical on
+    all 5000 sf0.1 docs against dhash_pack_batch). ``src`` may be any
+    relation or parenthesized subquery exposing (id_col, text_col)."""
+    col_starts = [0, 4, 8, 12, 16, 20, 23, 26, 29]
+    col_sizes = [4, 4, 4, 4, 4, 3, 3, 3, 3]
+    sum_exprs = []
+    for r in range(8):
+        for c in range(9):
+            pos = [
+                32 * (4 * r + i) + col_starts[c] + j + 1
+                for i in range(4)
+                for j in range(col_sizes[c])
+            ]
+            sum_exprs.append(f"list_sum(list_select(bl, {pos})) AS s{r}_{c}")
+    bit_exprs = []
+    for r in range(8):
+        for c in range(8):
+            na, nb = 4 * col_sizes[c], 4 * col_sizes[c + 1]
+            bit_exprs.append(
+                f"CASE WHEN s{r}_{c + 1} * {na} > s{r}_{c} * {nb} "
+                "THEN '1' ELSE '0' END"
+            )
+    return f"""
+    raw AS (
+        SELECT {id_col} AS doc_id,
+               substring(repeat(coalesce({text_col}, ''),
+                   CAST(ceil(1024.0
+                        / greatest(length(coalesce({text_col}, '')), 1))
+                        AS INT)), 1, 1024) AS cyc
+        FROM {src}
+    ),
+    bytes_ AS (
+        SELECT doc_id,
+               list_transform(range(1, 1025),
+                   p -> CASE WHEN p <= length(cyc)
+                             THEN ascii(substr(cyc, CAST(p AS INT), 1))
+                             ELSE 0 END) AS bl
+        FROM raw
+    ),
+    sums AS (SELECT doc_id, {", ".join(sum_exprs)} FROM bytes_),
+    keyd AS (SELECT doc_id, concat({", ".join(bit_exprs)}) AS hk FROM sums)"""
+
+
 def _curate_corpus_full_oracle_sql() -> str:
     """Replays every curate_corpus_full stage from SOURCE text: URL
     classes from doc_id arithmetic, extraction/quality/text-dedup as
-    curate_corpus_docs, image classes as md5 of the extracted text
-    cycled to 1024 chars (pure-ASCII corpus: char cycling == np.resize
-    byte cycling, so this is the independent expectation for what the
-    PNG->dHash chain must merge at hamming 0), audio classes as
-    md5(extracted) equality (identical text must fingerprint
-    identically; distinct text must not collide on THIS corpus — a
-    collision would surface as a hash mismatch, which is the point)."""
+    curate_corpus_docs, image classes as the REPLAYED 64-bit dHash of
+    the extracted text cycled to 1024 bytes (``_dhash32_key_ctes`` —
+    hash equality is the stage's actual hamming-0 semantics, so lossy
+    dHash collisions between different texts are predicted rather than
+    false mismatches), audio classes as md5(extracted) equality
+    (identical text must fingerprint identically; distinct text must
+    not collide on THIS corpus — the spectral fingerprint cannot be
+    replayed in SQL, so an audio collision would surface as a hash
+    mismatch and force the python-oracle route; none exist at the
+    shipped sfs)."""
     from .llm.frozen_quality import (
         FROZEN_QUALITY_V1_BIAS,
         FROZEN_QUALITY_V1_WEIGHTS,
@@ -6040,13 +6103,13 @@ def _curate_corpus_full_oracle_sql() -> str:
                    AS text_win
         FROM elig
     ),
+    {_dhash32_key_ctes(
+        src="(SELECT doc_id, extracted AS text FROM tf WHERE text_win)"
+    )},
     iflag AS (
         SELECT doc_id,
-               doc_id = min(doc_id) OVER (PARTITION BY md5(substring(
-                   repeat(extracted,
-                          CAST(ceil(1024.0 / length(extracted)) AS INT)),
-                   1, 1024))) AS image_win
-        FROM tf WHERE text_win
+               doc_id = min(doc_id) OVER (PARTITION BY hk) AS image_win
+        FROM keyd
     ),
     aclass AS (
         SELECT doc_id,
@@ -6200,62 +6263,6 @@ def media_index_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SPARK_QUERIES_EXT["media_index_dedup_docs"] = media_index_dedup_docs
-
-def _dhash32_key_ctes() -> str:
-    """CTE chain ending in ``keyd(doc_id, hk)``: a bit-for-bit SQL
-    replay of the 64-bit dHash each document's fixed 32x32 PNG frame
-    hashes to — computed straight from the text bytes (cycled to 1024,
-    ``np.resize`` semantics; ASCII corpus so char == byte), with the
-    exact ``pool_grid_batch`` geometry (rows split 8x4, cols split
-    [4,4,4,4,4,3,3,3,3]) and the mean comparisons done as
-    cross-multiplied INTEGER block sums, which provably agree with the
-    kernel's float64 means (integer sums; adjacent-mean gaps are >=
-    1/192, orders of magnitude above float64 rounding; exact ties are
-    representable, so strict > agrees). Keying the media oracles on
-    the REAL fingerprint makes lossy dHash collisions between
-    different texts (sf0.1 ships several) predictions instead of
-    false mismatches — and every one of the 64 threshold bits checks
-    the PNG encode->decode->pool pipeline against an independent
-    byte-level reconstruction (prototype validated bit-identical on
-    all 5000 sf0.1 docs against dhash_pack_batch)."""
-    col_starts = [0, 4, 8, 12, 16, 20, 23, 26, 29]
-    col_sizes = [4, 4, 4, 4, 4, 3, 3, 3, 3]
-    sum_exprs = []
-    for r in range(8):
-        for c in range(9):
-            pos = [
-                32 * (4 * r + i) + col_starts[c] + j + 1
-                for i in range(4)
-                for j in range(col_sizes[c])
-            ]
-            sum_exprs.append(f"list_sum(list_select(bl, {pos})) AS s{r}_{c}")
-    bit_exprs = []
-    for r in range(8):
-        for c in range(8):
-            na, nb = 4 * col_sizes[c], 4 * col_sizes[c + 1]
-            bit_exprs.append(
-                f"CASE WHEN s{r}_{c + 1} * {na} > s{r}_{c} * {nb} "
-                "THEN '1' ELSE '0' END"
-            )
-    return f"""
-    raw AS (
-        SELECT doc_id,
-               substring(repeat(coalesce(text, ''),
-                   CAST(ceil(1024.0 / greatest(length(coalesce(text, '')), 1))
-                        AS INT)), 1, 1024) AS cyc
-        FROM documents
-    ),
-    bytes_ AS (
-        SELECT doc_id,
-               list_transform(range(1, 1025),
-                   p -> CASE WHEN p <= length(cyc)
-                             THEN ascii(substr(cyc, CAST(p AS INT), 1))
-                             ELSE 0 END) AS bl
-        FROM raw
-    ),
-    sums AS (SELECT doc_id, {", ".join(sum_exprs)} FROM bytes_),
-    keyd AS (SELECT doc_id, concat({", ".join(bit_exprs)}) AS hk FROM sums)"""
-
 
 # media_index_dedup_docs: expected flags from the REPLAYED FINGERPRINT
 # — the oracle recomputes each frame's 64-bit dHash from text bytes
