@@ -76,6 +76,8 @@ EXTENDED = [
     "pack_documents_docs",
     "bigram_lm_docs",
     "minhash_lsh_dedup",
+    "tfidf_keywords_docs",  # round 8: keyword extraction (postings twin)
+    "hybrid_search_docs",  # round 8: BM25 + dense RRF fusion
 ]
 
 # Round-3 data-ops family — its own stable section so round-over-round

@@ -6382,3 +6382,140 @@ ORACLE_SQL_EXT["media_intake_loop_docs"] = f"""
     JOIN keeper k USING (ck)
     ORDER BY c.doc_id
 """
+
+
+def tfidf_keywords_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf
+    (``llm/search.py tfidf_keywords``) — the labeling/feature twin of
+    the BM25 retrieval family, sharing its inverted-postings build (the
+    one corpus-sized shuffle; persistable and reusable between the
+    two). Document frequencies shuffle only (term, count) pairs, N is
+    a one-row broadcast, and the ranking window partitions by doc_id,
+    so no task ever sorts more than one document's distinct terms —
+    the per-doc-bounded window shape, safe at any corpus size. Rank
+    keys on the ROUNDED tfidf with a term tie-break, so the cut is
+    engine-deterministic and the whole path oracle-checks exactly."""
+    from .llm.search import tfidf_keywords
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_keywords(docs, top_k=3)
+
+
+SPARK_QUERIES_EXT["tfidf_keywords_docs"] = tfidf_keywords_docs
+
+ORACLE_SQL_EXT["tfidf_keywords_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_W} AS w FROM documents
+    ), postings AS (
+        SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks
+    ), tf AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        FROM postings GROUP BY term, doc_id, dl
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT doc_id, term,
+               round((tf / dl) * ln(n_docs / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+"""
+
+
+def hybrid_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style hybrid retrieval (``llm/search.py hybrid_search``):
+    BM25 lexical top-20 fused with embedding-cosine dense top-20 by
+    reciprocal-rank fusion (rrf = sum over lists of 1/(60+rank) —
+    Cormack et al.), the standard first stage of a retrieval-augmented
+    pipeline. Scale shape: the lexical side touches only the query
+    terms' postings and cuts with TakeOrderedAndProject (per-partition
+    heaps, no global sort); the dense side broadcasts the single query
+    vector over one corpus scan (zero corpus shuffle) and ranks with
+    the per-query window; the fusion aggregates a <= 2k-row union.
+    Both rank lists key on rounded scores with id tie-breaks, so the
+    fused ranks replay exactly in SQL."""
+    from .llm.search import hybrid_search
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    return hybrid_search(
+        docs,
+        emb,
+        query_terms=["spark", "window", "merge"],
+        query_vecs=emb.filter(F.col("vec_id") == 0),
+        k=20,
+    )
+
+
+SPARK_QUERIES_EXT["hybrid_search_docs"] = hybrid_search_docs
+
+# The oracle replays both retrieval legs from scratch: the BM25 CTE is
+# the bm25_search_docs oracle verbatim, the dense leg is the
+# embedding_cosine_topk cosine (unit-vector dot, rounded) for the one
+# query vector, and the fusion is plain arithmetic over the two
+# top-20 rank lists.
+ORACLE_SQL_EXT["hybrid_search_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_W} AS w FROM documents
+    ), postings AS (
+        SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks
+    ), tf AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        FROM postings
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY term, doc_id, dl
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(w)) AS avgdl
+        FROM toks
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score DESC, doc_id ASC
+            ) AS INT) AS rank FROM bm25
+        ) t WHERE rank <= 20
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+        SELECT vec_id AS doc_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS score
+        FROM embeddings, q WHERE vec_id <> 0
+    ), dtop AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score DESC, doc_id ASC
+            ) AS INT) AS rank FROM dense
+        ) t WHERE rank <= 20
+    ), u AS (
+        SELECT doc_id, 'bm25' AS l, rank FROM lex
+        UNION ALL
+        SELECT doc_id, 'dense' AS l, rank FROM dtop
+    )
+    SELECT doc_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(max(CASE WHEN l = 'bm25' THEN rank END) AS INT) AS bm25_rank,
+           CAST(max(CASE WHEN l = 'dense' THEN rank END) AS INT) AS dense_rank
+    FROM u GROUP BY doc_id
+"""

@@ -1160,3 +1160,127 @@ def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
     }
     assert fuzzy[1] is True
     assert fuzzy[2] is False
+
+
+def test_tfidf_keywords_python_recompute(spark):
+    """Top-3 keywords per doc recomputed in plain python at sf0.001 —
+    engine-independent third implementation beside the DuckDB oracle
+    (same rounded-score + term-tie-break ranking contract)."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from quantlab_data_pipeline_spark.llm.search import tfidf_keywords
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    tok = {
+        r.doc_id: re.findall(r"[a-z0-9]+", (r.text or "").lower())
+        for r in docs.itertuples()
+    }
+    tok = {d: w for d, w in tok.items() if w}
+    n = float(len(tok))
+    df_ = {}
+    for w in tok.values():
+        for t in set(w):
+            df_[t] = df_.get(t, 0) + 1
+    exp = {}
+    for d, w in tok.items():
+        dl = len(w)
+        scored = sorted(
+            (
+                (-round((w.count(t) / dl) * math.log(n / df_[t]), 6), t)
+                for t in set(w)
+            )
+        )[:3]
+        exp[d] = [
+            (i + 1, t, -neg) for i, (neg, t) in enumerate(scored)
+        ]
+    got = {}
+    for r in tfidf_keywords(
+        spark.read.parquet(f"{sf}/documents.parquet"), top_k=3
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"])
+        )
+    assert set(got) == set(exp)
+    for d in exp:
+        got_d = sorted(got[d])
+        assert [(rk, t) for rk, t, _ in got_d] == [
+            (rk, t) for rk, t, _ in exp[d]
+        ], d
+        for (_, _, gs), (_, _, es) in zip(got_d, exp[d]):
+            assert gs == pytest.approx(es, abs=2e-6)
+
+
+def test_rrf_fuse_arithmetic_and_missing_lists(spark):
+    """RRF over two hand-built rank lists: exact 1/(k+rank) sums,
+    n_lists counts, and nulls for the list that missed a document."""
+    from quantlab_data_pipeline_spark.llm.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"lex": a, "den": b}, k_rrf=60).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[3]["rrf_score"] == round(1 / 63 + 1 / 62, 6)
+    assert out[4]["rrf_score"] == round(1 / 63, 6)
+    assert out[1]["n_lists"] == 1 and out[2]["n_lists"] == 2
+    assert out[1]["lex_rank"] == 1 and out[1]["den_rank"] is None
+    assert out[4]["lex_rank"] is None and out[4]["den_rank"] == 3
+
+
+def test_hybrid_search_fuses_both_legs(spark):
+    """hybrid_search output = union of the BM25 top-20 and the dense
+    cosine top-20, with per-doc rrf equal to the arithmetic over the
+    legs' own ranks (both legs independently recomputed here)."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.search import bm25_search, hybrid_search
+    from quantlab_data_pipeline_spark.llm.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    terms = ["spark", "window", "merge"]
+    lex = sorted(
+        bm25_search(docs, terms).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )[:20]
+    lex_rank = {r["doc_id"]: i + 1 for i, r in enumerate(lex)}
+    dense_rank = {
+        r["neighbor_id"]: r["rank"]
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") == 0), emb, k=20
+        ).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in hybrid_search(
+            docs, emb, terms, emb.filter(F.col("vec_id") == 0), k=20
+        ).collect()
+    }
+    assert set(out) == set(lex_rank) | set(dense_rank)
+    for d, r in out.items():
+        exp = 0.0
+        if d in lex_rank:
+            assert r["bm25_rank"] == lex_rank[d]
+            exp += 1 / (60 + lex_rank[d])
+        else:
+            assert r["bm25_rank"] is None
+        if d in dense_rank:
+            assert r["dense_rank"] == dense_rank[d]
+            exp += 1 / (60 + dense_rank[d])
+        else:
+            assert r["dense_rank"] is None
+        assert r["rrf_score"] == pytest.approx(round(exp, 6), abs=1e-9)
+        assert r["n_lists"] == (d in lex_rank) + (d in dense_rank)

@@ -608,7 +608,18 @@ def impute_frames(draw):
     rows = []
     for i in range(n):
         g = draw(st.integers(0, 2))
-        v = draw(st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)))
+        # Subnormals excluded: the two-value median is (a+b)/2 in
+        # pandas/numpy but lower+(upper-lower)*0.5 inside Spark's
+        # percentile — algebraically equal, and equal in IEEE doubles
+        # for all normal inputs, but the subtraction loses the last
+        # ulp in the subnormal range (hypothesis found
+        # (5e-324, 2.2e-311) diverging at the 13th digit).
+        v = draw(
+            st.one_of(
+                st.none(),
+                st.floats(-100, 100, allow_nan=False, allow_subnormal=False),
+            )
+        )
         rows.append((g, v))
     return rows
 
