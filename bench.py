@@ -117,6 +117,7 @@ INTAKE = [
     "curate_corpus_full",  # round 7: full multimodal composition
     "media_index_dedup_docs",  # round 8: persisted perceptual index
     "media_intake_loop_docs",  # round 8: incremental intake loop replay
+    "media_index_takedown_docs",  # round 8: tombstone mask + compaction
 ]
 
 

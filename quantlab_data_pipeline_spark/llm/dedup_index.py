@@ -52,6 +52,8 @@ __all__ = [
     "flag_new_batch",
     "flag_new_batch_exact",
     "read_index_meta",
+    "remove_from_dedup_index",
+    "compact_dedup_index",
 ]
 
 
@@ -139,6 +141,9 @@ def build_dedup_index(
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     spark = docs.sparkSession
+    # A rebuild is a fresh corpus: tombstones from the path's previous
+    # life must not mask the new documents.
+    _delete_path(spark, f"{path}/tombstones")
     sigs, buckets = _sig_and_buckets(
         docs, id_col, text_col, num_hashes, bands, shingle_k
     )
@@ -213,6 +218,101 @@ def _index_buckets(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/buckets")
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Logically-removed doc ids, or None when nothing was removed."""
+    if _path_exists(spark, f"{path}/tombstones"):
+        return spark.read.parquet(f"{path}/tombstones")
+    return None
+
+
+def remove_from_dedup_index(spark: SparkSession, path: str, doc_ids) -> None:
+    """Takedown: logically remove indexed documents by id.
+
+    Appends the ids to ``{path}/tombstones`` — an O(delete-set) write;
+    the corpus-sized signature/bucket/exact stores are untouched. Every
+    query path anti-joins the tombstone set, so removed documents stop
+    matching immediately; :func:`compact_dedup_index` later rewrites
+    the stores to reclaim space. Contract: ids are permanent document
+    identities — a tombstoned id stays masked even if re-appended,
+    until a compaction clears the tombstone set (re-ingest a removed
+    document under a fresh id).
+
+    ``doc_ids`` is a one-column DataFrame or an iterable of ints.
+    """
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
+        )
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_dedup_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> None:
+    """Physically drop tombstoned documents from the signature, bucket,
+    and exact stores, then clear the tombstone set. No-op when nothing
+    was removed. One filtered pass per store — the reclaim cost every
+    tombstone design amortizes by compacting on a cadence, not per
+    delete. localCheckpoint pins each filtered frame before its source
+    path is overwritten (lineage re-execution would otherwise read the
+    half-rewritten store)."""
+    ts = _tombstones(spark, path)
+    if ts is None:
+        return
+    ts_ids = (
+        ts.select(F.col("doc_id").alias(id_col)).distinct().localCheckpoint()
+    )
+    bucket_n = _read_bucket_n(spark, path)
+    sigs = (
+        spark.read.parquet(f"{path}/signatures")
+        .join(ts_ids, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    buckets = (
+        _index_buckets(spark, path)
+        .join(ts_ids, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    exact = (
+        spark.read.parquet(f"{path}/exact")
+        .join(ts_ids, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    if bucket_n:
+        table = _bucket_table_name(path)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _delete_path(spark, f"{path}/buckets")
+        (
+            buckets.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{path}/buckets")
+            .bucketBy(bucket_n, "band_idx", "band_hash")
+            .sortBy("band_idx", "band_hash")
+            .saveAsTable(table)
+        )
+    else:
+        buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    exact.write.mode("overwrite").parquet(f"{path}/exact")
+    _delete_path(spark, f"{path}/tombstones")
+
+
 def append_to_index(
     docs: DataFrame,
     path: str,
@@ -285,6 +385,16 @@ def query_dedup_index(
     # recomputation is the cheaper leak-free shape for text.
     idx_buckets = _index_buckets(spark, path)
     idx_sigs = spark.read.parquet(f"{path}/signatures")
+    ts = _tombstones(spark, path)
+    if ts is not None:
+        # Anti-joining the signature frame alone suffices: a tombstoned
+        # id's surviving bucket rows drop out of the candidate set at
+        # the signature inner join below.
+        idx_sigs = idx_sigs.join(
+            ts.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
 
     candidates = (
         new_buckets.select(
@@ -383,13 +493,17 @@ def flag_new_batch_exact(
     digest before the join, so the join key set is bounded by corpus
     cardinality, not corpus size."""
     spark = new_docs.sparkSession
-    idx = (
-        spark.read.parquet(f"{path}/exact")
-        .groupBy("text_md5")
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min(id_col).alias("best_match_id"),
+    stored = spark.read.parquet(f"{path}/exact")
+    ts = _tombstones(spark, path)
+    if ts is not None:
+        stored = stored.join(
+            ts.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
         )
+    idx = stored.groupBy("text_md5").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min(id_col).alias("best_match_id"),
     )
     return (
         _exact_hashes(new_docs, id_col, text_col)

@@ -34,6 +34,8 @@ __all__ = [
     "append_to_media_index",
     "query_media_index",
     "flag_new_media",
+    "remove_from_media_index",
+    "compact_media_index",
 ]
 
 _FINGERPRINTERS = {"image": "image_dhash", "audio": "audio_fingerprint"}
@@ -92,6 +94,20 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Logically-removed asset ids, or None when nothing was removed."""
+    if _path_exists(spark, f"{path}/tombstones"):
+        return spark.read.parquet(f"{path}/tombstones")
+    return None
+
+
 def _bucket_table_name(path: str) -> str:
     return "media_idx_" + hashlib.md5(path.encode()).hexdigest()[:12]
 
@@ -138,6 +154,9 @@ def build_media_index(
         # an existing path appends fresh band rows on top of stale
         # ones and the candidate set grows across rebuilds (ADVICE r7).
         _delete_path(spark, f"{path}/buckets")
+        # A rebuild is a fresh corpus: tombstones from the path's
+        # previous life must not mask the new assets.
+        _delete_path(spark, f"{path}/tombstones")
         _register_bucketed(spark, path, bucket_n)
         (
             _bands(fp, bands)
@@ -209,6 +228,15 @@ def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
     new_fp = _fingerprint(new_media, modality)
     idx_buckets = _register_bucketed(spark, path, bucket_n)
     idx_fp = spark.read.parquet(f"{path}/fingerprints")
+    ts = _tombstones(spark, path)
+    if ts is not None:
+        # Anti-joining the fingerprint frame alone suffices: a
+        # tombstoned id's surviving BUCKET rows drop out of the
+        # candidate set at the fingerprint inner join below — the same
+        # mechanism that makes stale band rows harmless on rebuild.
+        idx_fp = idx_fp.join(
+            ts.select("asset_id").distinct(), "asset_id", "left_anti"
+        )
     candidates = (
         _bands(new_fp, bands, keep_fp=True)
         .select(
@@ -271,3 +299,67 @@ def flag_new_media(new_media: DataFrame, path: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         )
     )
+
+
+def remove_from_media_index(spark: SparkSession, path: str, asset_ids) -> None:
+    """Takedown: logically remove indexed assets by id.
+
+    Appends the ids to ``{path}/tombstones`` — an O(delete-set) write;
+    the corpus-sized fingerprint and bucket stores are untouched.
+    Every subsequent query anti-joins the tombstone set, so removed
+    assets stop matching immediately; :func:`compact_media_index`
+    later rewrites the stores to reclaim the space. Contract: ids are
+    permanent asset identities — a tombstoned id stays masked even if
+    re-appended, until a compaction clears the tombstone set (re-ingest
+    a removed asset under a fresh id, the same rule every
+    tombstone-based store imposes).
+
+    ``asset_ids`` is a one-column DataFrame or an iterable of ints.
+    """
+    if isinstance(asset_ids, DataFrame):
+        ids = asset_ids.select(
+            F.col(asset_ids.columns[0]).cast("long").alias("asset_id")
+        )
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in asset_ids], "asset_id long"
+        )
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_media_index(spark: SparkSession, path: str) -> None:
+    """Physically drop tombstoned assets from the fingerprint and
+    bucket stores, then clear the tombstone set. A no-op when nothing
+    was removed. The rewrite is one filtered pass over each store —
+    the reclaim cost every tombstone design amortizes by running
+    compaction on a cadence, not per delete. localCheckpoint pins the
+    filtered frames before their source paths are overwritten (lineage
+    re-execution would otherwise read the half-rewritten store)."""
+    ts = _tombstones(spark, path)
+    if ts is None:
+        return
+    _mod, _mh, _bands, bucket_n = _read_meta(spark, path)
+    ts_ids = ts.select("asset_id").distinct().localCheckpoint()
+    fp = (
+        spark.read.parquet(f"{path}/fingerprints")
+        .join(ts_ids, "asset_id", "left_anti")
+        .localCheckpoint()
+    )
+    name = _bucket_table_name(path)
+    kept = (
+        _register_bucketed(spark, path, bucket_n)
+        .join(ts_ids, "asset_id", "left_anti")
+        .localCheckpoint()
+    )
+    fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _delete_path(spark, f"{path}/buckets")
+    _register_bucketed(spark, path, bucket_n)
+    (
+        kept.write.mode("append")
+        .format("parquet")
+        .bucketBy(bucket_n, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .saveAsTable(name)
+    )
+    _delete_path(spark, f"{path}/tombstones")

@@ -6519,3 +6519,111 @@ ORACLE_SQL_EXT["hybrid_search_docs"] = f"""
            CAST(max(CASE WHEN l = 'dense' THEN rank END) AS INT) AS dense_rank
     FROM u GROUP BY doc_id
 """
+
+
+def media_index_takedown_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Takedown + compaction on the persisted perceptual index
+    (``llm/media_index.py remove_from_media_index`` /
+    ``compact_media_index``): the production deletion path a corpus
+    store needs (rights removal, opt-out) — O(delete-set) tombstone
+    writes that mask immediately, then a cadence compaction that
+    physically rewrites the fingerprint/bucket stores. Same corpus,
+    probe, and dHash-replay oracle as ``media_index_dedup_docs``, but
+    indexed docs with doc_id % 5 == 0 are REMOVED after the build and
+    the probe is flagged twice: phase 'masked' (tombstones only — the
+    flag output is checkpointed eagerly so it really reads the
+    pre-compaction state) and phase 'compacted' (after the physical
+    rewrite). Both phases must produce the SAME flags — matches only
+    against surviving indexed docs — which is exactly what the oracle
+    predicts by excluding the removed ids from its replayed-fingerprint
+    join. A tombstone leak (mask not applied), a compaction that drops
+    the wrong rows, or stale band rows surviving the bucket rewrite
+    each break one phase loudly."""
+    import hashlib
+    import tempfile
+
+    from .llm.media_index import (
+        build_media_index,
+        compact_media_index,
+        flag_new_media,
+        remove_from_media_index,
+    )
+    from .llm.multimodal import media_from_text
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    indexed = docs.filter(F.col("doc_id") % 4 != 3).repartition(par)
+    probe = (
+        docs.filter((F.col("doc_id") % 4 != 3) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + 4_000_000).alias("doc_id"), "text")
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 3))
+        .repartition(par)
+    )
+    path = (
+        tempfile.gettempdir()
+        + "/mediatd-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+        + "/png32"
+    )
+    build_media_index(
+        media_from_text(indexed, dims=(32, 32)), path,
+        modality="image", max_hamming=0, bands=4,
+    )
+    remove_from_media_index(
+        spark, path, indexed.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    probe_media = media_from_text(probe, dims=(32, 32))
+    # Checkpoint pins the tombstone-masked answers before the
+    # compaction below mutates the stores the lazy plan would re-read.
+    masked = flag_new_media(probe_media, path).localCheckpoint()
+    compact_media_index(spark, path)
+    compacted = flag_new_media(probe_media, path)
+    return (
+        masked.select(F.lit("masked").alias("phase"), "*")
+        .unionByName(compacted.select(F.lit("compacted").alias("phase"), "*"))
+        .select(
+            "phase",
+            F.col("asset_id").alias("doc_id"),
+            "is_dup",
+            "best_match_id",
+            "best_hamming",
+            "n_matches",
+        )
+    )
+
+
+SPARK_QUERIES_EXT["media_index_takedown_docs"] = media_index_takedown_docs
+
+# Same replayed-fingerprint prediction as media_index_dedup_docs with
+# the removed ids (doc_id % 5 = 0) excluded from the index side, cross
+# joined with the two phases — masked (tombstone anti-join) and
+# compacted (physical rewrite) must agree exactly.
+ORACLE_SQL_EXT["media_index_takedown_docs"] = f"""
+    WITH {_dhash32_key_ctes()},
+    idx AS (
+        SELECT doc_id, hk FROM keyd
+        WHERE doc_id % 4 <> 3 AND doc_id % 5 <> 0
+    ),
+    probe AS (
+        SELECT doc_id + 4000000 AS doc_id, hk
+        FROM keyd WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, hk FROM keyd WHERE doc_id % 4 = 3
+    ),
+    best AS (
+        SELECT p.doc_id, min(i.doc_id) AS best_match_id,
+               CAST(count(*) AS BIGINT) AS n_matches
+        FROM probe p JOIN idx i USING (hk)
+        GROUP BY p.doc_id
+    ),
+    phases AS (SELECT 'masked' AS phase UNION ALL SELECT 'compacted')
+    SELECT ph.phase,
+           p.doc_id,
+           b.doc_id IS NOT NULL AS is_dup,
+           b.best_match_id,
+           CASE WHEN b.doc_id IS NOT NULL THEN 0 END AS best_hamming,
+           coalesce(b.n_matches, 0) AS n_matches
+    FROM probe p LEFT JOIN best b USING (doc_id)
+    CROSS JOIN phases ph
+    ORDER BY ph.phase, p.doc_id
+"""

@@ -287,3 +287,94 @@ def test_append_with_index_derived_lineage_drops_nothing(spark, index_path):
     )
     hits = query_dedup_index(probe, index_path, threshold=0.9).collect()
     assert {(r["new_id"], r["indexed_id"]) for r in hits} == {(600, 500)}
+
+
+def test_takedown_masks_then_compaction_reclaims(spark, index_path):
+    """remove_from_dedup_index hides a document from BOTH the MinHash
+    and the exact path immediately (O(delete-set) tombstone write, no
+    store rewrite), other documents keep matching, and
+    compact_dedup_index physically drops the rows while preserving
+    every query answer."""
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index,
+        flag_new_batch_exact,
+        query_dedup_index,
+        remove_from_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    build_dedup_index(corpus, index_path, num_hashes=32, bands=8, bucket_n=4)
+    batch = _docs(
+        spark,
+        [
+            (103, f"{PROSE} unique tail number 3 " + "suffix 3 " * 5),
+            (105, f"{PROSE} unique tail number 5 " + "suffix 5 " * 5),
+        ],
+    )
+
+    def hits():
+        near = {
+            r["new_id"]: r["indexed_id"]
+            for r in query_dedup_index(batch, index_path, threshold=0.99).collect()
+        }
+        exact = {
+            r["doc_id"]: (r["is_dup"], r["best_match_id"])
+            for r in flag_new_batch_exact(batch, index_path).collect()
+        }
+        return near, exact
+
+    near, exact = hits()
+    assert near == {103: 3, 105: 5}
+    assert exact == {103: (True, 3), 105: (True, 5)}
+
+    remove_from_dedup_index(spark, index_path, [3])
+    near, exact = hits()
+    assert near == {105: 5}
+    assert exact == {103: (False, None), 105: (True, 5)}
+
+    compact_dedup_index(spark, index_path)
+    near, exact = hits()
+    assert near == {105: 5}
+    assert exact == {103: (False, None), 105: (True, 5)}
+    # Physically gone from every store, tombstones cleared.
+    sigs = {r["doc_id"] for r in spark.read.parquet(f"{index_path}/signatures").collect()}
+    ex = {r["doc_id"] for r in spark.read.parquet(f"{index_path}/exact").collect()}
+    assert 3 not in sigs and 3 not in ex and 5 in sigs
+    import os
+
+    assert not os.path.exists(f"{index_path}/tombstones")
+    # Compaction is a no-op with no tombstones (must not error).
+    compact_dedup_index(spark, index_path)
+
+
+def test_takedown_masks_reappends_until_compaction(spark, index_path):
+    """Documented contract: ids are permanent identities — a tombstoned
+    id re-appended BEFORE compaction stays masked, and the compaction
+    drops it too (re-ingest under a fresh id is the supported path)."""
+    from quantlab_data_pipeline_spark.llm.dedup_index import (
+        append_to_index,
+        build_dedup_index,
+        compact_dedup_index,
+        flag_new_batch_exact,
+        remove_from_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    build_dedup_index(corpus, index_path, num_hashes=32, bands=8)
+    probe = _docs(spark, [(103, f"{PROSE} unique tail number 3 " + "suffix 3 " * 5)])
+    remove_from_dedup_index(spark, index_path, [3])
+    append_to_index(
+        _docs(spark, [(3, f"{PROSE} unique tail number 3 " + "suffix 3 " * 5)]),
+        index_path,
+    )
+    assert flag_new_batch_exact(probe, index_path).collect()[0]["is_dup"] is False
+    compact_dedup_index(spark, index_path)
+    assert flag_new_batch_exact(probe, index_path).collect()[0]["is_dup"] is False
+    # A fresh id carrying the same content IS findable again.
+    append_to_index(
+        _docs(spark, [(203, f"{PROSE} unique tail number 3 " + "suffix 3 " * 5)]),
+        index_path,
+    )
+    r = flag_new_batch_exact(probe, index_path).collect()[0]
+    assert r["is_dup"] is True and r["best_match_id"] == 203

@@ -268,3 +268,103 @@ def test_query_leaves_no_cached_dataframes(spark, index_path):
     for batch_id in (30, 31):
         flag_new_media(_media(spark, {batch_id: _img(batch_id)}), index_path).collect()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_takedown_masks_then_compaction_reclaims(spark, index_path):
+    """remove_from_media_index hides an asset immediately (tombstone
+    write only), other assets keep matching, and compact_media_index
+    physically rewrites the fingerprint + bucket stores — same answers,
+    stores shrunk, tombstones cleared, bucketed layout preserved."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        compact_media_index,
+        flag_new_media,
+        remove_from_media_index,
+    )
+
+    corpus = {i: _img(i) for i in range(1, 6)}
+    build_media_index(
+        _media(spark, corpus), index_path, modality="image", max_hamming=0
+    )
+    probe = _media(spark, {101: corpus[1].copy(), 102: corpus[2].copy()})
+
+    def flags():
+        return {
+            r["asset_id"]: (r["is_dup"], r["best_match_id"])
+            for r in flag_new_media(probe, index_path).collect()
+        }
+
+    assert flags() == {101: (True, 1), 102: (True, 2)}
+    remove_from_media_index(spark, index_path, [1])
+    assert flags() == {101: (False, None), 102: (True, 2)}
+    compact_media_index(spark, index_path)
+    assert flags() == {101: (False, None), 102: (True, 2)}
+    fps = {
+        r["asset_id"]
+        for r in spark.read.parquet(f"{index_path}/fingerprints").collect()
+    }
+    assert 1 not in fps and 2 in fps
+    import os
+
+    assert not os.path.exists(f"{index_path}/tombstones")
+    # Bucket store rewritten without the tombstoned asset's band rows.
+    from quantlab_data_pipeline_spark.llm.media_index import _bucket_table_name
+
+    bk = {
+        r["asset_id"]
+        for r in spark.table(_bucket_table_name(index_path)).collect()
+    }
+    assert 1 not in bk and 2 in bk
+    # No-op compaction must not error.
+    compact_media_index(spark, index_path)
+
+
+def test_takedown_dataframe_ids_and_append_still_works(spark, index_path):
+    """Takedown accepts a DataFrame of ids; appends after a compaction
+    land in the rewritten bucketed layout and are findable."""
+    from pyspark.sql import functions as F
+
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        append_to_media_index,
+        build_media_index,
+        compact_media_index,
+        flag_new_media,
+        remove_from_media_index,
+    )
+
+    corpus = {i: _img(i) for i in range(1, 4)}
+    build_media_index(
+        _media(spark, corpus), index_path, modality="image", max_hamming=0
+    )
+    ids = spark.range(3, 4).select(F.col("id").alias("asset_id"))
+    remove_from_media_index(spark, index_path, ids)
+    compact_media_index(spark, index_path)
+    append_to_media_index(_media(spark, {7: _img(7)}), index_path)
+    probe = _media(spark, {103: corpus[3].copy(), 107: _img(7)})
+    got = {
+        r["asset_id"]: (r["is_dup"], r["best_match_id"])
+        for r in flag_new_media(probe, index_path).collect()
+    }
+    assert got == {103: (False, None), 107: (True, 7)}
+
+
+def test_rebuild_clears_stale_tombstones(spark, index_path):
+    """A rebuild at an existing path is a fresh corpus: tombstones from
+    the path's previous life must not mask the new assets."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        build_media_index,
+        flag_new_media,
+        remove_from_media_index,
+    )
+
+    corpus = {i: _img(i) for i in range(1, 4)}
+    build_media_index(
+        _media(spark, corpus), index_path, modality="image", max_hamming=0
+    )
+    remove_from_media_index(spark, index_path, [1])
+    build_media_index(
+        _media(spark, corpus), index_path, modality="image", max_hamming=0
+    )
+    probe = _media(spark, {101: corpus[1].copy()})
+    r = flag_new_media(probe, index_path).collect()[0]
+    assert r["is_dup"] is True and r["best_match_id"] == 1
