@@ -101,6 +101,7 @@ CURATION = [
     "join_profile_tpch",
     "simhash_dedup",
     "perplexity_bucket_docs",  # round 7: CCNet LM-perplexity terciles
+    "quality_percentile_by_source_docs",  # round 8: per-source normalization
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw
@@ -118,6 +119,7 @@ INTAKE = [
     "media_index_dedup_docs",  # round 8: persisted perceptual index
     "media_intake_loop_docs",  # round 8: incremental intake loop replay
     "media_index_takedown_docs",  # round 8: tombstone mask + compaction
+    "corpus_export_manifest_docs",  # round 8: JSONL export + manifest
 ]
 
 

@@ -6627,3 +6627,128 @@ ORACLE_SQL_EXT["media_index_takedown_docs"] = f"""
     CROSS JOIN phases ph
     ORDER BY ph.phase, p.doc_id
 """
+
+
+def corpus_export_manifest_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL corpus export + read-back manifest
+    (``sources/corpus.py write_jsonl_corpus``/``export_manifest``): the
+    handoff sink of the curation pipeline — deterministic
+    ``doc_id % 8`` Hive shards, written scan-only (no shuffle: each
+    input partition streams into its shard dirs), then the manifest is
+    computed by RE-READING the export, so the oracle comparison proves
+    the whole JSON round trip (escaping, nulls, types) row-for-row:
+    any dropped row or mangled text changes n_docs/text_chars against
+    the source-side replay. Gzip/zstd variants and the corrupt-line
+    quarantine are pytest-covered on the read side."""
+    import hashlib
+    import tempfile
+
+    from .sources.corpus import export_manifest, write_jsonl_corpus
+
+    docs = load_table(spark, sf, "documents")
+    path = (
+        tempfile.gettempdir()
+        + "/corpusexp-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+    )
+    write_jsonl_corpus(docs, path, shards=8)
+    return export_manifest(spark, path)
+
+
+SPARK_QUERIES_EXT["corpus_export_manifest_docs"] = corpus_export_manifest_docs
+
+# The oracle computes the same per-shard stats straight from the source
+# table — equality proves the export wrote every row and the JSON
+# round trip preserved text byte-for-byte (text_chars) and every typed
+# column (chars_total from the n_chars ints, id min/max).
+ORACLE_SQL_EXT["corpus_export_manifest_docs"] = """
+    SELECT CAST(doc_id % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+"""
+
+
+def quality_percentile_by_source_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-score percentile normalization: heterogeneous
+    sources (web crawl vs curated wiki vs forums) score on incomparable
+    quality scales, so a single global threshold over- or under-filters
+    whole sources — the standard fix is to rank WITHIN source and
+    filter on the percentile (the same shape as CCNet's per-language
+    perplexity buckets). pct_rank = (rank-1)/(n-1) over
+    (rounded quality_score, doc_id) — engine-deterministic. The rank
+    uses ``operators.skew.grouped_global_rank``: a plain window
+    partitioned by source alone would sort each source's entire frame
+    through ONE task (a handful of sources at 100 TB), so the rank is
+    composed from range-partitioned local ranks + broadcast offsets —
+    bit-identical to the naive window, no source-sized task anywhere."""
+    from .llm.text import with_quality_score
+    from .operators.skew import grouped_global_rank
+
+    docs = load_table(spark, sf, "documents")
+    scored = with_quality_score(docs).select("doc_id", "source", "quality_score")
+    ranked = grouped_global_rank(
+        scored,
+        group_cols=["source"],
+        order_cols=[F.asc("quality_score"), F.asc("doc_id")],
+        rank_col="__rn",
+        n_col="__n",
+    )
+    pct = F.when(F.col("__n") > 1,
+                 (F.col("__rn") - 1) / (F.col("__n") - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(pct, 6).alias("pct_rank"),
+    )
+
+
+SPARK_QUERIES_EXT["quality_percentile_by_source_docs"] = (
+    quality_percentile_by_source_docs
+)
+
+# Same stopword list as llm/text.py _STOP_EN (and the text_quality
+# oracle in queries.py — not importable here without a cycle).
+_STOP_EN_SQL = "['the','and','of','to','a','in','is','that']"
+
+# Replays the composite quality score (the text_quality oracle's CTE)
+# then SQL percent_rank() per source over the identical total order —
+# (rank-1)/(n-1) arithmetic both sides; the doc_id tie-break makes
+# row_number == rank, so the two-phase composed rank must match the
+# window exactly.
+ORACLE_SQL_EXT["quality_percentile_by_source_docs"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CASE WHEN len(words) > 0 THEN
+                   list_sum(list_transform(words, w -> length(w))) / len(words)
+               END, 4) AS avg_word_len,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter(words, w -> list_contains({_STOP_EN_SQL}, w)))
+                     / greatest(len(words), 1), 6) AS stopword_ratio
+        FROM t
+    ), q AS (
+        SELECT doc_id, source,
+               round(
+                   (CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+                 + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+                 + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+               , 6) AS quality_score
+        FROM s
+    )
+    SELECT doc_id, source, quality_score,
+           round(coalesce(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality_score, doc_id
+           ), 0.0), 6) AS pct_rank
+    FROM q
+"""

@@ -291,3 +291,73 @@ def test_fred_python_datasource_option_validation(spark):
         FredReader({"series": "UNRATE"})
     with _pytest.raises(ValueError, match="mode"):
         FredReader({"start": "2020-01-01", "end": "2020-02-01", "mode": "ftp"})
+
+
+def test_jsonl_export_round_trips_hostile_text(spark, tmp_path):
+    """write_jsonl_corpus -> read_jsonl_corpus preserves every row and
+    byte of text through JSON escaping: newlines, tabs, quotes,
+    backslashes, unicode, and nulls in optional columns."""
+    from quantlab_data_pipeline_spark.sources.corpus import (
+        read_jsonl_corpus,
+        split_corrupt,
+        write_jsonl_corpus,
+    )
+
+    rows = [
+        (0, 'line one\nline "two"\t\\backslash', "en", "web", 30),
+        (1, "unicode: é中文 \U0001f600", None, "wiki", 20),
+        (2, "", "de", None, 0),
+        (3, None, None, None, None),
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = str(tmp_path / "export")
+    write_jsonl_corpus(src, out, shards=2)
+    clean, quarantine = split_corrupt(read_jsonl_corpus(spark, out + "/shard=*"))
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+           for r in clean.collect()}
+    assert got == {d: (t, lg, s, n) for d, t, lg, s, n in rows}
+
+
+def test_jsonl_export_shards_deterministic_and_gzip(spark, tmp_path):
+    """Shard dirs follow doc_id % shards exactly; gzip compression
+    round-trips; one_file_per_shard writes a single file per shard."""
+    import glob
+
+    from quantlab_data_pipeline_spark.sources.corpus import (
+        export_manifest,
+        write_jsonl_corpus,
+    )
+
+    src = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "concat('doc ', id) AS text",
+        "'en' AS lang",
+        "'web' AS source",
+        "CAST(length(concat('doc ', id)) AS INT) AS n_chars",
+    )
+    out = str(tmp_path / "gz")
+    write_jsonl_corpus(
+        src, out, shards=4, compression="gzip", one_file_per_shard=True
+    )
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.json.gz")
+        assert len(files) == 1, (k, files)
+    m = {r["shard"]: r for r in export_manifest(spark, out).collect()}
+    assert set(m) == {0, 1, 2, 3}
+    assert all(m[k]["n_docs"] == 5 for k in m)
+    assert all(m[k]["min_doc_id"] % 4 == k for k in m)
+    # Manifest text stats equal the source (round trip through gzip).
+    assert sum(r["text_chars"] for r in m.values()) == sum(
+        len(f"doc {i}") for i in range(20)
+    )
+
+
+def test_jsonl_export_rejects_bad_shards(spark, tmp_path):
+    from quantlab_data_pipeline_spark.sources.corpus import write_jsonl_corpus
+
+    src = spark.range(3).selectExpr("id AS doc_id", "'x' AS text")
+    with pytest.raises(ValueError, match="shards"):
+        write_jsonl_corpus(src, str(tmp_path / "bad"), shards=0)
