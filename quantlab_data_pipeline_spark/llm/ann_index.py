@@ -26,6 +26,76 @@ from pyspark.sql import functions as F
 from .similarity import ivf_assign, rank_topk, train_centroids
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _live_assignments(
+    spark: SparkSession, path: str | Path, id_col: str
+) -> DataFrame:
+    """The assignments store minus tombstoned vectors (partition
+    pruning on centroid_id still applies — the anti-join composes with
+    the probe filter)."""
+    df = spark.read.parquet(str(Path(path) / "assignments"))
+    ts_path = str(Path(path) / "tombstones")
+    if _path_exists(spark, ts_path):
+        ts = (
+            spark.read.parquet(ts_path)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        df = df.join(ts, id_col, "left_anti")
+    return df
+
+
+def remove_from_ann_index(spark: SparkSession, path: str | Path, vec_ids) -> None:
+    """Takedown: logically remove indexed vectors by id — the same
+    O(delete-set) tombstone contract as the MinHash and media indexes
+    (every persisted index here supports deletion): ids append to
+    ``{path}/tombstones``, every query anti-joins them immediately,
+    :func:`compact_ann_index` reclaims on a cadence. Ids are permanent
+    identities — a tombstoned id stays masked until compaction; re-add
+    under a fresh id. ``vec_ids`` is a one-column DataFrame or an
+    iterable of ints."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("id"))
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in vec_ids], "id long")
+    ids.write.mode("append").parquet(str(Path(path) / "tombstones"))
+
+
+def compact_ann_index(
+    spark: SparkSession, path: str | Path, id_col: str = "vec_id"
+) -> None:
+    """Physically drop tombstoned vectors from the assignments store
+    (one filtered pass, re-laid out list-per-directory exactly as the
+    builds write it), then clear the tombstone set. Centroids and
+    codebooks are corpus statistics, not per-vector state — they
+    survive compaction unchanged, the same way FAISS keeps its
+    quantizers through deletions. No-op when nothing was removed."""
+    ts_path = str(Path(path) / "tombstones")
+    if not _path_exists(spark, ts_path):
+        return
+    live = _live_assignments(spark, path, id_col).localCheckpoint()
+    (
+        live.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(str(Path(path) / "assignments"))
+    )
+    _delete_path(spark, ts_path)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str | Path,
@@ -45,6 +115,8 @@ def build_ivf_index(
     path = Path(path)
     centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
     spark = corpus.sparkSession
+    # A rebuild is a fresh corpus: clear any previous life's tombstones.
+    _delete_path(spark, str(path / "tombstones"))
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
@@ -97,7 +169,7 @@ def query_ivf_index(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     ]
     idx = (
-        spark.read.parquet(str(Path(path) / "assignments"))
+        _live_assignments(spark, path, id_col)
         .filter(F.col("centroid_id").isin(probe_ids))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -141,6 +213,8 @@ def build_ivf_pq_index(
 
     path = Path(path)
     spark = corpus.sparkSession
+    # A rebuild is a fresh corpus: clear any previous life's tombstones.
+    _delete_path(spark, str(path / "tombstones"))
     centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
     books = train_pq_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
     spark.createDataFrame(
@@ -210,7 +284,7 @@ def query_ivf_pq_index(
     probe_ids = [
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     ]
-    assignments = spark.read.parquet(str(Path(path) / "assignments")).filter(
+    assignments = _live_assignments(spark, path, id_col).filter(
         F.col("centroid_id").isin(probe_ids)
     )
     lut_df = query_luts(queries, books, id_col, vec_col)

@@ -1284,3 +1284,81 @@ def test_hybrid_search_fuses_both_legs(spark):
             assert r["dense_rank"] is None
         assert r["rrf_score"] == pytest.approx(round(exp, 6), abs=1e-9)
         assert r["n_lists"] == (d in lex_rank) + (d in dense_rank)
+
+
+def test_ann_index_takedown_masks_then_compaction_reclaims(spark, tmp_path):
+    """remove_from_ann_index hides vectors from both the IVF and the
+    IVF-PQ query paths immediately; every non-victim neighbor survives
+    the mask (the quantizers are corpus statistics and legitimately
+    keep their training data); compact_ann_index physically rewrites
+    assignments,
+    preserves answers and the list-per-directory layout, and clears
+    the tombstones; rebuilds clear stale tombstones."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        build_ivf_index,
+        compact_ann_index,
+        query_ivf_index,
+        remove_from_ann_index,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivf_td"
+    build_ivf_index(emb, path, n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def neighbors():
+        out = {}
+        for r in query_ivf_index(queries, path, k=5, nprobe=8).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    before = neighbors()
+    victims = sorted({n for s in before.values() for n in s})[:3]
+    remove_from_ann_index(spark, path, victims)
+    masked = neighbors()
+    assert all(not (s & set(victims)) for s in masked.values())
+    # Every non-victim neighbor survives (nprobe=8 of 8 = exhaustive,
+    # so masking only removes victims, never reshuffles the rest).
+    for q, s in before.items():
+        assert s - set(victims) <= masked[q]
+
+    compact_ann_index(spark, path)
+    assert neighbors() == masked
+    import os
+
+    assert not os.path.exists(str(path / "tombstones"))
+    # Assignments store physically shrunk, layout intact.
+    live = spark.read.parquet(str(path / "assignments"))
+    ids = {r["vec_id"] for r in live.select("vec_id").collect()}
+    assert not (ids & set(victims))
+    assert os.path.isdir(str(path / "assignments"))
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(str(path / "assignments"))
+    )
+    # Rebuild clears stale tombstones.
+    remove_from_ann_index(spark, path, [queries.first()["vec_id"]])
+    build_ivf_index(emb, path, n_lists=8)
+    assert not os.path.exists(str(path / "tombstones"))
+
+
+def test_ann_pq_index_takedown_masks(spark, tmp_path):
+    """The IVF-PQ two-stage query honors tombstones in BOTH stages (a
+    removed vector can neither be an ADC candidate nor a re-ranked
+    result)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+        remove_from_ann_index,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivfpq_td"
+    build_ivf_pq_index(emb, path, n_lists=8, m=8, n_codes=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = query_ivf_pq_index(queries, path, k=5, nprobe=8).collect()
+    victims = sorted({r["neighbor_id"] for r in got})[:3]
+    remove_from_ann_index(spark, path, victims)
+    after = query_ivf_pq_index(queries, path, k=5, nprobe=8).collect()
+    assert not ({r["neighbor_id"] for r in after} & set(victims))
