@@ -945,8 +945,11 @@ def image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     near-collisions). Mirror python oracle recomputes the hashes
     STRAIGHT from text bytes (no PNG layer) over the same planted
     corpus and brute-forces all pairs — one comparison proves codec
-    round trip, kernel plumbing, and blocking recall together. Driver:
-    rows-only (pixel math is not SQL)."""
+    round trip, kernel plumbing, and blocking recall together. Since
+    round 8 the row ALSO carries a full SQL oracle (the
+    ``_dhash32_key_ctes`` fingerprint replay + DuckDB BIT
+    xor/bit_count brute force), so the driver hash-checks it too; the
+    mirror checks both reconstructions."""
     from .llm.multimodal import image_near_dup_pairs, media_from_text
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -6751,4 +6754,25 @@ ORACLE_SQL_EXT["quality_percentile_by_source_docs"] = f"""
                PARTITION BY source ORDER BY quality_score, doc_id
            ), 0.0), 6) AS pct_rank
     FROM q
+"""
+
+
+# image_dhash_dedup was driver-rows-only through round 7 ("pixel math
+# is not SQL"); the round-8 dHash replay (_dhash32_key_ctes) plus
+# DuckDB's BIT xor/bit_count make the FULL pipeline SQL-expressible:
+# replay every asset's 64-bit fingerprint from text bytes, brute-force
+# all pairs at hamming <= 6 (pigeonhole recall at minimal bands means
+# the banded join's pair set must be IDENTICAL to brute force). The
+# mirror additionally keeps the from-scratch python oracle — the row
+# is now checked against two independent reconstructions.
+ORACLE_SQL_EXT["image_dhash_dedup"] = f"""
+    WITH {_dhash32_key_ctes(
+        src="(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 7 = 0)"
+    )}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hk::BIT, b.hk::BIT)) AS INT) AS hamming
+    FROM keyd a JOIN keyd b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hk::BIT, b.hk::BIT)) <= 6
 """

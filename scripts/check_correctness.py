@@ -506,6 +506,26 @@ def main() -> int:
                 failed.append(name)
                 print(f"[FAIL] {name}: python oracle error: {exc}")
                 continue
+            # A row carrying BOTH a python oracle and a SQL oracle (the
+            # image dHash family since the SQL replay landed) is checked
+            # against BOTH — two independent reconstructions, either
+            # mismatch fails the row.
+            if sql is not None:
+                try:
+                    odf2 = con.execute(sql).fetchdf()
+                except Exception as exc:  # noqa: BLE001
+                    failed.append(name)
+                    print(f"[FAIL] {name}: sql oracle error: {exc}")
+                    continue
+                p2 = [
+                    p
+                    for p in compare(name, sdf, odf2)
+                    if not p.startswith("WARN")
+                ]
+                if p2:
+                    failed.append(name)
+                    print(f"[FAIL] {name} (sql oracle): " + "; ".join(p2))
+                    continue
         elif sql is None:
             if name in TOLERANCE_CHECKS:
                 tol = TOLERANCE_CHECKS[name](con, sdf)
