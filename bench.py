@@ -102,6 +102,7 @@ CURATION = [
     "simhash_dedup",
     "perplexity_bucket_docs",  # round 7: CCNet LM-perplexity terciles
     "quality_percentile_by_source_docs",  # round 8: per-source normalization
+    "dsir_select_docs",  # round 8: DSIR importance resampling
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw

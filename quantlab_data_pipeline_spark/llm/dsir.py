@@ -1,0 +1,203 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Given a huge RAW crawl and a small TARGET corpus (the distribution you
+want more of — Wikipedia, curated books, a domain corpus), DSIR scores
+every raw document by how much more likely its hashed-n-gram bag is
+under the target's unigram-over-buckets model than under the raw
+model, then samples the selection with Gumbel noise so the picked set
+is a draw from the importance-weighted distribution rather than a
+brittle arg-top-k of near-duplicate high scorers.
+
+Distributed shape (everything is Catalyst aggregations + one broadcast):
+
+1. features: each doc's word 1-/2-grams (shared tokenizer
+   :func:`.text.word_grams` — DSIR features can never drift from the
+   dedup/decontamination shingles) hash into ``buckets`` slots via the
+   engine-portable md5 bucket hash;
+2. two bucket-count tables (target, raw) — corpus-sized explode, then
+   map-side-combined counts of at most ``buckets`` rows each;
+3. the smoothed log-ratio table ``lr[b] = ln p_target[b] - ln
+   p_raw[b]`` has ``buckets`` rows -> BROADCAST onto the per-doc bucket
+   counts; a doc's importance is ``log_w = sum_b c_doc[b] * lr[b]``;
+4. selection key = ``log_w + Gumbel(md5(salt || id))``: the Gumbel
+   top-k trick makes "sample k docs without replacement with
+   probability proportional to w" an ORDER BY — deterministic across
+   runs, partitionings, and engines because the noise comes from the
+   same md5 draw :func:`.text.hash_uniform` is built on;
+5. the global rank never funnels the corpus through one task —
+   :func:`..operators.skew.grouped_global_rank` composes it from
+   range-partitioned local ranks.
+
+Float portability: the log-ratio is quantized to INTEGER nano-units
+(``lr_nano = round(lr * 1e9)`` as a long) before the per-doc weighted
+sum, so ``sum(cnt * lr_nano)`` is exact 64-bit arithmetic — identical
+on any engine under ANY summation order (a double-sum formulation
+flipped a round-to-6 boundary on real data; integer sums cannot — the
+same cross-multiplied-integer trick the dHash SQL replay uses). Only
+the final ``/ 1e9`` and the Gumbel perturbation are float, both
+computed from identical inputs on both sides. Docs with no grams
+(empty after tokenization) are unscorable and absent from the output —
+the caller's policy decision, same as ``bigram_logprob``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_grams
+
+__all__ = ["hashed_ngram_counts", "dsir_log_ratio", "dsir_select"]
+
+
+def _bucket(col, buckets: int):
+    """Engine-portable bucket hash: first 8 hex chars of md5, mod
+    ``buckets`` — the same universal-hash idiom as ``hash_uniform``
+    (xxhash64 would be faster but is not replayable outside the JVM)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(buckets)
+    ).alias("bucket")
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, bucket, cnt): the doc's hashed-n-gram feature vector in
+    sparse form. Explode is map-side; the count combines partially
+    before its one shuffle on (id, bucket)."""
+    grams = F.concat(
+        *[word_grams(text_col, n, short_doc="empty") for n in ns]
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, _bucket(F.col("gram"), buckets))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, lr_nano): add-alpha-smoothed ``ln p_target - ln p_raw``
+    per feature bucket in integer NANO-units (``round(lr * 1e9)`` as a
+    long), from the two (bucket, c) count tables. At most ``buckets``
+    rows — broadcast it onto the scoring join. Integer units make the
+    per-doc weighted sum exact 64-bit arithmetic: engine- and
+    summation-order-independent (|lr| < ~25 -> |lr_nano| < 2.5e10;
+    times per-doc gram counts it stays far inside a long)."""
+    a = float(alpha)
+    t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tt = t.agg(F.sum("ct").alias("tt"))
+    tr = r.agg(F.sum("cr").alias("tr"))
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+    )
+    lp_t = F.log(
+        (F.coalesce("ct", F.lit(0)) + F.lit(a))
+        / (F.col("tt") + F.lit(a * buckets))
+    )
+    lp_r = F.log(
+        (F.coalesce("cr", F.lit(0)) + F.lit(a))
+        / (F.col("tr") + F.lit(a * buckets))
+    )
+    return joined.select(
+        "bucket",
+        F.round((lp_t - lp_r) * F.lit(1e9), 0).cast("long").alias("lr_nano"),
+    )
+
+
+def _gumbel(id_col: str, salt: str):
+    """Standard Gumbel draw from the md5 uniform. The +0.5 centers the
+    32-bit integer draw inside its [h/2^32, (h+1)/2^32) cell, so u can
+    be neither 0 (-> -ln(-ln 0) = -inf) nor 1 (+inf) — unlike
+    ``hash_uniform``'s half-open [0, 1), both endpoints here are
+    singular, not just one."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+    frac: float | None = None,
+    k: int | None = None,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score every raw doc and mark the Gumbel-top-k selection.
+
+    Returns (id, n_grams, log_w, sel_key, rank, selected): ``log_w``
+    the importance log-weight, ``sel_key = log_w + Gumbel(id)`` the
+    sampling key, ``rank`` its 1-based global position (descending key,
+    id tie-break), ``selected`` true for the top ``k`` docs (or
+    ``ceil(frac * n_scored)`` when ``frac`` is given). Exactly one of
+    ``frac`` / ``k`` is required.
+
+    Scale: two corpus explodes feed bucket counts (map-side combine,
+    <= ``buckets`` reduced rows); the ratio table broadcasts; the only
+    corpus-keyed shuffles are the per-doc feature count and the scored
+    groupBy; the rank is two-phase (no global single-task sort). The
+    target corpus is typically tiny next to raw — it never joins
+    row-wise against raw at all, only through the ``buckets``-row
+    ratio table.
+    """
+    if (frac is None) == (k is None):
+        raise ValueError("pass exactly one of frac= or k=")
+    from ..operators.skew import grouped_global_rank
+
+    raw_counts = hashed_ngram_counts(raw, text_col, id_col, buckets, ns)
+    target_counts = hashed_ngram_counts(target, text_col, id_col, buckets, ns)
+    ratio = dsir_log_ratio(target_counts, raw_counts, buckets, alpha)
+    scored = (
+        raw_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
+            ).alias("log_w"),
+        )
+        .withColumn(
+            "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
+        )
+    )
+    ranked = grouped_global_rank(
+        scored,
+        group_cols=[],
+        order_cols=[F.desc("sel_key"), F.asc(id_col)],
+        rank_col="rank",
+        n_col="__n",
+    )
+    cut = (
+        F.ceil(F.lit(float(frac)) * F.col("__n")) if k is None else F.lit(int(k))
+    )
+    return ranked.select(
+        id_col,
+        "n_grams",
+        "log_w",
+        "sel_key",
+        "rank",
+        (F.col("rank") <= cut).alias("selected"),
+    )

@@ -6776,3 +6776,100 @@ ORACLE_SQL_EXT["image_dhash_dedup"] = f"""
     FROM keyd a JOIN keyd b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.hk::BIT, b.hk::BIT)) <= 6
 """
+
+
+def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (`llm/dsir.py`, Xie et al. 2023):
+    select raw-crawl documents whose hashed-n-gram bag looks like a
+    TARGET corpus. Target = the docs labeled ``lang = 'en'`` (the
+    curated distribution); raw = everything else — the selection pulls
+    the most English-prose-like quarter of the rest. Mechanics: shared
+    1-/2-gram tokenizer hashed into 4096 buckets by the md5 bucket
+    hash, add-one-smoothed ln(p_target/p_raw) per bucket quantized to
+    integer nano-units (a 4096-row BROADCAST — the target corpus never
+    row-joins raw), per-doc log-weight = an EXACT 64-bit integer sum
+    of count * ratio_nano (engine- and summation-order-independent;
+    the double formulation flipped a round-6 boundary on real data)
+    divided back to 1e-9 units, Gumbel-perturbed key from
+    the md5 uniform so the pick is a true importance SAMPLE, and a
+    two-phase global rank (`grouped_global_rank`) so no single task
+    ever sorts the corpus. Docs with no tokens are unscorable and
+    absent (the `bigram_logprob` contract). Every arithmetic step —
+    md5 bucket, integer counts, rounded ratio, Gumbel from md5 —
+    replays exactly in the DuckDB oracle."""
+    from .llm.dsir import dsir_select
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return dsir_select(
+        raw, target, buckets=4096, alpha=1.0, frac=0.25, salt="dsir"
+    )
+
+
+SPARK_QUERIES_EXT["dsir_select_docs"] = dsir_select_docs
+
+# Full replay: same tokenizer (_W), same md5 bucket hash, same add-one
+# smoothing with the ratio quantized to integer nano-units so the
+# per-doc weighted sum is exact 64-bit arithmetic on both engines, same
+# md5-Gumbel ((h + 0.5)/2^32 keeps u off both singular endpoints), same
+# ceil(0.25 * n) cut with doc_id tie-break. row_number over the full
+# ordering equals the two-phase composed rank exactly.
+ORACLE_SQL_EXT["dsir_select_docs"] = f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_W} AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, unnest(words) AS gram FROM w
+        UNION ALL
+        SELECT doc_id, lang, array_to_string(words[i:i+1], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS bucket
+        FROM g
+    ),
+    tcnt AS (
+        SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
+        FROM b WHERE lang = 'en' GROUP BY 1
+    ),
+    dcnt AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b WHERE lang <> 'en' GROUP BY 1, 2
+    ),
+    rcnt AS (SELECT bucket, CAST(sum(cnt) AS DOUBLE) AS cr FROM dcnt GROUP BY 1),
+    tot AS (
+        SELECT (SELECT sum(ct) FROM tcnt) AS tt,
+               (SELECT sum(cr) FROM rcnt) AS tr
+    ),
+    ratio AS (
+        SELECT coalesce(t.bucket, r.bucket) AS bucket,
+               CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (tt + 4096.0))
+                     - ln((coalesce(r.cr, 0) + 1.0) / (tr + 4096.0))) * 1e9)
+                    AS BIGINT) AS lr_nano
+        FROM tcnt t FULL JOIN rcnt r ON t.bucket = r.bucket, tot
+    ),
+    scored AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               round(CAST(sum(cnt * lr_nano) AS DOUBLE) / 1e9, 6) AS log_w
+        FROM dcnt JOIN ratio USING (bucket) GROUP BY 1
+    ),
+    keyed AS (
+        SELECT *,
+               round(log_w - ln(-ln(
+                   (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::UBIGINT + 0.5) / 4294967296.0
+               )), 6) AS sel_key
+        FROM scored
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rank,
+               count(*) OVER () AS n
+        FROM keyed
+    )
+    SELECT doc_id, n_grams, log_w, sel_key, CAST(rank AS BIGINT) AS rank,
+           rank <= ceil(0.25 * n) AS selected
+    FROM rk ORDER BY doc_id
+"""
