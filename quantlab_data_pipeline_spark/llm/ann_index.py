@@ -321,3 +321,50 @@ def query_ivf_pq_index(
         .withColumn("score", F.round(dot("qv", "cv"), 6))
     )
     return rank_topk(exact, k)
+
+
+def append_to_ann_index(
+    new_vectors: DataFrame,
+    path: str | Path,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Add a batch of vectors to a persisted IVF or IVF-PQ index with
+    the FROZEN quantizers — the incremental-intake contract the MinHash
+    and media indexes already ship (`append_to_index` /
+    `append_to_media_index`): the corpus-sized store is never re-read
+    or re-shuffled, only the batch assigns and appends.
+
+    Centroids (and PQ codebooks when present) are corpus statistics
+    pinned at build time — the FAISS add-after-train convention: new
+    vectors quantize under the existing model, so query semantics stay
+    identical to a from-scratch build with the same quantizers, and
+    recall degrades only as far as the corpus DRIFTS from the training
+    sample (rebuild on a cadence when it does). Each appended batch
+    shuffles once on centroid_id and lands inside the existing
+    list-per-directory layout, so partition pruning keeps working
+    unchanged. Tombstone contract carries over: ids are permanent —
+    appending a tombstoned id leaves it masked until compaction.
+
+    The batch frame is localCheckpointed before the write: a caller
+    deriving ``new_vectors`` from a read of the index itself (the
+    anti-join intake shape) would otherwise have its lineage
+    re-executed against the post-append file list. Returns the number
+    of vectors appended."""
+    path = Path(path)
+    spark = new_vectors.sparkSession
+    centroids = load_centroids(spark, path)
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col, n_assign=1)
+    if _path_exists(spark, str(path / "codebooks")):
+        from .pq import pq_encode
+
+        books = load_codebooks(spark, path)
+        assigned = assigned.join(pq_encode(new_vectors, books, id_col, vec_col), id_col)
+    batch = assigned.localCheckpoint()
+    (
+        batch.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(str(path / "assignments"))
+    )
+    return batch.count()

@@ -1362,3 +1362,109 @@ def test_ann_pq_index_takedown_masks(spark, tmp_path):
     remove_from_ann_index(spark, path, victims)
     after = query_ivf_pq_index(queries, path, k=5, nprobe=8).collect()
     assert not ({r["neighbor_id"] for r in after} & set(victims))
+
+
+def test_ann_index_append_then_findable(spark, tmp_path):
+    """Appended vectors quantize under the FROZEN centroids, so a
+    post-append query must equal in-session ivf_topk over the full
+    corpus with those same centroids — and the centroid store must be
+    byte-identical before/after (append never retrains)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        append_to_ann_index,
+        build_ivf_index,
+        load_centroids,
+        query_ivf_index,
+    )
+    from quantlab_data_pipeline_spark.llm.similarity import ivf_topk
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivf_app"
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ivf_index(base, path, n_lists=8)
+    cents_before = load_centroids(spark, path)
+    n = append_to_ann_index(batch, path)
+    assert n == batch.count()
+    assert load_centroids(spark, path) == cents_before
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = query_ivf_index(queries, path, k=5, nprobe=3)
+    want = ivf_topk(queries, emb, centroids=cents_before, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ann_pq_index_append_planted_duplicate_found(spark, tmp_path):
+    """IVF-PQ append: codes come from the frozen codebooks, so an
+    appended exact copy of a corpus vector must surface as the top
+    match (cosine 1.0 after the exact re-rank stage)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        append_to_ann_index,
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivfpq_app"
+    build_ivf_pq_index(emb, path, n_lists=8, m=8, n_codes=64)
+    probe_src = emb.filter(F.col("vec_id") == 3)
+    planted = probe_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ann_index(planted, path)
+    got = query_ivf_pq_index(probe_src, path, k=3, nprobe=3).collect()
+    by_q = {(r["query_id"], r["rank"]): r for r in got}
+    top = by_q[(3, 1)]
+    assert top["neighbor_id"] == 1_000_003
+    assert top["score"] == 1.0
+
+
+def test_ann_index_append_survives_self_referential_lineage(spark, tmp_path):
+    """The intake shape: the batch is derived by anti-joining against a
+    READ of the index's own assignments. localCheckpoint must freeze it
+    before the append mutates the files that lineage reads (the same
+    re-cache hazard the text/media index appends guard against)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        append_to_ann_index,
+        build_ivf_index,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivf_lineage"
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_lists=8)
+    indexed_ids = spark.read.parquet(str(path / "assignments")).select("vec_id")
+    batch = emb.join(indexed_ids, "vec_id", "left_anti")
+    expected = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    append_to_ann_index(batch, path)
+    after = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(path / "assignments"))
+        .select("vec_id")
+        .collect()
+    }
+    assert expected <= after
+    assert len(after) == emb.count()
+
+
+def test_ann_index_append_tombstoned_id_stays_masked(spark, tmp_path):
+    """Ids are permanent identities: re-appending a removed id does NOT
+    resurrect it — the mask holds until compaction clears it (the
+    documented contract shared by all three persisted indexes)."""
+    from quantlab_data_pipeline_spark.llm.ann_index import (
+        append_to_ann_index,
+        build_ivf_index,
+        query_ivf_index,
+        remove_from_ann_index,
+    )
+    from quantlab_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = tmp_path / "ivf_ts"
+    build_ivf_index(emb, path, n_lists=8)
+    victim = emb.filter(F.col("vec_id") == 7)
+    remove_from_ann_index(spark, path, [7])
+    append_to_ann_index(victim, path)
+    got = query_ivf_index(emb.filter(F.col("vec_id") < 5), path, k=50, nprobe=8)
+    assert got.filter(F.col("neighbor_id") == 7).count() == 0
