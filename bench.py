@@ -103,6 +103,7 @@ CURATION = [
     "perplexity_bucket_docs",  # round 7: CCNet LM-perplexity terciles
     "quality_percentile_by_source_docs",  # round 8: per-source normalization
     "dsir_select_docs",  # round 8: DSIR importance resampling
+    "token_budget_mix_docs",  # round 8: per-source token-budget fill
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw
@@ -121,6 +122,7 @@ INTAKE = [
     "media_intake_loop_docs",  # round 8: incremental intake loop replay
     "media_index_takedown_docs",  # round 8: tombstone mask + compaction
     "corpus_export_manifest_docs",  # round 8: JSONL export + manifest
+    "url_blocklist_docs",  # round 8: domain blocklist suffix-chain join
 ]
 
 

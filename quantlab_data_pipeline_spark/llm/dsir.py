@@ -98,8 +98,12 @@ def dsir_log_ratio(
     a = float(alpha)
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    tt = t.agg(F.sum("ct").alias("tt"))
-    tr = r.agg(F.sum("cr").alias("tr"))
+    # sum() over an EMPTY count table is null, not 0 — a target corpus
+    # whose every doc tokenizes to nothing would otherwise null every
+    # ratio and every score (hypothesis-found edge); 0 gives the
+    # uniform smoothed model, which is the right degenerate answer.
+    tt = t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tr = r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
     joined = (
         t.join(r, "bucket", "full_outer")
         .crossJoin(F.broadcast(tt))

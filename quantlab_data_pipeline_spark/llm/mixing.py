@@ -129,3 +129,68 @@ def mix_corpus(
         id_col=id_col,
         salt=salt,
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Fill each domain's TOKEN budget — the unit a training run
+    actually specifies ("30B tokens of web, 5B of code"), where
+    :func:`sample_by_domain` works in doc-count fractions.
+
+    Within each ``group_col`` value, documents rank by the universal
+    md5 draw (rerun-/partitioning-/engine-stable, nested under salt
+    like every sampling decision in this package) and are kept while
+    the group's RUNNING token total, current doc included, stays
+    within budget: the first doc that would overflow is dropped, as is
+    everything after it in draw order. A budget increase strictly
+    grows the kept set (same nested-sample property as the fraction
+    sampler). ``budget_tokens`` is one int for every group or a
+    ``{group value: int}`` dict — groups absent from the dict get
+    budget 0.
+
+    Returns the docs' (id, group, n_tokens) plus ``cum_tokens`` and
+    ``kept``. Scale shape: the per-group prefix sum is
+    :func:`..operators.skew.grouped_global_cumsum` — a handful of
+    sources over billions of docs never funnels a source through one
+    task; the budget table is a broadcast (or a literal).
+    """
+    from ..operators.skew import grouped_global_cumsum
+    from .packing import _with_tokens
+    from .text import hash_uniform
+
+    d, tok = _with_tokens(df, text_col, token_col)
+    d = d.select(
+        id_col, group_col, F.col(tok).alias("n_tokens")
+    ).withColumn("__draw", hash_uniform(id_col, salt))
+    cum = grouped_global_cumsum(
+        d,
+        group_cols=[group_col],
+        order_cols=[F.asc("__draw"), F.asc(id_col)],
+        value_col="n_tokens",
+        cumsum_col="cum_tokens",
+    )
+    if isinstance(budget_tokens, dict):
+        spark = df.sparkSession
+        budgets = spark.createDataFrame(
+            [(k, int(v)) for k, v in budget_tokens.items()],
+            f"{group_col} string, __budget long",
+        )
+        cum = cum.join(F.broadcast(budgets), group_col, "left").withColumn(
+            "__budget", F.coalesce("__budget", F.lit(0))
+        )
+    else:
+        cum = cum.withColumn("__budget", F.lit(int(budget_tokens)))
+    return cum.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("__budget")).alias("kept"),
+    )

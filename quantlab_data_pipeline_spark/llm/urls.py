@@ -153,3 +153,67 @@ def url_dedup(
         )
         .drop("__keep")
     )
+
+
+def host_suffix_chain(url: str | Column) -> Column:
+    """Every label-aligned dot-suffix of the URL's host, longest first:
+    ``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
+    com]. Null host -> null. The equi-join key set for blocklist
+    matching: "blocked domain d blocks d and every subdomain of d"
+    becomes "some suffix of the host equals d" — an exact array
+    membership, never a LIKE/endswith scan."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        host.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+        ),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate each doc against a domain blocklist (the UT1 /
+    adult-and-malware-list pass every crawl pipeline runs before any
+    content work): ``blocked`` true iff SOME label-aligned suffix of
+    the doc's host is a listed domain, plus ``matched_domain`` (the
+    lexicographically smallest match — deterministic when both a host
+    and its parent are listed).
+
+    ``blocked`` is a one-column DataFrame of domains or an iterable of
+    strings (lowercased on entry). Scale shape: production blocklists
+    run to millions of domains — far past broadcast — so the match is
+    an EQUI-JOIN: each doc explodes into its ~5-label suffix chain and
+    joins the blocklist on the suffix (one shuffle of (id, suffix)
+    pairs + the list; AQE broadcasts instead when the list is actually
+    small). Path-pattern rules (a few percent of UT1) are out of
+    scope here — domains-only, stated plainly."""
+    spark = df.sparkSession
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(
+            F.lower(F.col(blocked.columns[0])).alias("__bdom")
+        ).distinct()
+    else:
+        bl = spark.createDataFrame(
+            [(str(d).lower(),) for d in blocked], "__bdom string"
+        ).distinct()
+    chain = df.select(
+        F.col(id_col),
+        F.explode(host_suffix_chain(url_col)).alias("__suffix"),
+    )
+    hits = (
+        chain.join(bl, chain["__suffix"] == bl["__bdom"])
+        .groupBy(id_col)
+        .agg(F.min("__bdom").alias("matched_domain"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn("blocked", F.col("matched_domain").isNotNull())
+    )

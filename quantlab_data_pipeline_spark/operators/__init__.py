@@ -28,12 +28,13 @@ from .impute import impute_by_group
 from .profile import cms_frequencies, profile_table
 from .rangejoin import bucketed_range_join
 from .scd2 import merge_intervals, scd2_apply_changes, scd2_from_changelog
-from .skew import grouped_global_rank, salted_join
+from .skew import grouped_global_cumsum, grouped_global_rank, salted_join
 
 __all__ = [
     "FACTOR_NAME_MAP",
     "as_of_join",
     "as_of_join_cogrouped",
+    "grouped_global_cumsum",
     "grouped_global_rank",
     "salted_join",
     "attach_close_prices",

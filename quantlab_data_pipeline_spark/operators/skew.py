@@ -183,3 +183,57 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def grouped_global_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group running total (``sum(value) OVER (PARTITION BY
+    group ORDER BY order ROWS UNBOUNDED PRECEDING)``, current row
+    included) with the same never-a-group-sized-task shape as
+    :func:`grouped_global_rank`: range partition on (group, order),
+    local cumsum per (group, partition), broadcast per-partition
+    subtotal offsets. The quota/budget primitive — "fill each source's
+    token budget in a deterministic order" needs exactly this prefix
+    sum, and the naive window funnels each group through one task.
+
+    Same total-order requirement as the rank: ``order_cols`` (with
+    ``group_cols``) must uniquely order rows or the composed result is
+    partition-dependent — pass a tie-break column.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    group_exprs = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(
+        parts, *group_exprs, *order_exprs
+    ).withColumn("__pid", F.spark_partition_id())
+    local = Window.partitionBy(*group_cols, "__pid").orderBy(*order_exprs)
+    summed = ranged.withColumn("__local_cum", F.sum(value_col).over(local))
+
+    cell_sums = ranged.groupBy(*group_cols, "__pid").agg(
+        F.sum(value_col).alias("__cell")
+    )
+    by_group = Window.partitionBy(*group_cols).orderBy("__pid")
+    offsets = cell_sums.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(
+            F.sum("__cell").over(
+                by_group.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__offset"),
+    )
+    return (
+        summed.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(cumsum_col, F.col("__offset") + F.col("__local_cum"))
+        .drop("__pid", "__local_cum", "__offset")
+    )

@@ -6841,8 +6841,8 @@ ORACLE_SQL_EXT["dsir_select_docs"] = f"""
     ),
     rcnt AS (SELECT bucket, CAST(sum(cnt) AS DOUBLE) AS cr FROM dcnt GROUP BY 1),
     tot AS (
-        SELECT (SELECT sum(ct) FROM tcnt) AS tt,
-               (SELECT sum(cr) FROM rcnt) AS tr
+        SELECT coalesce((SELECT sum(ct) FROM tcnt), 0) AS tt,
+               coalesce((SELECT sum(cr) FROM rcnt), 0) AS tr
     ),
     ratio AS (
         SELECT coalesce(t.bucket, r.bucket) AS bucket,
@@ -6872,4 +6872,130 @@ ORACLE_SQL_EXT["dsir_select_docs"] = f"""
     SELECT doc_id, n_grams, log_w, sel_key, CAST(rank AS BIGINT) AS rank,
            rank <= ceil(0.25 * n) AS selected
     FROM rk ORDER BY doc_id
+"""
+
+
+def token_budget_mix_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus mixing (`llm/mixing.py token_budget_mix`):
+    each source fills a 600-token budget — the unit a pretraining run
+    actually specifies — by ranking its docs on the universal md5 draw
+    and keeping them while the running token total (current doc
+    included) stays within budget; the overflow doc and everything
+    after it drop. Deterministic across runs, partitionings, and
+    engines (same nested-sample hash as `deterministic_split` /
+    `sample_by_domain`; a budget increase strictly grows the kept
+    set). Scale shape: the per-source prefix sum is
+    `grouped_global_cumsum` — range partition on (source, draw), local
+    running sums, broadcast per-partition subtotal offsets — so a
+    handful of sources over billions of docs never funnels one source
+    through a single task (the `grouped_global_rank` pattern, extended
+    to sums)."""
+    from .llm.mixing import token_budget_mix
+
+    docs = load_table(spark, sf, "documents")
+    return token_budget_mix(docs, 600, salt="budget")
+
+
+SPARK_QUERIES_EXT["token_budget_mix_docs"] = token_budget_mix_docs
+
+# The naive-window replay: sum() OVER (PARTITION BY source ORDER BY
+# md5 draw, doc_id) must equal the composed range-partitioned prefix
+# sum exactly (integer token counts — no float drift anywhere).
+ORACLE_SQL_EXT["token_budget_mix_docs"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{_TOK}'))
+                    AS BIGINT) AS n_tokens,
+               {_hash_uniform_sql('budget')} AS draw
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY draw, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= 600 AS kept
+    FROM c ORDER BY doc_id
+"""
+
+
+def url_blocklist_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-blocklist filtering (`llm/urls.py blocklist_filter`) —
+    the UT1-style pass every crawl pipeline runs before any content
+    work: a listed domain blocks itself and every subdomain. URLs
+    derive deterministically from doc_id in four shapes: subdomain of
+    a listed domain (must block via the chain, not host equality),
+    exact-host listing that fires only for id % 5 == 0, a mixed-case
+    multi-label host under a listed two-label domain (case folding +
+    deep suffix), and a clean host. The match is an equi-join on the
+    exploded label-aligned suffix chain (`host_suffix_chain`) — the
+    shape that survives million-domain production lists where LIKE
+    scans and broadcasts do not; matched_domain = min listed match
+    (deterministic). The oracle reconstructs hosts arithmetically from
+    doc_id and applies the suffix rule as host = d OR host LIKE '%.'
+    || d — an independent formulation of the same semantics."""
+    from .llm.urls import blocklist_filter, url_host
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    g = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".ads.example.com/p/"), did,
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(
+                F.lit("https://tracker"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".net/x/"), did,
+            ),
+        )
+        .when(g == 2, F.concat(F.lit("https://Shop.Bad.CO.UK/s/"), did))
+        .otherwise(F.concat(F.lit("https://safe.example.org/ok/"), did))
+    )
+    base = docs.withColumn("url", url)
+    return blocklist_filter(
+        base, ["tracker0.net", "ads.example.com", "bad.co.uk"]
+    ).select(
+        "doc_id",
+        url_host("url").alias("host"),
+        "blocked",
+        "matched_domain",
+    )
+
+
+SPARK_QUERIES_EXT["url_blocklist_docs"] = url_blocklist_docs
+
+ORACLE_SQL_EXT["url_blocklist_docs"] = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.ads.example.com'
+                   WHEN 1 THEN 'tracker' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.net'
+                   WHEN 2 THEN 'shop.bad.co.uk'
+                   ELSE 'safe.example.org'
+               END AS host
+        FROM documents
+    ),
+    bl(d) AS (VALUES ('tracker0.net'), ('ads.example.com'), ('bad.co.uk')),
+    m AS (
+        SELECT doc_id, min(d) AS matched_domain
+        FROM u JOIN bl ON u.host = bl.d OR u.host LIKE '%.' || bl.d
+        GROUP BY 1
+    )
+    SELECT u.doc_id, u.host,
+           m.matched_domain IS NOT NULL AS blocked,
+           m.matched_domain
+    FROM u LEFT JOIN m USING (doc_id)
+    ORDER BY u.doc_id
 """

@@ -823,3 +823,87 @@ def test_chunk_sentences_matches_python_oracle(spark):
             assert len(c) <= budget or n == 1
     # null/empty docs emit no chunks (lateral join over an empty yield)
     assert 3 not in got and 4 not in got
+
+
+# ------------------------------------------------------- token budgets
+
+
+def _budget_docs(spark):
+    rows = [
+        (i, "web" if i < 12 else "code", "tok " * (5 * (i % 4 + 1)))
+        for i in range(18)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_token_budget_mix_greedy_fill_semantics(spark):
+    """Per source: docs sorted by the md5 draw fill the budget greedily;
+    the first overflow doc and everything after it drop. Verified
+    against a python replay of the exact same rule."""
+    import hashlib
+
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    docs = _budget_docs(spark)
+    budget = 40
+    out = {r["doc_id"]: r for r in token_budget_mix(docs, budget).collect()}
+
+    rows = docs.collect()
+    draws = {
+        r["doc_id"]: int(
+            hashlib.md5(f"budget{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        / 2**32
+        for r in rows
+    }
+    toks = {r["doc_id"]: len(r["text"].split()) for r in rows}
+    for src in {"web", "code"}:
+        ids = sorted(
+            (r["doc_id"] for r in rows if r["source"] == src),
+            key=lambda i: (draws[i], i),
+        )
+        cum = 0
+        for i in ids:
+            cum += toks[i]
+            assert out[i]["n_tokens"] == toks[i]
+            assert out[i]["cum_tokens"] == cum
+            assert out[i]["kept"] == (cum <= budget)
+
+
+def test_token_budget_mix_dict_budgets_and_missing_group(spark):
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    docs = _budget_docs(spark)
+    out = token_budget_mix(docs, {"web": 10_000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # web budget is effectively infinite -> everything kept
+    assert all(r["kept"] for r in by_src["web"])
+    # code is absent from the dict -> budget 0 -> nothing kept
+    assert not any(r["kept"] for r in by_src["code"])
+
+
+def test_token_budget_mix_nested_under_budget_increase(spark):
+    """A bigger budget must strictly grow the kept set (the ablation
+    property the md5 ordering exists for)."""
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    docs = _budget_docs(spark)
+    small = {
+        r["doc_id"] for r in token_budget_mix(docs, 30).collect() if r["kept"]
+    }
+    big = {
+        r["doc_id"] for r in token_budget_mix(docs, 80).collect() if r["kept"]
+    }
+    assert small <= big
+    assert len(big) > len(small)
+
+
+def test_token_budget_mix_partitioning_invariant(spark):
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    docs = _budget_docs(spark)
+    a = sorted(map(tuple, token_budget_mix(docs, 40).collect()))
+    b = sorted(map(tuple, token_budget_mix(docs.repartition(7), 40).collect()))
+    assert a == b

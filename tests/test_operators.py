@@ -1087,3 +1087,34 @@ def test_grouped_global_rank_no_group_only_data_sort(spark):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final[:2000]
+
+
+def test_grouped_global_cumsum_equals_naive_window(spark):
+    """grouped_global_cumsum must reproduce sum() OVER (PARTITION BY
+    group ORDER BY ... ROWS UNBOUNDED PRECEDING) exactly on the same
+    skewed giant-group frame the rank test uses."""
+    from pyspark.sql import Window
+
+    from quantlab_data_pipeline_spark.operators import grouped_global_cumsum
+
+    df = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(50)) + 1).alias("v"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 1000).alias("score"),
+        F.col("id"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.select("grp", "id", F.sum("v").over(w).alias("cumsum"))
+    got = grouped_global_cumsum(
+        df, ["grp"], order, "v", num_partitions=8
+    ).select("grp", "id", "cumsum")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )

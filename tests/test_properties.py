@@ -667,3 +667,126 @@ def test_zorder_bucket_count_and_conservation(spark, n_rows, buckets):
     by_z = sorted(out, key=lambda r: r["zvalue"])
     zb = [r["zbucket"] for r in by_z]
     assert zb == sorted(zb)
+
+
+@st.composite
+def budget_corpora(draw):
+    n = draw(st.integers(0, 14))
+    rows = [
+        (
+            i,
+            draw(st.sampled_from(["web", "code", "wiki"])),
+            "w " * draw(st.integers(0, 8)),
+        )
+        for i in range(n)
+    ]
+    budget = draw(st.integers(0, 25))
+    return rows, budget
+
+
+@given(budget_corpora())
+@SETTINGS
+def test_token_budget_mix_matches_python_greedy(spark, case):
+    """token_budget_mix == the python greedy fill under the md5 draw
+    order, for random corpora including empty frames, zero budgets,
+    and zero-token docs."""
+    import hashlib
+
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    rows, budget = case
+    schema = "doc_id long, source string, text string"
+    docs = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = {r["doc_id"]: r for r in token_budget_mix(docs, budget).collect()}
+
+    draws = {
+        i: int(hashlib.md5(f"budget{i}".encode()).hexdigest()[:8], 16) / 2**32
+        for i, _, _ in rows
+    }
+    toks = {i: len(t.split()) for i, _, t in rows}
+    assert set(got) == {i for i, _, _ in rows}
+    for src in {"web", "code", "wiki"}:
+        cum = 0
+        for i in sorted(
+            (i for i, s, _ in rows if s == src),
+            key=lambda i: (draws[i], i),
+        ):
+            cum += toks[i]
+            assert got[i]["cum_tokens"] == cum
+            assert got[i]["kept"] == (cum <= budget)
+
+
+@st.composite
+def dsir_corpora(draw):
+    words = st.sampled_from(["the", "cat", "dog", "xs9", "run", "q"])
+    def doc(i):
+        return (i, " ".join(draw(st.lists(words, min_size=0, max_size=6))))
+    n_raw = draw(st.integers(1, 8))
+    n_tgt = draw(st.integers(1, 4))
+    return ([doc(i) for i in range(n_raw)],
+            [doc(100 + i) for i in range(n_tgt)])
+
+
+@given(dsir_corpora())
+@SETTINGS
+def test_dsir_scores_match_python(spark, case):
+    """dsir_select's log-weights == the python replay (hashed buckets,
+    add-one smoothing, integer nano-unit sums) on random tiny corpora —
+    including docs with zero grams (must be absent)."""
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    from quantlab_data_pipeline_spark.llm.dsir import dsir_select
+
+    raw_rows, tgt_rows = case
+    B = 64
+    schema = "doc_id long, text string"
+    raw = spark.createDataFrame(raw_rows, schema)
+    tgt = spark.createDataFrame(tgt_rows, schema)
+    got = {
+        r["doc_id"]: r
+        for r in dsir_select(raw, tgt, buckets=B, k=1, salt="p").collect()
+    }
+
+    def grams(t):
+        w = _re.findall(r"[a-z0-9]+", t.lower())
+        return w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def counts(rows):
+        out = {}
+        for i, t in rows:
+            c = Counter(bucket(g) for g in grams(t))
+            if c:
+                out[i] = c
+        return out
+
+    rc, tc = counts(raw_rows), counts(tgt_rows)
+    assert set(got) == set(rc)
+    t_tot, r_tot = Counter(), Counter()
+    for c in tc.values():
+        t_tot.update(c)
+    for c in rc.values():
+        r_tot.update(c)
+    tt, tr = sum(t_tot.values()), sum(r_tot.values())
+    for i, c in rc.items():
+        nano = sum(
+            n
+            * round(
+                (
+                    math.log((t_tot.get(b, 0) + 1.0) / (tt + B))
+                    - math.log((r_tot.get(b, 0) + 1.0) / (tr + B))
+                )
+                * 1e9
+            )
+            for b, n in c.items()
+        )
+        assert got[i]["log_w"] == round(nano / 1e9, 6)

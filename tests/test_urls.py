@@ -128,3 +128,65 @@ def test_normalize_is_idempotent(spark):
     ).collect()
     for r in got:
         assert r["once"] == r["twice"], r
+
+
+# ---------------------------------------------------------- blocklist
+
+
+def test_host_suffix_chain_label_aligned(spark):
+    from quantlab_data_pipeline_spark.llm.urls import host_suffix_chain
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x"), (2, "not a url"), (3, None)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["chain"]
+        for r in df.select(
+            "doc_id", host_suffix_chain("url").alias("chain")
+        ).collect()
+    }
+    assert got[1] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[2] is None and got[3] is None
+
+
+def test_blocklist_filter_semantics(spark):
+    """Listed domain blocks itself and subdomains; label alignment
+    means xbad.co.uk does NOT match bad.co.uk; min match wins when
+    both a host and its parent are listed; null/invalid URLs pass."""
+    from quantlab_data_pipeline_spark.llm.urls import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/a"),       # exact
+            (2, "https://deep.ads.example.com/b"),  # subdomain
+            (3, "https://example.com/c"),           # parent of listed: clean
+            (4, "https://xbad.co.uk/d"),            # NOT label-aligned
+            (5, "https://shop.bad.co.uk/e"),        # deep multi-label
+            (6, None),
+            (7, "https://a.ads.example.com/f"),     # two listed ancestors
+        ],
+        "doc_id long, url string",
+    )
+    bl = ["ads.example.com", "bad.co.uk", "a.ads.example.com"]
+    got = {r["doc_id"]: r for r in blocklist_filter(df, bl).collect()}
+    assert got[1]["blocked"] and got[1]["matched_domain"] == "ads.example.com"
+    assert got[2]["blocked"] and got[2]["matched_domain"] == "ads.example.com"
+    assert not got[3]["blocked"] and got[3]["matched_domain"] is None
+    assert not got[4]["blocked"]
+    assert got[5]["blocked"] and got[5]["matched_domain"] == "bad.co.uk"
+    assert not got[6]["blocked"]
+    # min of the two matches (a.ads.example.com < ads.example.com)
+    assert got[7]["matched_domain"] == "a.ads.example.com"
+
+
+def test_blocklist_filter_dataframe_input_and_case(spark):
+    from quantlab_data_pipeline_spark.llm.urls import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://ADS.Example.COM/x"), (2, "https://ok.org/y")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("Ads.Example.Com",)], "domain string")
+    got = {r["doc_id"]: r["blocked"] for r in blocklist_filter(df, bl).collect()}
+    assert got == {1: True, 2: False}
