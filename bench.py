@@ -78,6 +78,7 @@ EXTENDED = [
     "minhash_lsh_dedup",
     "tfidf_keywords_docs",  # round 8: keyword extraction (postings twin)
     "hybrid_search_docs",  # round 8: BM25 + dense RRF fusion
+    "embedding_pca_docs",  # round 8: one-pass PCA fit + whitened projection
 ]
 
 # Round-3 data-ops family — its own stable section so round-over-round

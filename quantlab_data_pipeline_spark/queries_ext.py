@@ -6999,3 +6999,32 @@ ORACLE_SQL_EXT["url_blocklist_docs"] = """
     FROM u LEFT JOIN m USING (doc_id)
     ORDER BY u.doc_id
 """
+
+
+def embedding_pca_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA + whitening over the embeddings table
+    (`llm/pca.py`): fit = ONE reduce pass accumulating (count, sum,
+    X^T X) per partition — 1 + d + d*d doubles each regardless of row
+    count — combined on the driver where the d x d (64 x 64)
+    eigendecomposition is a trivial problem at any corpus size (the
+    `train_centroids` driver-scale boundary); projection = one
+    Arrow-batched map pass with the (k, d) component matrix in the
+    closure, no shuffle anywhere. Whitened coordinates (unit variance
+    per direction — the standardization SemDeDup-style embedding
+    pipelines apply before clustering) emitted as k = 4 plain double
+    columns rounded to 6; eigenvector signs are canonical (largest-|x|
+    coordinate positive), so the mirror's from-scratch numpy replay
+    must agree to float-sum noise, far inside the rounding. Python
+    oracle (linear algebra is not SQL); driver: rows+schema."""
+    from .llm.pca import fit_pca, project_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    model = fit_pca(emb, k=4)
+    proj = project_embeddings(emb, model, whiten=True)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("proj")[i], 6).alias(f"p{i}") for i in range(4)],
+    )
+
+
+SPARK_QUERIES_EXT["embedding_pca_docs"] = embedding_pca_docs

@@ -258,7 +258,36 @@ def _audio_dhash_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
 
+def _embedding_pca_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """From-scratch numpy replay of embedding_pca_docs: population
+    covariance, ascending eigh re-ordered descending, canonical sign
+    (largest-|coordinate| positive), whitened projection rounded to 6.
+    Independent of the Spark implementation except for the shared
+    published conventions the row's docstring states."""
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:4]
+    W = eigvecs[:, order].T.copy()
+    for i in range(W.shape[0]):
+        j = int(np.argmax(np.abs(W[i])))
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    P = (X - mean) @ W.T / np.sqrt(np.maximum(eigvals[order], 1e-12))
+    P = np.round(np.round(P, 6), 6)
+    out = {"vec_id": ids}
+    for i in range(4):
+        out[f"p{i}"] = P[:, i]
+    return pd.DataFrame(out)
+
+
 PYTHON_ORACLES = {
+    "embedding_pca_docs": _embedding_pca_python_oracle,
     "pagerank_suppliers": _pagerank_suppliers_python_oracle,
     "bpe_tokenize_docs": _bpe_tokenize_docs_python_oracle,
     "image_dhash_dedup": _image_dhash_python_oracle,

@@ -1468,3 +1468,77 @@ def test_ann_index_append_tombstoned_id_stays_masked(spark, tmp_path):
     append_to_ann_index(victim, path)
     got = query_ivf_index(emb.filter(F.col("vec_id") < 5), path, k=50, nprobe=8)
     assert got.filter(F.col("neighbor_id") == 7).count() == 0
+
+
+def test_pca_fit_matches_numpy(spark):
+    """fit_pca's distributed (count, sum, X^T X) reduce must equal the
+    straight numpy covariance eigendecomposition on the same rows."""
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.llm.pca import fit_pca, pca_canonical_sign
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 6) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    model = fit_pca(df, k=3)
+
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    ev, W = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    want = pca_canonical_sign(W[:, order].T)
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["eigvals"], ev[order], atol=1e-9)
+    assert np.allclose(model["components"], want, atol=1e-8)
+    assert model["n"] == 200
+    evr = model["explained_variance_ratio"]
+    assert all(a >= b for a, b in zip(evr, evr[1:])) and sum(evr) <= 1 + 1e-9
+
+
+def test_pca_whitened_projection_unit_variance(spark):
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.llm.pca import fit_pca, project_embeddings
+
+    rng = np.random.RandomState(1)
+    X = rng.randn(300, 5) * np.array([4.0, 2.0, 1.0, 0.5, 0.25])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    model = fit_pca(df, k=3)
+    P = np.array(
+        [
+            r["proj"]
+            for r in project_embeddings(df, model, whiten=True)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert np.allclose(P.mean(axis=0), 0, atol=1e-6)
+    assert np.allclose(P.var(axis=0), 1, atol=1e-3)
+
+
+def test_pca_partitioning_invariant_and_null_safe(spark):
+    import numpy as np
+
+    from quantlab_data_pipeline_spark.llm.pca import fit_pca, project_embeddings
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(64, 4)
+    rows = [(i, r.tolist()) for i, r in enumerate(X)] + [(999, None)]
+    a_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b_df = a_df.repartition(13)
+    pa = {
+        r["vec_id"]: r["proj"]
+        for r in project_embeddings(a_df, fit_pca(a_df, k=2), whiten=True).collect()
+    }
+    pb = {
+        r["vec_id"]: r["proj"]
+        for r in project_embeddings(b_df, fit_pca(b_df, k=2), whiten=True).collect()
+    }
+    assert pa == pb  # rounded to 6 — exact equality across partitionings
+    assert pa[999] is None
