@@ -105,6 +105,7 @@ CURATION = [
     "quality_percentile_by_source_docs",  # round 8: per-source normalization
     "dsir_select_docs",  # round 8: DSIR importance resampling
     "token_budget_mix_docs",  # round 8: per-source token-budget fill
+    "boilerplate_lines_docs",  # round 8: per-domain template-line removal
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw

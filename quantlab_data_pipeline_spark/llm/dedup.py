@@ -819,3 +819,90 @@ def fuzzy_decontaminate(
             F.col("fuzzy_hits").isNotNull().alias("fuzzy_contaminated"),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-domain boilerplate removal (the RefinedWeb/CCNet variant of
+    line filtering): a line appearing in at least ``min_frac`` of a
+    DOMAIN's documents (and at least ``min_docs`` of them) is site
+    template — nav bars, footers, cookie banners — and is dropped from
+    every document of that domain. Orthogonal to :func:`dedup_lines`
+    (C4's global first-occurrence rule): boilerplate is removed from
+    the FIRST document too, and a line common in one domain survives
+    untouched in another.
+
+    Exact-match lines (split on newline, no trimming — the conservative
+    contract; normalize upstream if needed). A line repeated within one
+    document counts that document ONCE toward the fraction. The
+    threshold compares cross-multiplied integers
+    (``doc_freq * 1000 >= round(min_frac * 1000) * n_docs``) so the cut
+    is engine-exact, never a float ratio.
+
+    Returns (id, domain, clean_text, n_lines_kept, n_lines_dropped);
+    null text passes through as null. Scale shape: lines explode
+    map-side; the frequency count shuffles (domain, line) pairs with
+    map-side combine; the boilerplate set joins back by (domain, line)
+    equi-join; reassembly aggregates each document's surviving
+    (pos, line) pairs — every shuffle is line- or doc-keyed, nothing
+    domain-sized concentrates in one task.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    freq = (
+        lines.select(domain_col, "__line", id_col)
+        .distinct()
+        .groupBy(domain_col, "__line")
+        .agg(F.count(F.lit(1)).alias("__doc_freq"))
+    )
+    ndocs = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    thr = int(round(float(min_frac) * 1000))
+    bp = (
+        freq.join(ndocs, domain_col)
+        .filter(
+            (F.col("__doc_freq") >= F.lit(int(min_docs)))
+            & (F.col("__doc_freq") * 1000 >= F.lit(thr) * F.col("__n_docs"))
+        )
+        .select(domain_col, "__line")
+    )
+    kept = lines.join(bp, [domain_col, "__line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
+    return (
+        df.select(id_col, domain_col, F.col(text_col).alias("__text"))
+        .join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            domain_col,
+            F.when(F.col("__text").isNotNull(),
+                   F.coalesce("clean_text", F.lit(""))).alias("clean_text"),
+            F.when(
+                F.col("__text").isNotNull(),
+                F.coalesce("n_lines_kept", F.lit(0)),
+            ).alias("n_lines_kept"),
+            F.when(
+                F.col("__text").isNotNull(),
+                F.coalesce("__n_lines", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0)),
+            ).alias("n_lines_dropped"),
+        )
+    )

@@ -7028,3 +7028,101 @@ def embedding_pca_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SPARK_QUERIES_EXT["embedding_pca_docs"] = embedding_pca_docs
+
+
+def boilerplate_lines_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain boilerplate line removal (`llm/dedup.py
+    boilerplate_lines` — the RefinedWeb site-template rule, orthogonal
+    to C4's global first-occurrence `line_dedup_docs`: boilerplate
+    drops from the FIRST doc too, and only within its own domain).
+    The corpus has single-line docs, so each doc is wrapped in a
+    deterministic page template: a per-domain HEADER on every doc
+    (100% >= 30% -> always dropped), the doc's own unique body (kept),
+    a PROMO line on every 5th doc of the domain (20% < 30% -> kept),
+    and a FOOTER on every 2nd doc (>=50% -> dropped). Within-domain
+    variation uses floor(doc_id / 20) because source = src(doc_id %
+    20) — doc_id % k would be CONSTANT inside a domain. Threshold is
+    cross-multiplied integers (doc_freq * 1000 >= 300 * n_docs), so
+    the cut replays exactly; rebuilt text is md5'd for the compare.
+    Scale: line-keyed count + equi-join back, nothing domain-sized in
+    one task."""
+    from .llm.dedup import boilerplate_lines
+
+    docs = load_table(spark, sf, "documents")
+    j = F.floor(F.col("doc_id") / 20)
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("HEADER "), F.col("source")),
+        F.col("text"),
+        F.when((j % 5) == 0, F.concat(F.lit("PROMO "), F.col("source"))),
+        F.when((j % 2) == 0, F.concat(F.lit("FOOTER "), F.col("source"))),
+    )
+    framed = docs.select("doc_id", "source", page.alias("text"))
+    return boilerplate_lines(framed, min_frac=0.3, min_docs=2).select(
+        "doc_id",
+        "source",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+SPARK_QUERIES_EXT["boilerplate_lines_docs"] = boilerplate_lines_docs
+
+# Independent replay of the whole rule: same page framing, DuckDB-side
+# line split with ordinality, per-(domain, line) DISTINCT-doc counts,
+# the same cross-multiplied integer threshold, anti-join, and ordered
+# re-assembly — md5 equality proves byte-exact surviving text.
+ORACLE_SQL_EXT["boilerplate_lines_docs"] = """
+    WITH framed AS (
+        SELECT doc_id, source,
+               'HEADER ' || source || chr(10) || text
+               || CASE WHEN (doc_id // 20) % 5 = 0
+                       THEN chr(10) || 'PROMO ' || source ELSE '' END
+               || CASE WHEN (doc_id // 20) % 2 = 0
+                       THEN chr(10) || 'FOOTER ' || source ELSE '' END
+                   AS text
+        FROM documents
+    ),
+    arr AS (
+        SELECT doc_id, source, string_split(text, chr(10)) AS lines
+        FROM framed
+    ),
+    l AS (
+        SELECT doc_id, source, lines[pos] AS line, pos
+        FROM arr, UNNEST(generate_series(1, len(lines))) AS t(pos)
+    ),
+    freq AS (
+        SELECT source, line, count(DISTINCT doc_id) AS doc_freq
+        FROM l GROUP BY 1, 2
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM framed GROUP BY 1),
+    bp AS (
+        SELECT f.source, f.line
+        FROM freq f JOIN nd USING (source)
+        WHERE f.doc_freq >= 2 AND f.doc_freq * 1000 >= 300 * nd.n_docs
+    ),
+    kept AS (
+        SELECT l.* FROM l
+        LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+        WHERE bp.line IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM kept GROUP BY 1
+    ),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM l GROUP BY 1
+    )
+    SELECT f.doc_id, f.source,
+           md5(coalesce(r.clean_text, '')) AS clean_md5,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           t.n_lines - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
+    FROM framed f
+    LEFT JOIN rebuilt r USING (doc_id)
+    JOIN totals t USING (doc_id)
+    ORDER BY f.doc_id
+"""

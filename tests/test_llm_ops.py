@@ -1542,3 +1542,59 @@ def test_pca_partitioning_invariant_and_null_safe(spark):
     }
     assert pa == pb  # rounded to 6 — exact equality across partitionings
     assert pa[999] is None
+
+
+def test_boilerplate_lines_semantics(spark):
+    """Per-domain frequency rule: >= min_frac of the domain's docs (and
+    >= min_docs) drops the line everywhere in that domain — including
+    the first doc (unlike C4 dedup_lines); the same line in another
+    domain where it is rare survives; a within-doc repeat counts its
+    doc ONCE toward the fraction."""
+    from quantlab_data_pipeline_spark.llm.dedup import boilerplate_lines
+
+    rows = [
+        # domain A: 4 docs; "NAV" in 2/4 = 50% >= 30% -> boilerplate
+        (1, "A", "NAV\nalpha\nNAV"),       # repeat counts doc once
+        (2, "A", "NAV\nbeta"),
+        (3, "A", "gamma"),
+        (4, "A", "delta\nonly-here"),      # "only-here" 1/4 < min_docs
+        # domain B: "NAV" in 1/3 docs -> below 50%? 33% >= 30% BUT
+        # min_docs=2 not met -> survives
+        (5, "B", "NAV\nepsilon"),
+        (6, "B", "zeta"),
+        (7, "B", "eta"),
+        (8, "B", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(df, min_frac=0.3, min_docs=2).collect()
+    }
+    assert got[1]["clean_text"] == "alpha"
+    assert got[1]["n_lines_dropped"] == 2  # both NAV copies
+    assert got[2]["clean_text"] == "beta"
+    assert got[3]["clean_text"] == "gamma" and got[3]["n_lines_dropped"] == 0
+    assert got[4]["clean_text"] == "delta\nonly-here"
+    # domain B: NAV survives (doc_freq 1 < min_docs)
+    assert got[5]["clean_text"] == "NAV\nepsilon"
+    assert got[8]["clean_text"] is None and got[8]["n_lines_kept"] is None
+
+
+def test_boilerplate_lines_all_dropped_and_order(spark):
+    from quantlab_data_pipeline_spark.llm.dedup import boilerplate_lines
+
+    rows = [
+        (1, "A", "TOP\nMID\nEND"),
+        (2, "A", "TOP\nMID\nEND"),
+        (3, "A", "c\nTOP\na\nMID\nb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(df, min_frac=0.6, min_docs=2).collect()
+    }
+    # TOP/MID in 3/3 docs, END in 2/3 (66% >= 60%) -> all three dropped
+    assert got[1]["clean_text"] == "" and got[1]["n_lines_kept"] == 0
+    # survivors keep original order
+    assert got[3]["clean_text"] == "c\na\nb"
+    assert got[3]["n_lines_dropped"] == 2
