@@ -106,6 +106,7 @@ CURATION = [
     "dsir_select_docs",  # round 8: DSIR importance resampling
     "token_budget_mix_docs",  # round 8: per-source token-budget fill
     "boilerplate_lines_docs",  # round 8: per-domain template-line removal
+    "curate_corpus_r8",  # round 8: blocklist+boilerplate+dedup+budget composition
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw

@@ -7126,3 +7126,215 @@ ORACLE_SQL_EXT["boilerplate_lines_docs"] = """
     JOIN totals t USING (doc_id)
     ORDER BY f.doc_id
 """
+
+
+def curate_corpus_r8(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 curation composition — the four new intake/curation
+    stages chained in production order under ONE oracle, the
+    `curate_corpus_full` discipline applied to this round's operators:
+
+    1. domain blocklist (cheapest, first): the `url_blocklist_docs`
+       URL shapes; blocked docs leave the pipeline;
+    2. per-domain boilerplate removal over the SURVIVORS (order
+       matters: template frequencies are computed on what remains) —
+       the `boilerplate_lines_docs` page framing on the same corpus;
+    3. exact dedup on the CLEANED text (md5 key, min doc_id wins):
+       stripping boilerplate first is what lets near-identical pages
+       that differed only in template collapse;
+    4. per-source token budget (400 tokens, md5-draw order) on the
+       dedup winners' cleaned token counts.
+
+    Every doc gets a verdict: reason in {blocked, duplicate,
+    over_budget, kept} with the standard precedence. Each stage's
+    mechanics are individually oracle-proven (rows 170/172/`exact
+    dedup`/169); this row proves their COMPOSITION — flag leaks
+    between stages, wrong ordering, or frequency drift from computing
+    boilerplate pre- vs post-blocklist all mismatch loudly."""
+    from .llm.dedup import boilerplate_lines
+    from .llm.mixing import token_budget_mix
+    from .llm.urls import blocklist_filter
+
+    docs = load_table(spark, sf, "documents")
+    g = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".ads.example.com/p/"), did,
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(
+                F.lit("https://tracker"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".net/x/"), did,
+            ),
+        )
+        .when(g == 2, F.concat(F.lit("https://Shop.Bad.CO.UK/s/"), did))
+        .otherwise(F.concat(F.lit("https://safe.example.org/ok/"), did))
+    )
+    flagged = blocklist_filter(
+        docs.withColumn("url", url),
+        ["tracker0.net", "ads.example.com", "bad.co.uk"],
+    )
+    survivors = flagged.filter(~F.col("blocked"))
+    j = F.floor(F.col("doc_id") / 20)
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("HEADER "), F.col("source")),
+        F.col("text"),
+        F.when((j % 5) == 0, F.concat(F.lit("PROMO "), F.col("source"))),
+        F.when((j % 2) == 0, F.concat(F.lit("FOOTER "), F.col("source"))),
+    )
+    framed = survivors.select("doc_id", "source", page.alias("text"))
+    cleaned = boilerplate_lines(framed, min_frac=0.3, min_docs=2).select(
+        "doc_id", "source", "clean_text"
+    )
+    winners = cleaned.groupBy(F.md5("clean_text").alias("__h")).agg(
+        F.min("doc_id").alias("__keep")
+    )
+    deduped = cleaned.join(
+        winners, F.md5(cleaned["clean_text"]) == winners["__h"]
+    ).withColumn("__is_winner", F.col("doc_id") == F.col("__keep"))
+    budget = token_budget_mix(
+        deduped.filter("__is_winner"),
+        400,
+        group_col="source",
+        text_col="clean_text",
+        salt="budget",
+    )
+    verdicts = (
+        docs.select("doc_id", "source")
+        .join(flagged.select("doc_id", "blocked"), "doc_id")
+        .join(deduped.select("doc_id", "__is_winner"), "doc_id", "left")
+        .join(
+            budget.select("doc_id", "n_tokens", "cum_tokens", "kept"),
+            "doc_id",
+            "left",
+        )
+    )
+    reason = (
+        F.when(F.col("blocked"), F.lit("blocked"))
+        .when(~F.col("__is_winner"), F.lit("duplicate"))
+        .when(~F.col("kept"), F.lit("over_budget"))
+        .otherwise(F.lit("kept"))
+    )
+    return verdicts.select(
+        "doc_id",
+        "source",
+        reason.alias("reason"),
+        (reason == "kept").alias("final_keep"),
+        "n_tokens",
+        "cum_tokens",
+    )
+
+
+SPARK_QUERIES_EXT["curate_corpus_r8"] = curate_corpus_r8
+
+# One statement replaying all four stages in the same order — hosts
+# arithmetic + LIKE suffix rule, boilerplate over blocklist SURVIVORS
+# only, md5 dedup of the rebuilt text, budget cumsum in md5-draw
+# order over winners — so any inter-stage leak (e.g. boilerplate
+# frequencies computed before the blocklist) mismatches.
+ORACLE_SQL_EXT["curate_corpus_r8"] = f"""
+    WITH u AS (
+        SELECT doc_id, source, text,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.ads.example.com'
+                   WHEN 1 THEN 'tracker' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.net'
+                   WHEN 2 THEN 'shop.bad.co.uk'
+                   ELSE 'safe.example.org'
+               END AS host
+        FROM documents
+    ),
+    bl(d) AS (VALUES ('tracker0.net'), ('ads.example.com'), ('bad.co.uk')),
+    blocked AS (
+        SELECT DISTINCT doc_id
+        FROM u JOIN bl ON u.host = bl.d OR u.host LIKE '%.' || bl.d
+    ),
+    framed AS (
+        SELECT u.doc_id, u.source,
+               'HEADER ' || source || chr(10) || text
+               || CASE WHEN (doc_id // 20) % 5 = 0
+                       THEN chr(10) || 'PROMO ' || source ELSE '' END
+               || CASE WHEN (doc_id // 20) % 2 = 0
+                       THEN chr(10) || 'FOOTER ' || source ELSE '' END
+                   AS text
+        FROM u LEFT JOIN blocked b USING (doc_id)
+        WHERE b.doc_id IS NULL
+    ),
+    arr AS (
+        SELECT doc_id, source, string_split(text, chr(10)) AS lines
+        FROM framed
+    ),
+    l AS (
+        SELECT doc_id, source, lines[pos] AS line, pos
+        FROM arr, UNNEST(generate_series(1, len(lines))) AS t(pos)
+    ),
+    freq AS (
+        SELECT source, line, count(DISTINCT doc_id) AS doc_freq
+        FROM l GROUP BY 1, 2
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM framed GROUP BY 1),
+    bp AS (
+        SELECT f.source, f.line
+        FROM freq f JOIN nd USING (source)
+        WHERE f.doc_freq >= 2 AND f.doc_freq * 1000 >= 300 * nd.n_docs
+    ),
+    kept_lines AS (
+        SELECT l.* FROM l
+        LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+        WHERE bp.line IS NULL
+    ),
+    rebuilt AS (
+        SELECT f.doc_id, f.source,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM framed f LEFT JOIN (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept_lines GROUP BY 1
+        ) r USING (doc_id)
+    ),
+    winners AS (
+        SELECT md5(clean_text) AS h, min(doc_id) AS keep_id
+        FROM rebuilt GROUP BY 1
+    ),
+    flagged AS (
+        SELECT r.doc_id, r.source, r.clean_text,
+               r.doc_id = w.keep_id AS is_winner
+        FROM rebuilt r JOIN winners w ON md5(r.clean_text) = w.h
+    ),
+    toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(coalesce(clean_text, ''),
+                    '{_TOK}')) AS BIGINT) AS n_tokens,
+               {_hash_uniform_sql('budget')} AS draw
+        FROM flagged WHERE is_winner
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY draw, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM toks
+    )
+    SELECT d.doc_id, d.source,
+           CASE WHEN b.doc_id IS NOT NULL THEN 'blocked'
+                WHEN NOT f.is_winner THEN 'duplicate'
+                WHEN c.cum_tokens > 400 THEN 'over_budget'
+                ELSE 'kept' END AS reason,
+           CASE WHEN b.doc_id IS NOT NULL THEN FALSE
+                WHEN NOT f.is_winner THEN FALSE
+                WHEN c.cum_tokens > 400 THEN FALSE
+                ELSE TRUE END AS final_keep,
+           c.n_tokens, c.cum_tokens
+    FROM documents d
+    LEFT JOIN blocked b USING (doc_id)
+    LEFT JOIN flagged f USING (doc_id)
+    LEFT JOIN cum c USING (doc_id)
+    ORDER BY d.doc_id
+"""
