@@ -35,14 +35,28 @@ def streaming_crawl_intake(
     ts_col: str = "fetch_ts",
     watermark: str | None = "1 hour",
     min_chars: int = 1,
+    blocklist: DataFrame | list | None = None,
 ) -> DataFrame:
     """pages(url, html[, fetch_ts]) -> kept docs with extracted text.
 
     Output columns: every input column except ``html``, plus ``text``
     (extracted main content), ``ml_logit``/``ml_keep`` (frozen quality)
-    and ``norm_url``. Rows dropped: failed extraction (< ``min_chars``
-    chars), quality rejects, and all but the first arrival per
-    normalized URL.
+    and ``norm_url``. Rows dropped: blocklisted domains (when
+    ``blocklist`` is given — FIRST, before any extraction work: the
+    cheapest gate runs earliest, same order as the batch composition
+    ``curate_corpus_r8``), failed extraction (< ``min_chars`` chars),
+    quality rejects, and all but the first arrival per normalized URL.
+
+    The blocklist stage is STATELESS by construction (the batch
+    operator's explode -> count -> join-back collapse is a streaming
+    aggregation, so it is not used here): a python-list blocklist
+    compiles to an ``arrays_overlap`` against the literal domain array
+    — pure codegen, like every other projection stage — and a
+    DataFrame blocklist becomes a broadcast stream-static LEFT ANTI
+    join on ``array_contains(host_suffix_chain, domain)``. Both match
+    the batch rule exactly (label-aligned suffix = listed domain).
+    UT1-scale lists that exceed broadcast belong in a ``foreachBatch``
+    sink calling the batch ``blocklist_filter`` per micro-batch.
     """
     from ..llm.classifier import score_quality_frozen
     from ..llm.extract import html_to_text
@@ -52,6 +66,25 @@ def streaming_crawl_intake(
     )
     from ..llm.urls import normalize_url
 
+    if blocklist is not None:
+        from ..llm.urls import host_suffix_chain
+
+        chain = host_suffix_chain(url_col)
+        if isinstance(blocklist, DataFrame):
+            bl = blocklist.select(
+                F.lower(F.col(blocklist.columns[0])).alias("__bdom")
+            ).distinct()
+            pages = pages.join(
+                F.broadcast(bl),
+                F.array_contains(chain, F.col("__bdom")),
+                "left_anti",
+            )
+        else:
+            doms = F.array(*[F.lit(str(d).lower()) for d in blocklist])
+            # null host -> null overlap -> kept (the batch contract)
+            pages = pages.filter(
+                ~F.coalesce(F.arrays_overlap(chain, doms), F.lit(False))
+            )
     extracted = html_to_text(pages, html_col, "text").drop(html_col)
     scored = score_quality_frozen(
         extracted,

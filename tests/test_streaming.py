@@ -1030,3 +1030,69 @@ def test_streaming_media_intake_empty_and_audio(spark, tmp_path):
         r["asset_id"]
         for r in spark.read.parquet(f"{idx}/fingerprints").collect()
     } == {1, 3}
+
+
+def test_streaming_crawl_intake_blocklist_stateless(spark, tmp_path):
+    """Round-8: the blocklist gate runs FIRST and stateless — listed
+    domains (and subdomains) never reach extraction; both the literal
+    python-list compile (arrays_overlap) and the broadcast DataFrame
+    anti-join drop the same pages as the batch rule."""
+    import datetime
+    import os
+
+    from pyspark.sql import types as T
+
+    from quantlab_data_pipeline_spark.streaming.intake import (
+        streaming_crawl_intake,
+    )
+
+    prose = (
+        "The distributed planner rewrites each declarative stage into "
+        "pipelined physical operators and schedules them over the whole "
+        "cluster with adaptive exchanges."
+    )
+    page = (
+        lambda body: "<html><body><p>" + body + "</p></body></html>"
+    )
+    schema = "doc_id long, url string, html string, fetch_ts timestamp"
+    rows = [
+        (1, "https://ok.example.org/a", page(prose), "2024-01-01 10:00:00"),
+        (2, "https://spam.bad.net/b", page(prose + " Spam."), "2024-01-01 10:01:00"),
+        (3, "https://bad.net/c", page(prose + " Root."), "2024-01-01 10:02:00"),
+        (4, "https://notbad.net/d", page(prose + " Clean."), "2024-01-01 10:03:00"),
+    ]
+    d = tmp_path / "bl_src"
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (i, u, h, datetime.datetime.fromisoformat(t))
+            for i, u, h, t in rows
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b1.parquet"))
+
+    def run(blocklist, name):
+        src = (
+            spark.readStream.schema(T.StructType.fromDDL(schema))
+            .parquet(str(d / "*.parquet"))
+        )
+        q = (
+            streaming_crawl_intake(src, blocklist=blocklist)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {
+                r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {1, 4}  # bad.net and subdomain blocked; notbad.net is NOT a match
+    assert run(["bad.net"], "bl_list") == want
+    bl_df = spark.createDataFrame([("BAD.net",)], "domain string")
+    assert run(bl_df, "bl_df") == want
