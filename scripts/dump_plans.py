@@ -102,10 +102,49 @@ HEADLINE = [
     "curate_corpus_full",
     "perplexity_bucket_docs",
     "media_index_dedup_docs",
+    # round-8 additions
+    "dsir_select_docs",
+    "token_budget_mix_docs",
+    "url_blocklist_docs",
+    "embedding_pca_docs",
+    "boilerplate_lines_docs",
+    "curate_corpus_r8",
 ]
 
 
 NOTES = {
+    "dsir_select_docs": (
+        "Hashed-n-gram bucket models: corpus explodes reduce to "
+        "<=4096-row count tables; the nano-unit log-ratio table "
+        "broadcasts; two corpus-keyed shuffles (feature counts, scored "
+        "groupBy) + the two-phase rank. The 1-row totals broadcasts are "
+        "the whitelisted BNLJ crosses."
+    ),
+    "token_budget_mix_docs": (
+        "grouped_global_cumsum: range exchange on (source, draw, id), "
+        "local running sums per (source, pid), broadcast subtotal "
+        "offsets — no source-sized task; budget compare is integer."
+    ),
+    "url_blocklist_docs": (
+        "Label-aligned suffix chain explode (~5 rows/doc) equi-joined "
+        "to the blocklist — the shape that survives million-domain "
+        "lists; AQE broadcasts the small test list."
+    ),
+    "embedding_pca_docs": (
+        "Fit is one mapInPandas reduce to d^2-sized partials + driver "
+        "eigh; projection is one Arrow map pass — no shuffle anywhere "
+        "in the whole plan."
+    ),
+    "boilerplate_lines_docs": (
+        "(domain, line)-keyed count with map-side combine, equi-join "
+        "back, per-doc reassembly — nothing domain-sized in one task."
+    ),
+    "curate_corpus_r8": (
+        "Four-stage composition: blocklist suffix join, boilerplate "
+        "count+anti-join over survivors, md5 dedup, budget cumsum — "
+        "only hashes, line keys, and token counts shuffle between "
+        "stages."
+    ),
     "curate_corpus_full": (
         "Seven-stage multimodal composition; the scored frame persists "
         "once and each dedup stage keys on hashes (md5, dHash) — the "

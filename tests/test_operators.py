@@ -1118,3 +1118,29 @@ def test_grouped_global_cumsum_equals_naive_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_grouped_global_cumsum_no_group_only_data_sort(spark):
+    """Same plan pin as the rank twin: no window over the DATA may be
+    partitioned by the group column alone — group-only windows are
+    allowed only over the aggregated (group, partition) subtotal frame
+    (identified by its __cell column)."""
+    import re
+
+    from quantlab_data_pipeline_spark.operators import grouped_global_cumsum
+
+    df = spark.range(1_000).select(
+        (F.col("id") % 3).alias("grp"),
+        F.lit(1).alias("v"),
+        F.col("id").alias("ord"),
+    )
+    out = grouped_global_cumsum(
+        df, ["grp"], [F.asc("ord")], "v", num_partitions=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b.*\], \[grp#\d+L?\](,|$)", line):
+            assert "__cell" in line, f"group-only window over data: {line}"
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:2000]
