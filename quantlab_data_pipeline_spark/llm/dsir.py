@@ -149,6 +149,8 @@ def dsir_select(
     frac: float | None = None,
     k: int | None = None,
     salt: str = "dsir",
+    raw_counts: DataFrame | None = None,
+    target_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score every raw doc and mark the Gumbel-top-k selection.
 
@@ -166,13 +168,27 @@ def dsir_select(
     target corpus is typically tiny next to raw — it never joins
     row-wise against raw at all, only through the ``buckets``-row
     ratio table.
+
+    The raw feature subtree feeds BOTH the ratio totals and the
+    scoring join, and Catalyst evaluates it twice (the branches
+    aggregate differently after pruning, so no exchange is reusable).
+    That is the deliberate default at corpus scale: the duplicated
+    work is one extra map-side scan+explode, while caching the
+    (id, bucket) counts would pin a corpus-sized intermediate in
+    memory/disk. Callers who iterate (scoring several targets against
+    one raw crawl) should compute ``hashed_ngram_counts`` once,
+    persist/write it themselves, and pass it via ``raw_counts=`` /
+    ``target_counts=`` — the same precomputed-frame pattern the
+    dedup compositions use for shared pairs/cluster frames.
     """
     if (frac is None) == (k is None):
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank
 
-    raw_counts = hashed_ngram_counts(raw, text_col, id_col, buckets, ns)
-    target_counts = hashed_ngram_counts(target, text_col, id_col, buckets, ns)
+    if raw_counts is None:
+        raw_counts = hashed_ngram_counts(raw, text_col, id_col, buckets, ns)
+    if target_counts is None:
+        target_counts = hashed_ngram_counts(target, text_col, id_col, buckets, ns)
     ratio = dsir_log_ratio(target_counts, raw_counts, buckets, alpha)
     scored = (
         raw_counts.join(F.broadcast(ratio), "bucket")

@@ -161,3 +161,32 @@ def test_target_tilts_selection(spark):
     # doc 1/6 share the target's vocabulary; doc 4 shares nothing.
     assert out[1] > out[4]
     assert out[6] > out[4]
+
+
+def test_precomputed_counts_equal_default(spark):
+    """Passing precomputed (persisted) feature counts — the
+    share-across-targets production path — must give byte-identical
+    results to the default inline computation."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        dsir_select,
+        hashed_ngram_counts,
+    )
+
+    raw, target = _frames(spark)
+    rc = hashed_ngram_counts(raw, buckets=BUCKETS).persist()
+    tc = hashed_ngram_counts(target, buckets=BUCKETS).persist()
+    try:
+        a = sorted(map(tuple, dsir_select(raw, target, buckets=BUCKETS, k=2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                dsir_select(
+                    raw, target, buckets=BUCKETS, k=2,
+                    raw_counts=rc, target_counts=tc,
+                ).collect(),
+            )
+        )
+        assert a == b
+    finally:
+        rc.unpersist()
+        tc.unpersist()
