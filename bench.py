@@ -79,6 +79,7 @@ EXTENDED = [
     "tfidf_keywords_docs",  # round 8: keyword extraction (postings twin)
     "hybrid_search_docs",  # round 8: BM25 + dense RRF fusion
     "embedding_pca_docs",  # round 8: one-pass PCA fit + whitened projection
+    "hard_negatives_docs",  # round 8: contrastive hard-negative mining
 ]
 
 # Round-3 data-ops family — its own stable section so round-over-round

@@ -632,3 +632,51 @@ def semantic_dedup(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(drops, id_col, "left_anti")
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / reranker training: for
+    each query, the top-``k`` most cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — near the anchor in
+    embedding space but semantically wrong, the negatives that teach a
+    model the decision boundary (random negatives are trivially far).
+
+    Same shape as :func:`brute_force_topk` (queries broadcast, corpus
+    streams once, zero corpus shuffle, rounded-score + id tie-break
+    determinism); swap in :func:`ivf_topk`-style pruning upstream when
+    the corpus outgrows exact scoring. Null labels on either side are
+    excluded — an unlabeled candidate cannot be certified negative.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__q_label"),
+        unit_vec(vec_col).alias("q_vec"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        unit_vec(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("neg_label") != F.col("__q_label"))
+        )
+        .withColumn("score", F.round(dot("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neg_label", "score")
+    )

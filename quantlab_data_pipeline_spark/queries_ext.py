@@ -7338,3 +7338,46 @@ ORACLE_SQL_EXT["curate_corpus_r8"] = f"""
     LEFT JOIN cum c USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def hard_negatives_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (`llm/similarity.py hard_negatives`) — the
+    contrastive-training data op: per query vector, the top-5 most
+    cosine-similar corpus vectors with a DIFFERENT label (near the
+    anchor, semantically wrong — the negatives that carry gradient).
+    Exact scoring with the query set broadcast (the corpus never
+    shuffles); determinism from the rounded-score + id tie-break the
+    whole search family shares. Full SQL oracle: cosine via
+    list_dot_product, label-mismatch filter, same window cut."""
+    from .llm.similarity import hard_negatives
+
+    emb = load_table(spark, sf, "embeddings")
+    return hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+SPARK_QUERIES_EXT["hard_negatives_docs"] = hard_negatives_docs
+
+ORACLE_SQL_EXT["hard_negatives_docs"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS neg_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id, neg_label,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS score
+        FROM c, q
+        WHERE query_id <> neighbor_id AND neg_label <> q_label
+    )
+    SELECT query_id, rank, neighbor_id, neg_label, score FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+"""

@@ -1598,3 +1598,29 @@ def test_boilerplate_lines_all_dropped_and_order(spark):
     # survivors keep original order
     assert got[3]["clean_text"] == "c\na\nb"
     assert got[3]["n_lines_dropped"] == 2
+
+
+def test_hard_negatives_label_mismatch_and_ranking(spark):
+    """Every returned negative has a label different from its query's;
+    ranking is by cosine desc with id tie-break; null-label candidates
+    are never certified as negatives."""
+    from quantlab_data_pipeline_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),   # same label: excluded
+        (2, [0.95, 0.31], "b"),   # nearest valid negative
+        (3, [0.7, 0.71], "b"),
+        (4, [0.0, 1.0], "c"),
+        (5, [0.9, 0.44], None),   # null label: excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = hard_negatives(
+        emb.filter("vec_id = 0"), emb, k=3
+    ).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3, 4]
+    assert all(r["neg_label"] != "a" and r["neg_label"] is not None for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["score"] > got[1]["score"] > got[2]["score"]
