@@ -75,9 +75,33 @@ def fit_pca(df: DataFrame, k: int = 8, vec_col: str = "embedding") -> dict:
                 {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
             )
 
+    schema = "n long, s array<double>, g array<double>"
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        for b in batches:
+            for _, r in b.iterrows():
+                n += int(r["n"])
+                if s is None:
+                    s = np.zeros(len(r["s"]))
+                    g = np.zeros(len(r["g"]))
+                s += np.asarray(r["s"])
+                g += np.asarray(r["g"])
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    # Tree-combine before the driver: the per-partition partials are
+    # d^2-sized, so collecting one per input partition would ship
+    # (partitions x d^2) doubles to the driver — 134 MB per partial at
+    # d=4096. One combine level caps the collect at <=8 rows
+    # regardless of how many partitions scanned the corpus.
     rows = (
         df.select(vec_col)
-        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .mapInPandas(partials, schema)
+        .repartition(8)
+        .mapInPandas(combine, schema)
         .collect()
     )
     if not rows:
