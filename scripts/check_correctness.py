@@ -286,6 +286,19 @@ def _embedding_pca_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFra
     return pd.DataFrame(out)
 
 
+# Rows whose SQL oracle is infeasible at a given sf: the both-oracle
+# policy (round 8) cross-checks python-oracle rows against their SQL
+# replay too, but pagerank's SQL oracle unrolls 10 power iterations
+# into a CTE chain DuckDB fully materializes — tens of GB of spill at
+# sf0.1, the documented reason its python oracle exists (VERDICT r2
+# item 4; observed: spill filled the disk mid-run). The python oracle
+# stays the cross-check at every sf; the SQL replay runs where it fits
+# (sf0.001/sf0.01 — which is also what the driver executes).
+SQL_ORACLE_INFEASIBLE = {
+    "pagerank_suppliers": lambda sf_dir: sf_dir.rstrip("/").endswith("sf0.1"),
+}
+
+
 PYTHON_ORACLES = {
     "embedding_pca_docs": _embedding_pca_python_oracle,
     "pagerank_suppliers": _pagerank_suppliers_python_oracle,
@@ -538,7 +551,15 @@ def main() -> int:
             # A row carrying BOTH a python oracle and a SQL oracle (the
             # image dHash family since the SQL replay landed) is checked
             # against BOTH — two independent reconstructions, either
-            # mismatch fails the row.
+            # mismatch fails the row. Exception: SQL replays that are
+            # documented-infeasible at this sf (SQL_ORACLE_INFEASIBLE).
+            if SQL_ORACLE_INFEASIBLE.get(name, lambda _: False)(sf_dir):
+                print(
+                    f"[note] {name}: sql-oracle cross-check skipped at "
+                    f"this sf (documented-infeasible); python oracle "
+                    f"remains the gate"
+                )
+                sql = None
             if sql is not None:
                 try:
                     odf2 = con.execute(sql).fetchdf()
