@@ -108,6 +108,7 @@ CURATION = [
     "token_budget_mix_docs",  # round 8: per-source token-budget fill
     "boilerplate_lines_docs",  # round 8: per-domain template-line removal
     "curate_corpus_r8",  # round 8: blocklist+boilerplate+dedup+budget composition
+    "dsir_incremental_docs",  # round 8: persisted DSIR count model, fold-forward
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw

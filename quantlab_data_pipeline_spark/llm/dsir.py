@@ -43,12 +43,22 @@ the caller's policy decision, same as ``bigram_logprob``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import word_grams
 
-__all__ = ["hashed_ngram_counts", "dsir_log_ratio", "dsir_select"]
+__all__ = [
+    "hashed_ngram_counts",
+    "dsir_log_ratio",
+    "dsir_select",
+    "build_dsir_counts",
+    "update_dsir_counts",
+    "compact_dsir_counts",
+    "load_dsir_counts",
+    "read_dsir_meta",
+    "dsir_select_stored",
+]
 
 
 def _bucket(col, buckets: int):
@@ -192,6 +202,158 @@ def dsir_select(
     ratio = dsir_log_ratio(target_counts, raw_counts, buckets, alpha)
     scored = (
         raw_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
+            ).alias("log_w"),
+        )
+        .withColumn(
+            "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
+        )
+    )
+    ranked = grouped_global_rank(
+        scored,
+        group_cols=[],
+        order_cols=[F.desc("sel_key"), F.asc(id_col)],
+        rank_col="rank",
+        n_col="__n",
+    )
+    cut = (
+        F.ceil(F.lit(float(frac)) * F.col("__n")) if k is None else F.lit(int(k))
+    )
+    return ranked.select(
+        id_col,
+        "n_grams",
+        "log_w",
+        "sel_key",
+        "rank",
+        (F.col("rank") <= cut).alias("selected"),
+    )
+
+
+# ------------------------------------------------- persisted count model
+
+
+def build_dsir_counts(
+    docs: DataFrame,
+    path: str,
+    buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a corpus's hashed-n-gram bucket totals at ``path`` — the
+    DSIR model store. Totals are ADDITIVE integer counts, so the store
+    supports exact incremental update (:func:`update_dsir_counts`):
+    a crawl's raw-side model follows the crawl without ever
+    re-tokenizing accepted batches, the same never-re-shuffle-the-
+    corpus contract as the three persisted dedup/ANN indexes. Layout:
+    ``counts/`` (bucket, cnt) parquet — delta rows append, totals are
+    a sum on read — and ``meta`` pinning (buckets, ns) so batches
+    cannot drift the feature space (the media index's band-pinning
+    contract)."""
+    spark = docs.sparkSession
+    counts = (
+        hashed_ngram_counts(docs, text_col, id_col, buckets, ns)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(f"{path}/counts")
+    spark.createDataFrame(
+        [(int(buckets), ",".join(str(n) for n in ns))],
+        "buckets int, ns string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_dsir_meta(spark: SparkSession, path: str) -> tuple[int, tuple[int, ...]]:
+    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    return int(r["buckets"]), tuple(int(x) for x in r["ns"].split(","))
+
+
+def update_dsir_counts(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a new batch into the stored totals with the PINNED feature
+    space — appends batch-sized delta rows; exact additivity means the
+    store equals a from-scratch rebuild over everything ever folded in
+    (pytest-pinned). Run :func:`compact_dsir_counts` on a cadence to
+    merge deltas back to one row per bucket."""
+    spark = new_docs.sparkSession
+    buckets, ns = read_dsir_meta(spark, path)
+    delta = (
+        hashed_ngram_counts(new_docs, text_col, id_col, buckets, ns)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()  # freeze before the self-referential append
+    )
+    delta.write.mode("append").parquet(f"{path}/counts")
+
+
+def compact_dsir_counts(spark: SparkSession, path: str) -> None:
+    """Merge appended delta rows to one row per bucket (sum-on-read
+    stays correct either way; compaction bounds the file count)."""
+    merged = (
+        spark.read.parquet(f"{path}/counts")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/counts")
+
+
+def load_dsir_counts(spark: SparkSession, path: str) -> DataFrame:
+    """(bucket, cnt) totals — summing any un-compacted delta rows."""
+    return (
+        spark.read.parquet(f"{path}/counts")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dsir_select_stored(
+    batch: DataFrame,
+    target_path: str,
+    raw_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    frac: float | None = None,
+    k: int | None = None,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score/select a batch against PERSISTED target and raw count
+    models — the production intake shape: the target model is built
+    once from the curated corpus, the raw model follows the crawl via
+    :func:`update_dsir_counts`, and each new batch scores without
+    re-tokenizing anything but itself. Both stores must pin the same
+    feature space. Output contract identical to :func:`dsir_select`
+    (ranks and the cut apply within the scored batch)."""
+    spark = batch.sparkSession
+    b_t, ns_t = read_dsir_meta(spark, target_path)
+    b_r, ns_r = read_dsir_meta(spark, raw_path)
+    if (b_t, ns_t) != (b_r, ns_r):
+        raise ValueError(
+            f"feature spaces differ: target (buckets={b_t}, ns={ns_t}) "
+            f"vs raw (buckets={b_r}, ns={ns_r})"
+        )
+    if (frac is None) == (k is None):
+        raise ValueError("pass exactly one of frac= or k=")
+    from ..operators.skew import grouped_global_rank
+
+    batch_counts = hashed_ngram_counts(batch, text_col, id_col, b_t, ns_t)
+    ratio = dsir_log_ratio(
+        load_dsir_counts(spark, target_path).select("bucket", "cnt"),
+        load_dsir_counts(spark, raw_path).select("bucket", "cnt"),
+        b_t,
+        alpha,
+    )
+    scored = (
+        batch_counts.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),

@@ -7381,3 +7381,50 @@ ORACLE_SQL_EXT["hard_negatives_docs"] = """
         FROM scored
     ) t WHERE rank <= 5
 """
+
+
+def dsir_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental DSIR (`llm/dsir.py` persisted count model): the
+    target model builds once from the lang='en' docs, the RAW model
+    builds from half the crawl (doc_id % 2 == 0 of the rest) and is
+    FOLDED FORWARD with the other half via `update_dsir_counts` —
+    integer bucket totals are exactly additive, so the evolved store
+    equals a from-scratch build and scoring the raw pool against the
+    two stores must reproduce the one-shot `dsir_select_docs` result
+    bit-for-bit. The oracle is therefore the SAME SQL replay — any
+    drift in the store layout, meta pinning, delta append, or
+    sum-on-read fails the hash. Production shape: the crawl's model
+    follows the crawl batch by batch; nothing already accepted is ever
+    re-tokenized (the persisted-index contract, applied to a model)."""
+    import hashlib
+    import tempfile
+
+    from .llm.dsir import (
+        build_dsir_counts,
+        dsir_select_stored,
+        update_dsir_counts,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    base = (
+        tempfile.gettempdir()
+        + "/dsir-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+    )
+    build_dsir_counts(target, base + "/target", buckets=4096)
+    build_dsir_counts(raw.filter(F.col("doc_id") % 2 == 0), base + "/raw",
+                      buckets=4096)
+    update_dsir_counts(raw.filter(F.col("doc_id") % 2 == 1), base + "/raw")
+    return dsir_select_stored(
+        raw, base + "/target", base + "/raw", frac=0.25, salt="dsir"
+    )
+
+
+SPARK_QUERIES_EXT["dsir_incremental_docs"] = dsir_incremental_docs
+
+# Identical replay to dsir_select_docs: integer additivity means the
+# incrementally-evolved raw model MUST equal the one-shot counts, so
+# the same SQL is the oracle for both rows.
+ORACLE_SQL_EXT["dsir_incremental_docs"] = ORACLE_SQL_EXT["dsir_select_docs"]

@@ -190,3 +190,81 @@ def test_precomputed_counts_equal_default(spark):
     finally:
         rc.unpersist()
         tc.unpersist()
+
+
+# ------------------------------------------------ persisted count model
+
+
+def test_dsir_counts_incremental_equals_rebuild(spark, tmp_path):
+    """Additivity: build-from-batch0 + update-with-batch1 must equal a
+    from-scratch build over both batches, compaction preserves totals,
+    and a fresh read sums un-compacted deltas correctly."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        compact_dsir_counts,
+        load_dsir_counts,
+        update_dsir_counts,
+    )
+
+    raw, _ = _frames(spark)
+    b0 = raw.filter("doc_id <= 3")
+    b1 = raw.filter("doc_id > 3")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_dsir_counts(b0, inc, buckets=BUCKETS)
+    update_dsir_counts(b1, inc)
+    build_dsir_counts(raw, full, buckets=BUCKETS)
+
+    def totals(p):
+        return {
+            r["bucket"]: r["cnt"] for r in load_dsir_counts(spark, p).collect()
+        }
+
+    assert totals(inc) == totals(full)
+    compact_dsir_counts(spark, inc)
+    assert totals(inc) == totals(full)
+    # compaction merged deltas to one row per bucket
+    n_rows = spark.read.parquet(f"{inc}/counts").count()
+    assert n_rows == len(totals(full))
+
+
+def test_dsir_select_stored_equals_inline(spark, tmp_path):
+    """Scoring a batch against persisted target/raw models must equal
+    dsir_select run inline over the same corpora (same ratio, same
+    Gumbel, same cut) when the batch IS the raw corpus."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        dsir_select,
+        dsir_select_stored,
+    )
+
+    raw, target = _frames(spark)
+    tp, rp = str(tmp_path / "t"), str(tmp_path / "r")
+    build_dsir_counts(target, tp, buckets=BUCKETS)
+    build_dsir_counts(raw, rp, buckets=BUCKETS)
+    a = sorted(map(tuple, dsir_select(raw, target, buckets=BUCKETS, k=2).collect()))
+    b = sorted(map(tuple, dsir_select_stored(raw, tp, rp, k=2).collect()))
+    assert a == b
+
+
+def test_dsir_select_stored_feature_space_pinned(spark, tmp_path):
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        dsir_select_stored,
+        update_dsir_counts,
+    )
+
+    raw, target = _frames(spark)
+    tp, rp = str(tmp_path / "t"), str(tmp_path / "r")
+    build_dsir_counts(target, tp, buckets=BUCKETS)
+    build_dsir_counts(raw, rp, buckets=64)
+    with pytest.raises(ValueError, match="feature spaces differ"):
+        dsir_select_stored(raw, tp, rp, k=1)
+    # update uses the STORE's pinned space, not a caller guess: folding
+    # a batch into the 64-bucket store keeps totals in 64 buckets
+    update_dsir_counts(raw.limit(1), rp)
+    from quantlab_data_pipeline_spark.llm.dsir import load_dsir_counts
+
+    assert all(
+        r["bucket"] < 64 for r in load_dsir_counts(spark, rp).collect()
+    )
