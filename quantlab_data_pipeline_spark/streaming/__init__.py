@@ -3,6 +3,7 @@ reference is strictly batch; each streaming op here is the incremental
 twin of an oracle-checked batch operator)."""
 
 from .asof import streaming_as_of
+from .dsir_intake import dsir_intake_sink, read_dsir_verdicts
 from .dedup import (
     streaming_exact_dedup,
     streaming_exact_dedup_bounded,
@@ -26,6 +27,8 @@ from .sketches import windowed_distinct_estimate, windowed_distinct_sketch
 __all__ = [
     "baseline_histogram",
     "clicks_with_recent_purchase",
+    "dsir_intake_sink",
+    "read_dsir_verdicts",
     "psi_from_cells",
     "windowed_bin_counts",
     "enrich_with_static_dim",

@@ -1096,3 +1096,123 @@ def test_streaming_crawl_intake_blocklist_stateless(spark, tmp_path):
     assert run(["bad.net"], "bl_list") == want
     bl_df = spark.createDataFrame([("BAD.net",)], "domain string")
     assert run(bl_df, "bl_df") == want
+
+
+def test_dsir_intake_sink_batch_twin_and_replay(spark, tmp_path):
+    """Round-8 streaming DSIR intake: each micro-batch scores under the
+    raw model INCLUDING itself, so per-batch verdicts must equal the
+    manual loop (fold then dsir_select_stored); a replayed batch id is
+    skipped by the ledger, and a crash-before-ledger replay converges
+    (partition-overwrite folding never double-counts)."""
+    import os
+
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        dsir_select_stored,
+        load_dsir_counts,
+        update_dsir_counts,
+    )
+    from quantlab_data_pipeline_spark.streaming.dsir_intake import (
+        dsir_intake_sink,
+        read_dsir_verdicts,
+    )
+
+    target_rows = [
+        (100, "the cat and the dog sat together on the mat"),
+        (101, "a calm morning with coffee and the newspaper"),
+    ]
+    b1 = [(1, "the cat sat on the mat near the dog"),
+          (2, "zzzz qqqq xxxx vvvv")]
+    b2 = [(3, "a quiet morning with the newspaper and hot coffee"),
+          (4, "stock prices fell sharply in heavy trading today")]
+    schema = "doc_id long, text string"
+    tpath = str(tmp_path / "dsir_t")
+    rpath = str(tmp_path / "dsir_r")
+    out = str(tmp_path / "dsir_out")
+    build_dsir_counts(
+        spark.createDataFrame(target_rows, schema), tpath, buckets=128
+    )
+
+    d = tmp_path / "dsir_src"
+    os.makedirs(d)
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    from pyspark.sql import types as T
+
+    src = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    q = (
+        src.writeStream
+        .foreachBatch(dsir_intake_sink(tpath, rpath, out, k=1))
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["batch_id"], r["doc_id"]): r
+        for r in read_dsir_verdicts(spark, out).collect()
+    }
+    assert {i for _, i in got} == {1, 2, 3, 4}
+    # within each batch exactly k=1 selected
+    for b in {b for b, _ in got}:
+        assert sum(got[(b, i)]["selected"] for bb, i in got if bb == b) == 1
+
+    # manual twin: same stores rebuilt step by step must reproduce
+    # every batch's verdicts exactly
+    t2 = str(tmp_path / "tw_r")
+    batches = {0: b1, 1: b2}
+    # file order maps to batch ids by arrival; recover the actual
+    # mapping from the verdict log (doc membership identifies batches)
+    for bid in sorted({b for b, _ in got}):
+        members = [i for bb, i in got if bb == bid]
+        rows = [r for r in (b1 + b2) if r[0] in members]
+        bdf = spark.createDataFrame(rows, schema)
+        if not os.path.isdir(f"{t2}/meta"):
+            build_dsir_counts(bdf, t2, buckets=128)
+        else:
+            update_dsir_counts(bdf, t2)
+        want = {
+            r["doc_id"]: r
+            for r in dsir_select_stored(bdf, tpath, t2, k=1).collect()
+        }
+        for i in members:
+            g = got[(bid, i)]
+            w = want[i]
+            assert (g["log_w"], g["sel_key"], g["rank"], g["selected"]) == (
+                w["log_w"], w["sel_key"], w["rank"], w["selected"]
+            )
+
+    # replay-after-commit: ledger skips, store totals unchanged
+    totals_before = {
+        r["bucket"]: r["cnt"] for r in load_dsir_counts(spark, rpath).collect()
+    }
+    sink = dsir_intake_sink(tpath, rpath, out, k=1)
+    sink(spark.createDataFrame(b2, schema), 1)
+    totals_after = {
+        r["bucket"]: r["cnt"] for r in load_dsir_counts(spark, rpath).collect()
+    }
+    assert totals_before == totals_after
+
+    # crash-before-ledger: the whole sink re-runs for its batch id —
+    # the partition-overwrite fold rewrites, never double-counts
+    import shutil
+
+    shutil.rmtree(f"{rpath}/_applied_batch")
+    b2_actual_id = max(b for b, _ in got)
+    members = [i for bb, i in got if bb == b2_actual_id]
+    rows = [r for r in (b1 + b2) if r[0] in members]
+    sink(spark.createDataFrame(rows, schema), b2_actual_id)
+    totals_replay = {
+        r["bucket"]: r["cnt"] for r in load_dsir_counts(spark, rpath).collect()
+    }
+    assert totals_replay == totals_before
+    assert read_dsir_verdicts(spark, out).count() == 4
