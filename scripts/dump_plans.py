@@ -109,10 +109,23 @@ HEADLINE = [
     "embedding_pca_docs",
     "boilerplate_lines_docs",
     "curate_corpus_r8",
+    "hard_negatives_docs",
+    "dsir_incremental_docs",
 ]
 
 
 NOTES = {
+    "dsir_incremental_docs": (
+        "Same plan family as dsir_select_docs with the count subtrees "
+        "replaced by scans of the persisted <=4096-row stores — the "
+        "corpus-sized explode runs ONCE (the batch), the model is "
+        "sum-on-read over delta files."
+    ),
+    "hard_negatives_docs": (
+        "Broadcast 10-row query set against the streaming corpus scan "
+        "(exact-baseline BNLJ, whitelisted); swap in IVF pruning "
+        "upstream past exact scale."
+    ),
     "dsir_select_docs": (
         "Hashed-n-gram bucket models: corpus explodes reduce to "
         "<=4096-row count tables; the nano-unit log-ratio table "
