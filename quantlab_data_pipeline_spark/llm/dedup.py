@@ -864,7 +864,16 @@ def boilerplate_lines(
         .groupBy(domain_col, "__line")
         .agg(F.count(F.lit(1)).alias("__doc_freq"))
     )
-    ndocs = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    # n_docs counts only docs that CONTRIBUTE lines (non-null text):
+    # the exploded `lines` frame drops null-text docs, so doc_freq is
+    # measured over that universe — counting null-text rows in the
+    # denominator would deflate doc_freq/n_docs and under-remove
+    # boilerplate on domains with many null-text docs (ADVICE r8).
+    ndocs = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
     thr = int(round(float(min_frac) * 1000))
     bp = (
         freq.join(ndocs, domain_col)

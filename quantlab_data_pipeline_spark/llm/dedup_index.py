@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import band_buckets, ensure_parallelism, minhash_signatures
+from ..fsutil import delete_path as _delete_path
+from ..fsutil import path_exists as _path_exists
 
 __all__ = [
     "build_dedup_index",
@@ -217,19 +219,6 @@ def _index_buckets(spark: SparkSession, path: str) -> DataFrame:
         return _register_bucketed(spark, path, bucket_n)
     return spark.read.parquet(f"{path}/buckets")
 
-
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
-
-
-def _delete_path(spark: SparkSession, path: str) -> None:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:

@@ -100,11 +100,16 @@ def dsir_log_ratio(
 ) -> DataFrame:
     """(bucket, lr_nano): add-alpha-smoothed ``ln p_target - ln p_raw``
     per feature bucket in integer NANO-units (``round(lr * 1e9)`` as a
-    long), from the two (bucket, c) count tables. At most ``buckets``
-    rows — broadcast it onto the scoring join. Integer units make the
-    per-doc weighted sum exact 64-bit arithmetic: engine- and
-    summation-order-independent (|lr| < ~25 -> |lr_nano| < 2.5e10;
-    times per-doc gram counts it stays far inside a long)."""
+    long), from the two (bucket, c) count tables. DENSE: exactly
+    ``buckets`` rows, one per bucket 0..B-1 — buckets unseen by either
+    store carry the smoothed default ratio, so a scorer's inner join
+    can never silently drop a batch gram that hashes to a
+    store-unseen bucket (a standalone ``dsir_select_stored`` call on
+    an un-folded batch hits exactly that). Still broadcast-sized.
+    Integer units make the per-doc weighted sum exact 64-bit
+    arithmetic: engine- and summation-order-independent (|lr| < ~25
+    -> |lr_nano| < 2.5e10; times per-doc gram counts it stays far
+    inside a long)."""
     a = float(alpha)
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
@@ -114,8 +119,12 @@ def dsir_log_ratio(
     # uniform smoothed model, which is the right degenerate answer.
     tt = t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     tr = r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    all_buckets = target_counts.sparkSession.range(buckets).select(
+        F.col("id").alias("bucket")
+    )
     joined = (
-        t.join(r, "bucket", "full_outer")
+        all_buckets.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
     )

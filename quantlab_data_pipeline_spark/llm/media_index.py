@@ -28,6 +28,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..fsutil import delete_path as _delete_path
+from ..fsutil import path_exists as _path_exists
 
 __all__ = [
     "build_media_index",
@@ -83,22 +85,6 @@ def _bands(fp_df: DataFrame, bands: int, keep_fp: bool = False) -> DataFrame:
         *head, "b.band_idx", "b.band_val"
     )
 
-
-def _delete_path(spark: SparkSession, path: str) -> None:
-    """Recursively delete ``path`` through the Hadoop FileSystem API so
-    any scheme the session can write (local, HDFS, s3a) can also be
-    cleared on rebuild."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-
-
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:

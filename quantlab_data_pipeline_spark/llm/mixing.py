@@ -178,9 +178,13 @@ def token_budget_mix(
     )
     if isinstance(budget_tokens, dict):
         spark = df.sparkSession
+        # Budget keys must carry the GROUP COLUMN'S type (ADVICE r8: a
+        # hardcoded string schema broke non-string group cols — an int
+        # source id joined nothing and every group fell to budget 0).
+        group_type = df.schema[group_col].dataType.simpleString()
         budgets = spark.createDataFrame(
             [(k, int(v)) for k, v in budget_tokens.items()],
-            f"{group_col} string, __budget long",
+            f"{group_col} {group_type}, __budget long",
         )
         cum = cum.join(F.broadcast(budgets), group_col, "left").withColumn(
             "__budget", F.coalesce("__budget", F.lit(0))

@@ -7096,7 +7096,10 @@ ORACLE_SQL_EXT["boilerplate_lines_docs"] = """
         SELECT source, line, count(DISTINCT doc_id) AS doc_freq
         FROM l GROUP BY 1, 2
     ),
-    nd AS (SELECT source, count(*) AS n_docs FROM framed GROUP BY 1),
+    nd AS (
+        SELECT source, count(*) AS n_docs
+        FROM framed WHERE text IS NOT NULL GROUP BY 1
+    ),
     bp AS (
         SELECT f.source, f.line
         FROM freq f JOIN nd USING (source)
@@ -7279,7 +7282,10 @@ ORACLE_SQL_EXT["curate_corpus_r8"] = f"""
         SELECT source, line, count(DISTINCT doc_id) AS doc_freq
         FROM l GROUP BY 1, 2
     ),
-    nd AS (SELECT source, count(*) AS n_docs FROM framed GROUP BY 1),
+    nd AS (
+        SELECT source, count(*) AS n_docs
+        FROM framed WHERE text IS NOT NULL GROUP BY 1
+    ),
     bp AS (
         SELECT f.source, f.line
         FROM freq f JOIN nd USING (source)

@@ -38,15 +38,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm.dsir import dsir_select_stored, hashed_ngram_counts, read_dsir_meta
+from ..fsutil import path_exists
 from .rollup_sink import last_applied_batch
 
 __all__ = ["dsir_intake_sink", "read_dsir_verdicts"]
 
 
 def _store_exists(spark: SparkSession, path: str) -> bool:
-    import os
-
-    return os.path.isdir(f"{path}/meta")
+    # Hadoop-FS probe, NOT os.path: a local-FS check on a cluster store
+    # URI would route every restart into the "first batch" build path.
+    return path_exists(spark, f"{path}/meta")
 
 
 def dsir_intake_sink(

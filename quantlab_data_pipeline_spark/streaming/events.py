@@ -38,7 +38,11 @@ EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 def _as_stream_dir(path: str) -> str:
     """Spark's file streaming source requires a *directory* basePath; the
-    testdata ships single .parquet files. Stage a symlink in a temp dir."""
+    testdata ships single .parquet files. Stage a symlink in a temp dir.
+    Non-local URIs (hdfs://, s3a://) are returned as-is — the symlink
+    staging is a local-testdata convenience only."""
+    if "://" in path and not path.startswith("file:"):
+        return path
     if os.path.isdir(path):
         return path
     d = tempfile.mkdtemp(prefix="events_stream_")

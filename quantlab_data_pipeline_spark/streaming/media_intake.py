@@ -52,15 +52,17 @@ from ..llm.media_index import (
     build_media_index,
     flag_new_media,
 )
+from ..fsutil import path_exists
 from .rollup_sink import last_applied_batch
 
 __all__ = ["media_intake_sink", "read_intake_verdicts"]
 
 
 def _index_exists(spark: SparkSession, index_path: str) -> bool:
-    import os
-
-    return os.path.isdir(f"{index_path}/meta")
+    # Hadoop-FS probe, NOT os.path: on hdfs://s3a:// a local-FS check
+    # would always say "absent" and a restart would rebuild (clobber)
+    # an existing index.
+    return path_exists(spark, f"{index_path}/meta")
 
 
 def _with_kept(flagged: DataFrame, media: DataFrame, modality: str) -> DataFrame:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import is_dir
 from ..storage.rollup import refresh_rollup
 
 __all__ = ["rollup_sink", "last_applied_batch"]
@@ -59,9 +60,7 @@ def rollup_sink(
             return  # replayed batch: already folded in, skip (idempotent)
         if batch_df.isEmpty():
             return
-        import os
-
-        if not os.path.isdir(path):
+        if not is_dir(spark, path):
             # First data: build via an empty-store refresh (refresh with
             # no existing partitions is exactly a build).
             from ..storage.rollup import build_rollup

@@ -58,6 +58,9 @@ def _py_ratio(tc, rc):
     for c in rc.values():
         r_tot.update(c)
     tt, tr = sum(t_tot.values()), sum(r_tot.values())
+    # DENSE, like dsir_log_ratio: every bucket 0..B-1, unseen buckets
+    # carrying the smoothed default (ADVICE r8: sparse ratio silently
+    # dropped store-unseen batch grams in dsir_select_stored).
     return {
         b: round(
             (
@@ -66,7 +69,7 @@ def _py_ratio(tc, rc):
             )
             * 1e9
         )
-        for b in set(t_tot) | set(r_tot)
+        for b in range(BUCKETS)
     }
 
 
@@ -268,3 +271,36 @@ def test_dsir_select_stored_feature_space_pinned(spark, tmp_path):
     assert all(
         r["bucket"] < 64 for r in load_dsir_counts(spark, rp).collect()
     )
+
+
+def test_dsir_select_stored_unfolded_batch_unseen_buckets(spark, tmp_path):
+    """ADVICE r8 regression: scoring a batch WITHOUT folding it into the
+    raw store first (the documented standalone usage) must not drop
+    grams that hash to store-unseen buckets. Every unseen bucket carries
+    the smoothed default log-ratio, and a doc whose buckets are ALL
+    unseen still scores."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        dsir_select_stored,
+    )
+
+    raw, target = _frames(spark)
+    tp, rp = str(tmp_path / "t"), str(tmp_path / "r")
+    build_dsir_counts(target, tp, buckets=BUCKETS)
+    build_dsir_counts(raw, rp, buckets=BUCKETS)
+
+    batch_rows = [
+        (900, "the cat sat"),  # mixes seen + maybe-unseen bigrams
+        (901, "qqqqqq wwwwww eeeeee"),  # likely all-unseen grams
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_select_stored(batch, tp, rp, k=1).collect()}
+
+    rc, tc = _py_counts(RAW), _py_counts(TARGET)
+    ratio = _py_ratio(tc, rc)  # dense: default for unseen buckets
+    want = _py_counts(batch_rows)
+    assert set(out) == {900, 901}
+    for i, c in want.items():
+        assert out[i]["n_grams"] == sum(c.values())  # nothing dropped
+        logw = round(sum(n * ratio[b] for b, n in c.items()) / 1e9, 6)
+        assert out[i]["log_w"] == pytest.approx(logw, abs=0)

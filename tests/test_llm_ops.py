@@ -1580,6 +1580,33 @@ def test_boilerplate_lines_semantics(spark):
     assert got[8]["clean_text"] is None and got[8]["n_lines_kept"] is None
 
 
+def test_boilerplate_lines_null_text_not_in_denominator(spark):
+    """ADVICE r8 regression: null-text docs contribute zero lines, so
+    they must not count toward a domain's n_docs — else the
+    doc_freq/n_docs fraction deflates and boilerplate under-removes.
+    Here "NAV" is in 2/2 line-bearing docs (100% >= 30%); with the
+    three null-text docs wrongly counted it would be 2/5 = 40%...
+    still over — so use min_frac=0.6: 100% >= 60% drops, 40% < 60%
+    would wrongly keep."""
+    from quantlab_data_pipeline_spark.llm.dedup import boilerplate_lines
+
+    rows = [
+        (1, "A", "NAV\nalpha"),
+        (2, "A", "NAV\nbeta"),
+        (3, "A", None),
+        (4, "A", None),
+        (5, "A", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(df, min_frac=0.6, min_docs=2).collect()
+    }
+    assert got[1]["clean_text"] == "alpha"  # NAV dropped: 2/2, not 2/5
+    assert got[2]["clean_text"] == "beta"
+    assert got[3]["clean_text"] is None
+
+
 def test_boilerplate_lines_all_dropped_and_order(spark):
     from quantlab_data_pipeline_spark.llm.dedup import boilerplate_lines
 

@@ -907,3 +907,23 @@ def test_token_budget_mix_partitioning_invariant(spark):
     a = sorted(map(tuple, token_budget_mix(docs, 40).collect()))
     b = sorted(map(tuple, token_budget_mix(docs.repartition(7), 40).collect()))
     assert a == b
+
+
+def test_token_budget_mix_dict_budgets_non_string_group(spark):
+    """ADVICE r8 regression: dict budgets keyed by a NON-STRING group
+    column (an int source id) must join — the old hardcoded
+    '{group} string' schema made every group fall to budget 0."""
+    from quantlab_data_pipeline_spark.llm.mixing import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(1, 7, "a b c"), (2, 7, "d e"), (3, 8, "f g h i")],
+        "doc_id long, src_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_mix(
+            docs, {7: 10_000, 8: 0}, group_col="src_id"
+        ).collect()
+    }
+    assert out[1]["kept"] and out[2]["kept"]  # budget joined, not 0
+    assert not out[3]["kept"]  # explicit 0 budget still honored
