@@ -1573,6 +1573,30 @@ assert set(_reordered8) == set(SPARK_QUERIES)
 SPARK_QUERIES.clear()
 SPARK_QUERIES.update(_reordered8)
 
+# Round-9 rotation (VERDICT r8 item 4, same playbook): promote the two
+# round-8 flagship curation rows — `dsir_select_docs` (DSIR importance
+# resampling) and `curate_corpus_r8` (the blocklist -> boilerplate ->
+# exact-dedup -> token-budget composition) — both carrying full DuckDB
+# oracles verified at three scale factors, so the round-8 curation wave
+# gains DRIVER-verified evidence. Displaced, each keeping an in-window
+# relative of the same operator family and staying mirror-checked at
+# 51-52: `window_range_frame` (windowed-agg family keeps
+# `window_lag_pct_change` + `window_cumprod`) and `doc_fingerprint`
+# (text-function family keeps `text_stats`, `text_quality`,
+# `language_id`, `pii_scrub`).
+_R9_PROMOTED = ["dsir_select_docs", "curate_corpus_r8"]
+_R9_DISPLACED = ["window_range_frame", "doc_fingerprint"]
+_window9 = [
+    k for k in list(SPARK_QUERIES)[:50] if k not in set(_R9_DISPLACED)
+] + _R9_PROMOTED
+assert len(_window9) == 50, f"window must stay 50 rows, got {len(_window9)}"
+_rest9 = [k for k in SPARK_QUERIES if k not in set(_window9)]
+_reordered9 = {k: SPARK_QUERIES[k] for k in _window9 + _R9_DISPLACED}
+_reordered9.update({k: SPARK_QUERIES[k] for k in _rest9 if k not in _reordered9})
+assert set(_reordered9) == set(SPARK_QUERIES)
+SPARK_QUERIES.clear()
+SPARK_QUERIES.update(_reordered9)
+
 # perplexity_bucket_docs oracle lives here (not queries_ext) because it
 # composes the bigram-LM replay with the language-id CASE, whose
 # stopword macros are this module's. Registered AFTER the window

@@ -704,8 +704,14 @@ def ml_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     thresholds unanimously, and a single-class teacher would distill a
     constant (MLlib trains zero coefficients); the median split stays
     ~balanced on any corpus, so the student learns a real ranking.
-    Model weights are not SQL-expressible -> rows-only check; the
-    teacher's ingredients are the oracle-checked ``text_quality``."""
+    Model weights are not SQL-replayable (L-BFGS float reductions are
+    partitioning-order-dependent), so the mirror gates this row with a
+    TOLERANCE check instead (scripts/check_correctness.py
+    ``_ml_quality_tolerance``): the SQL-replayed teacher (oracle-checked
+    ``text_quality`` split at the corpus median) must agree with the
+    student's ml_keep on >= 90% of docs (measured 0.944-0.964 across
+    sfs), probs in [0,1], keep == prob >= 0.5. The frozen-weight
+    deployment twin ``ml_quality_frozen_docs`` stays bit-exact."""
     from .llm.classifier import score_quality, train_quality_classifier
     from .llm.text import with_quality_score
 

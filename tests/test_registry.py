@@ -24,6 +24,12 @@ from __future__ import annotations
 # json_struct_parse, cube_counts, distinct_users_exact,
 # revenue_percentiles) were parked at positions 51-56, still
 # mirror-checked every round.
+#
+# Round 9 (VERDICT r8 item 4): the two round-8 flagship curation rows
+# (dsir_select_docs, curate_corpus_r8 — full DuckDB oracles at three
+# scale factors) were promoted; window_range_frame (family keeps
+# window_lag_pct_change + window_cumprod) and doc_fingerprint (family
+# keeps text_stats/text_quality/language_id/pii_scrub) parked at 51-52.
 FROZEN_FIRST_50 = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier", "q7_volume_shipping", "q17_small_quantity",
@@ -31,17 +37,18 @@ FROZEN_FIRST_50 = [
     "broadcast_dim_join", "left_join_coalesce", "interval_validity_join",
     "dedup_first_non_null", "dedup_keyed", "distinct_segments",
     "greatest_least", "window_lag_pct_change", "window_cumprod",
-    "window_range_frame", "calendar_explode", "measure_unpivot",
+    "calendar_explode", "measure_unpivot",
     "topk_per_group", "union_all_parties", "regex_normalize",
     "json_extract_cast", "rollup_counts", "hourly_rollup",
     "sessionize_batch", "asof_join_events", "multimodal_meta",
     "multimodal_features", "text_stats", "text_quality", "language_id",
-    "doc_fingerprint", "pii_scrub", "exact_dedup_docs",
+    "pii_scrub", "exact_dedup_docs",
     "ngram_jaccard_dedup", "embedding_cosine_topk",
     "asof_forward_events", "merge_intervals_events", "scd2_events",
     "bm25_search_docs", "ml_quality_frozen_docs", "html_extract_docs",
     "warc_extract_docs", "url_dedup_docs", "curate_corpus_docs",
     "domain_quota_docs", "media_index_dedup_docs",
+    "dsir_select_docs", "curate_corpus_r8",
 ]
 
 # Extension queries deliberately promoted into the driver window
@@ -52,6 +59,7 @@ PROMOTED_EXT = {
     "bm25_search_docs", "ml_quality_frozen_docs", "html_extract_docs",
     "warc_extract_docs", "url_dedup_docs", "curate_corpus_docs",
     "domain_quota_docs", "media_index_dedup_docs",
+    "dsir_select_docs", "curate_corpus_r8",
 }
 
 
@@ -73,13 +81,16 @@ def test_extension_queries_register_after_the_window():
     from quantlab_data_pipeline_spark.queries_ext import SPARK_QUERIES_EXT
 
     order = list(SPARK_QUERIES)
-    # Position 51: the row displaced by the round-8 rotation (exact
+    # Positions 51-52: the rows displaced by the round-9 rotation
+    # (windowed-agg and text-function families both keep in-window
+    # relatives); 53: the row displaced by the round-8 rotation (exact
     # all-pairs cosine baseline, in-window relative
-    # embedding_cosine_topk); 52-57: the six rows displaced by the
+    # embedding_cosine_topk); 54-59: the six rows displaced by the
     # round-7 rotation (oracle-checked in the mirror every round);
     # then the rows-only queries parked outside the window since round
     # 3 (each has an oracle-checked exact twin inside it).
-    assert order[50:62] == [
+    assert order[50:64] == [
+        "window_range_frame", "doc_fingerprint",
         "embedding_near_dup",
         "pivot_event_counts", "dense_rank_balances", "json_struct_parse",
         "cube_counts", "distinct_users_exact", "revenue_percentiles",
