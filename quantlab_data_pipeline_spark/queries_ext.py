@@ -6037,19 +6037,12 @@ def _dhash32_key_ctes(
     keyd AS (SELECT doc_id, concat({", ".join(bit_exprs)}) AS hk FROM sums)"""
 
 
-def _curate_corpus_full_oracle_sql() -> str:
-    """Replays every curate_corpus_full stage from SOURCE text: URL
-    classes from doc_id arithmetic, extraction/quality/text-dedup as
-    curate_corpus_docs, image classes as the REPLAYED 64-bit dHash of
-    the extracted text cycled to 1024 bytes (``_dhash32_key_ctes`` —
-    hash equality is the stage's actual hamming-0 semantics, so lossy
-    dHash collisions between different texts are predicted rather than
-    false mismatches), audio classes as md5(extracted) equality
-    (identical text must fingerprint identically; distinct text must
-    not collide on THIS corpus — the spectral fingerprint cannot be
-    replayed in SQL, so an audio collision would surface as a hash
-    mismatch and force the python-oracle route; none exist at the
-    shipped sfs)."""
+def _curate_corpus_elig_ctes() -> str:
+    """CTE chain ending in ``elig(doc_id, url_ok, extracted, long_ok,
+    qual_ok)`` — the eligibility prefix of the curate_corpus_full
+    replay, shared by the SQL oracle and the mirror's python audio
+    replay (``scripts/check_correctness.py``), which fingerprints
+    exactly these (doc_id, extracted) rows."""
     from .llm.frozen_quality import (
         FROZEN_QUALITY_V1_BIAS,
         FROZEN_QUALITY_V1_WEIGHTS,
@@ -6057,7 +6050,6 @@ def _curate_corpus_full_oracle_sql() -> str:
 
     wlist = ", ".join(str(w) for w in FROZEN_QUALITY_V1_WEIGHTS)
     n = len(FROZEN_QUALITY_V1_WEIGHTS)
-    u = _hash_uniform_sql("curate", "s.doc_id")
     return f"""
     WITH base AS (SELECT doc_id, text FROM documents),
     corpus AS (
@@ -6105,7 +6097,37 @@ def _curate_corpus_full_oracle_sql() -> str:
                )), 0)) >= 0 AS qual_ok
         FROM st
     ),
-    elig AS (SELECT * FROM scored WHERE url_ok AND long_ok AND qual_ok),
+    elig AS (SELECT * FROM scored WHERE url_ok AND long_ok AND qual_ok)"""
+
+
+def curate_corpus_full_elig_sql() -> str:
+    """(doc_id, extracted) of the docs curate_corpus_full's audio stage
+    fingerprints — the mirror's python oracle recomputes the spectral
+    fingerprint over exactly these rows (VERDICT r8 item 2)."""
+    return f"""{_curate_corpus_elig_ctes()}
+    SELECT doc_id, extracted FROM elig ORDER BY doc_id"""
+
+
+def _curate_corpus_full_oracle_sql() -> str:
+    """Replays every curate_corpus_full stage from SOURCE text: URL
+    classes from doc_id arithmetic, extraction/quality/text-dedup as
+    curate_corpus_docs, image classes as the REPLAYED 64-bit dHash of
+    the extracted text cycled to 1024 bytes (``_dhash32_key_ctes`` —
+    hash equality is the stage's actual hamming-0 semantics, so lossy
+    dHash collisions between different texts are predicted rather than
+    false mismatches), audio classes as md5(extracted) equality — a
+    PROXY (identical text must fingerprint identically; distinct text
+    must not collide): the spectral fingerprint cannot be replayed in
+    SQL, so the mirror's python oracle for this row
+    (scripts/check_correctness.py) recomputes the REAL fingerprints
+    over ``curate_corpus_full_elig_sql`` and is the audio stage's
+    gate; a genuine audio collision is its predicted duplicate pair,
+    while this SQL twin — cross-checked wherever the proxy holds —
+    would surface it as a visible mismatch (VERDICT r8 item 2, the
+    same graduation the image side made after sf0.1's real dHash
+    collisions)."""
+    u = _hash_uniform_sql("curate", "s.doc_id")
+    return f"""{_curate_corpus_elig_ctes()},
     tf AS (
         SELECT doc_id, extracted,
                doc_id = min(doc_id) OVER (PARTITION BY md5(extracted))

@@ -13,6 +13,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+from collections import Counter
 from pathlib import Path
 
 import duckdb
@@ -297,11 +298,88 @@ def _embedding_pca_python_oracle(con: "duckdb.DuckDBPyConnection") -> pd.DataFra
 # the spill exhaustion now hits at sf0.01 TOO (both logged FAIL lines,
 # re-run green on the python oracle) — pre-gate both mirror sfs so the
 # unified log is FAIL-free; sf0.001 still runs the SQL twin live.
+
+
+def _curate_corpus_audio_proxy_invalid(sf_dir: str) -> bool:
+    """True iff curate_corpus_full's md5-of-text audio proxy is INVALID
+    at this sf: some spectral-fingerprint class spans >1 distinct
+    extracted text (a real 64-bit collision — the proxy's SQL twin
+    would then flag a false mismatch on ``audio_dup``; the python
+    oracle, which replays the fingerprints, remains the gate and
+    PREDICTS the duplicate pair). Found live: sf0.001 ships one such
+    collision (docs 3000160/3000165, both cycled-1088 boiler texts
+    landing on the degenerate periodic-spectrogram fingerprint
+    0x5A5A5A5A5A5A5A5A); sf0.01 and sf0.1 have none, so the SQL twin
+    cross-checks there."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        audio_spectral_matrix,
+        dhash_bits,
+        text_to_wave,
+    )
+    from quantlab_data_pipeline_spark.queries_ext import (
+        curate_corpus_full_elig_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    elig = c.execute(curate_corpus_full_elig_sql()).fetchdf()
+    by_fp: dict[int, set[str]] = {}
+    for i, t in zip(elig["doc_id"], elig["extracted"]):
+        wave = text_to_wave(t if isinstance(t, str) else None)
+        fp = dhash_bits(audio_spectral_matrix(wave, 8, 9), hash_size=8)
+        by_fp.setdefault(fp & ((1 << 64) - 1), set()).add(t or "")
+    return any(len(texts) > 1 for texts in by_fp.values())
+
+
 SQL_ORACLE_INFEASIBLE = {
     "pagerank_suppliers": lambda sf_dir: sf_dir.rstrip("/").endswith(
         ("sf0.1", "sf0.01")
     ),
+    # Not infeasible but INVALID where a collision exists: see
+    # _curate_corpus_audio_proxy_invalid.
+    "curate_corpus_full": _curate_corpus_audio_proxy_invalid,
 }
+
+
+def _curate_corpus_full_python_oracle(
+    con: "duckdb.DuckDBPyConnection",
+) -> pd.DataFrame:
+    """curate_corpus_full with the audio stage keyed on the REPLAYED
+    spectral fingerprint (VERDICT r8 item 2 — the graduation the image
+    side made after sf0.1's real dHash collisions): run the SQL replay
+    for every stage, then recompute ``audio_dup`` from the true
+    fingerprints (text_to_wave -> spectral grid -> dhash bits, the
+    library kernels re-driven outside Spark) over exactly the eligible
+    (doc_id, extracted) rows the Spark stage fingerprints. A genuine
+    64-bit audio collision between different texts is then a PREDICTED
+    duplicate pair here; the md5-proxied SQL twin (still cross-checked
+    by the both-oracle policy) would flag it as a visible mismatch."""
+    from quantlab_data_pipeline_spark.llm.multimodal import (
+        audio_spectral_matrix,
+        dhash_bits,
+        text_to_wave,
+    )
+    from quantlab_data_pipeline_spark.queries import ORACLE_SQL
+    from quantlab_data_pipeline_spark.queries_ext import (
+        curate_corpus_full_elig_sql,
+    )
+
+    odf = con.execute(ORACLE_SQL["curate_corpus_full"]).fetchdf()
+    elig = con.execute(curate_corpus_full_elig_sql()).fetchdf()
+    fps: dict[int, int] = {}
+    for i, t in zip(elig["doc_id"], elig["extracted"]):
+        wave = text_to_wave(t if isinstance(t, str) else None)
+        m = audio_spectral_matrix(wave, 8, 9)
+        fps[int(i)] = dhash_bits(m, hash_size=8) & ((1 << 64) - 1)
+    counts = Counter(fps.values())
+    dup = {d: counts[f] > 1 for d, f in fps.items()}
+    odf["audio_dup"] = (
+        odf["doc_id"].map(lambda d: dup.get(int(d), False)).astype(bool)
+    )
+    return odf
 
 
 PYTHON_ORACLES = {
@@ -310,6 +388,7 @@ PYTHON_ORACLES = {
     "bpe_tokenize_docs": _bpe_tokenize_docs_python_oracle,
     "image_dhash_dedup": _image_dhash_python_oracle,
     "audio_dhash_dedup": _audio_dhash_python_oracle,
+    "curate_corpus_full": _curate_corpus_full_python_oracle,
 }
 
 
@@ -613,8 +692,8 @@ def main() -> int:
             if SQL_ORACLE_INFEASIBLE.get(name, lambda _: False)(sf_dir):
                 print(
                     f"[note] {name}: sql-oracle cross-check skipped at "
-                    f"this sf (documented-infeasible); python oracle "
-                    f"remains the gate"
+                    f"this sf (documented infeasible-or-invalid); "
+                    f"python oracle remains the gate"
                 )
                 sql = None
             if sql is not None:
