@@ -21,14 +21,17 @@ from .events import (
 )
 from .drift import baseline_histogram, psi_from_cells, windowed_bin_counts
 from .locf import streaming_forward_fill
+from .pipeline import curation_intake_sink, streaming_curation_pipeline
 from .rollup_sink import last_applied_batch, rollup_sink
 from .sketches import windowed_distinct_estimate, windowed_distinct_sketch
 
 __all__ = [
     "baseline_histogram",
     "clicks_with_recent_purchase",
+    "curation_intake_sink",
     "dsir_intake_sink",
     "read_dsir_verdicts",
+    "streaming_curation_pipeline",
     "psi_from_cells",
     "windowed_bin_counts",
     "enrich_with_static_dim",

@@ -1,0 +1,155 @@
+"""End-to-end streaming curation: the ``curate_corpus_r8`` composition,
+streamed (VERDICT r8 item 7).
+
+One pipeline wires the whole intake chain over a page stream:
+
+    blocklist -> extract -> quality -> URL dedup   (upstream stages)
+        -> perceptual media dedup -> DSIR scoring  (foreachBatch sink)
+
+The upstream stages are :func:`..streaming.intake.streaming_crawl_intake`
+verbatim — three stateless codegen projections plus the one
+engine-stateful URL ``dropDuplicates`` — so they inherit its batch-twin
+evidence. The two stages that need CROSS-BATCH stores (the persisted
+perceptual index and the DSIR raw-count model) run inside ONE
+``foreachBatch`` sink that composes the existing replay-idempotent
+intake sinks (:func:`..streaming.media_intake.media_intake_sink`,
+:func:`..streaming.dsir_intake.dsir_intake_sink`) under the SAME
+batch_id. Composing the sinks rather than re-implementing them means
+every crash/replay guarantee is inherited stage by stage:
+
+* a replayed batch id is skipped by each store's ledger;
+* a crash BETWEEN the media stage and the DSIR stage replays into a
+  media ledger-skip (its verdicts are already persisted, and the kept
+  set is re-read from them — identical input to the DSIR stage) and a
+  normal DSIR run;
+* a crash before either ledger write re-runs that stage onto
+  partition-overwritten verdicts and anti-joined appends — convergent,
+  as pinned by the per-sink replay tests.
+
+Scale shape: everything upstream is per-row projection work; the sink
+stages shuffle only 8-byte fingerprints / bucket counts per batch
+(media index O(batch + candidates), DSIR fold O(distinct buckets)).
+Nothing corpus-sized moves per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dsir_intake import dsir_intake_sink
+from .intake import streaming_crawl_intake
+from .media_intake import media_intake_sink, read_intake_verdicts
+
+__all__ = ["curation_intake_sink", "streaming_curation_pipeline"]
+
+
+def curation_intake_sink(
+    media_index_path: str,
+    media_out: str,
+    dsir_target_path: str,
+    dsir_raw_path: str,
+    dsir_out: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: tuple[int, int] = (32, 32),
+    max_hamming: int = 0,
+    bands: int | None = 4,
+    frac: float | None = None,
+    k: int | None = None,
+    salt: str = "dsir",
+):
+    """``foreachBatch`` function chaining media dedup then DSIR scoring.
+
+    Per micro-batch: docs render to fixed-frame PNGs and run the media
+    intake loop (cross-batch perceptual dedup against the persisted
+    index at ``media_index_path``, intra-batch exact dedup, verdicts to
+    ``media_out``); the media KEEPERS then run the DSIR intake loop
+    (fold into the raw model at ``dsir_raw_path``, score against the
+    offline-built target at ``dsir_target_path``, verdicts to
+    ``dsir_out``). Both sub-sinks keep their own ledgers keyed by the
+    same outer batch_id, so partial-failure replays converge per stage.
+    """
+    from ..llm.multimodal import media_from_text
+
+    media_apply = media_intake_sink(
+        media_index_path,
+        media_out,
+        modality="image",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+    dsir_apply = dsir_intake_sink(
+        dsir_target_path, dsir_raw_path, dsir_out, frac=frac, k=k, salt=salt
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        media_apply(media_from_text(docs, dims=dims), batch_id)
+        # The kept set is read back from the PERSISTED verdicts, not
+        # held in memory: on a replay where the media ledger skips, the
+        # DSIR stage still sees exactly the same keeper set.
+        kept = (
+            read_intake_verdicts(spark, media_out)
+            .filter(F.col("batch_id") == int(batch_id))
+            .filter("kept")
+            .select(F.col("asset_id").alias("doc_id"))
+        )
+        dsir_apply(docs.join(kept, "doc_id"), batch_id)
+
+    return _apply
+
+
+def streaming_curation_pipeline(
+    pages: DataFrame,
+    media_index_path: str,
+    media_out: str,
+    dsir_target_path: str,
+    dsir_raw_path: str,
+    dsir_out: str,
+    *,
+    blocklist=None,
+    watermark: str | None = None,
+    min_chars: int = 1,
+    id_col: str = "doc_id",
+    dims: tuple[int, int] = (32, 32),
+    max_hamming: int = 0,
+    bands: int | None = 4,
+    frac: float | None = None,
+    k: int | None = None,
+    salt: str = "dsir",
+):
+    """The full curation chain as one ready-to-start stream.
+
+    Returns a ``DataStreamWriter`` — attach a checkpoint and call
+    ``.start()``::
+
+        q = (streaming_curation_pipeline(pages, *stores, blocklist=bl, k=1)
+             .option("checkpointLocation", ckpt)
+             .start())
+    """
+    kept = streaming_crawl_intake(
+        pages, blocklist=blocklist, watermark=watermark, min_chars=min_chars
+    )
+    return kept.writeStream.foreachBatch(
+        curation_intake_sink(
+            media_index_path,
+            media_out,
+            dsir_target_path,
+            dsir_raw_path,
+            dsir_out,
+            id_col=id_col,
+            dims=dims,
+            max_hamming=max_hamming,
+            bands=bands,
+            frac=frac,
+            k=k,
+            salt=salt,
+        )
+    )
