@@ -128,6 +128,7 @@ INTAKE = [
     "media_index_takedown_docs",  # round 8: tombstone mask + compaction
     "corpus_export_manifest_docs",  # round 8: JSONL export + manifest
     "url_blocklist_docs",  # round 8: domain blocklist suffix-chain join
+    "curation_pipeline_loop_docs",  # round 9: full streamed-composition loop
 ]
 
 

@@ -7462,3 +7462,277 @@ SPARK_QUERIES_EXT["dsir_incremental_docs"] = dsir_incremental_docs
 # incrementally-evolved raw model MUST equal the one-shot counts, so
 # the same SQL is the oracle for both rows.
 ORACLE_SQL_EXT["dsir_incremental_docs"] = ORACLE_SQL_EXT["dsir_select_docs"]
+
+
+def curation_pipeline_loop_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-9 streaming curation pipeline END-TO-END in
+    driver-checkable batch-loop form (`streaming/pipeline.py
+    curation_intake_sink` — the composed foreachBatch sink the
+    restart/replay pytest drives as a real stream): documents become
+    boilerplate-wrapped pages with derived URLs, the upstream stages
+    run as their deterministic batch twins (domain blocklist on the
+    suffix chain, `html_to_text` extraction, frozen-weight quality,
+    min-id URL dedup — the `url_dedup_docs` winner rule, standing in
+    for the stream's nondeterministic first-arrival dropDuplicates),
+    and the survivors arrive in three "crawl batches" (doc_id % 3) at
+    the composed sink: perceptual media dedup against the persisted
+    index (batch 0 builds, 1-2 flag + append keepers), then DSIR
+    scoring of the media keepers under the raw model INCLUDING the
+    just-folded batch (frac=0.25 within each batch). Returns the
+    accumulated DSIR verdict log. URL shapes: host spam.bad.net when
+    doc_id % 10 = 0 (blocked via the 'bad.net' suffix rule), else
+    ok{u%7}.example.org where u = doc_id - (3 if doc_id % 6 >= 3
+    else 0) — so {d, d+3} (d%6 < 3) share a URL within one batch and
+    the min id wins. The DuckDB oracle replays every stage from source
+    text: the extraction/quality CTEs of `curate_corpus_full`, the
+    replayed 64-bit dHash (`_dhash32_key_ctes` — real collisions are
+    predictions), earliest-batch/min-id keeper logic, and the DSIR
+    math with CUMULATIVE per-batch raw counts (nano-quantized
+    log-ratios, Gumbel keys, per-batch frac cut). The returned frame
+    is a parquet read (the loop runs eagerly into a deterministic
+    per-sf path, cleared at entry); plan-audit note: the audited plan
+    is the verdict-log scan. Scale shape: upstream is per-row codegen;
+    per batch the sink shuffles 8-byte fingerprints and <=4096-row
+    count tables only."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .llm.classifier import score_quality_frozen
+    from .llm.dsir import build_dsir_counts
+    from .llm.extract import escape_html_text, html_to_text
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    from .llm.urls import host_suffix_chain, normalize_url
+    from .streaming.dsir_intake import read_dsir_verdicts
+    from .streaming.pipeline import curation_intake_sink
+
+    base = (
+        tempfile.gettempdir()
+        + "/curloop-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf, "documents")
+    build_dsir_counts(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        f"{base}/target",
+        buckets=4096,
+    )
+
+    u = F.col("doc_id") - F.when(F.col("doc_id") % 6 >= 3, 3).otherwise(0)
+    host = F.when(
+        F.col("doc_id") % 10 == 0, F.lit("spam.bad.net")
+    ).otherwise(
+        F.concat(F.lit("ok"), (u % 7).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), u.cast("string"))
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>'),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", url.alias("url"), page.alias("html"))
+
+    chain = host_suffix_chain("url")
+    unblocked = pages.filter(
+        ~F.coalesce(
+            F.arrays_overlap(chain, F.array(F.lit("bad.net"))), F.lit(False)
+        )
+    )
+    extracted = html_to_text(unblocked, "html", "text").drop("html")
+    scored = score_quality_frozen(
+        extracted, FROZEN_QUALITY_V1_BIAS, FROZEN_QUALITY_V1_WEIGHTS
+    )
+    passed = scored.filter(
+        F.col("ml_keep") & (F.length("text") >= 1)
+    ).withColumn("norm_url", normalize_url("url"))
+    uwin = passed.groupBy("norm_url").agg(F.min("doc_id").alias("__ukeep"))
+    surv = (
+        passed.join(uwin, "norm_url")
+        .filter(F.col("doc_id") == F.col("__ukeep"))
+        .select("doc_id", "text")
+    )
+
+    sink = curation_intake_sink(
+        f"{base}/idx",
+        f"{base}/media_out",
+        f"{base}/target",
+        f"{base}/raw",
+        f"{base}/dsir_out",
+        frac=0.25,
+    )
+    par = spark.sparkContext.defaultParallelism
+    for b in range(3):
+        sink(surv.filter(F.col("doc_id") % 3 == b).repartition(par), b)
+    return read_dsir_verdicts(spark, f"{base}/dsir_out").select(
+        "doc_id",
+        F.col("batch_id").cast("int").alias("batch_id"),
+        "n_grams",
+        "log_w",
+        "sel_key",
+        F.col("rank").cast("long").alias("rank"),
+        "selected",
+    )
+
+
+SPARK_QUERIES_EXT["curation_pipeline_loop_docs"] = curation_pipeline_loop_docs
+
+
+def _curation_pipeline_loop_oracle_sql() -> str:
+    """Replays the whole streamed composition from source text in one
+    statement: blocklist/extraction/quality from `curate_corpus_full`'s
+    CTEs, min-id URL dedup over the derived classes, the replayed
+    dHash with earliest-batch/min-id keeper logic
+    (`media_intake_loop_docs` semantics), and the DSIR scoring of each
+    batch under CUMULATIVE raw counts (batches 0..b) with the exact
+    nano-unit quantization, Gumbel keys, and per-batch frac cut."""
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    wlist = ", ".join(str(w) for w in FROZEN_QUALITY_V1_WEIGHTS)
+    n = len(FROZEN_QUALITY_V1_WEIGHTS)
+    return f"""
+    WITH docs0 AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS b,
+               trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                   AS sq
+        FROM documents
+        WHERE doc_id % 10 <> 0
+    ),
+    ex AS (
+        SELECT doc_id, b,
+               CASE WHEN length(sq) >= 30 THEN sq ELSE '' END AS extracted
+        FROM docs0
+    ),
+    qual AS (
+        SELECT doc_id, b, extracted
+        FROM ex
+        WHERE length(extracted) >= 1
+          AND ({FROZEN_QUALITY_V1_BIAS} + coalesce(list_sum(list_transform(
+                regexp_extract_all(lower(extracted), '[a-z0-9]+'),
+                t -> [{wlist}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                               % {n} AS INT) + 1])), 0)) >= 0
+    ),
+    surv AS (
+        SELECT doc_id, b, extracted
+        FROM (
+            SELECT *, doc_id = min(doc_id) OVER (
+                PARTITION BY doc_id
+                    - CASE WHEN doc_id % 6 >= 3 THEN 3 ELSE 0 END
+            ) AS uwin
+            FROM qual
+        ) WHERE uwin
+    ),
+    {{DHASH}},
+    cy AS (
+        SELECT k.doc_id, s.b, s.extracted, k.hk
+        FROM keyd k JOIN surv s USING (doc_id)
+    ),
+    firstb AS (SELECT hk, min(b) AS fb FROM cy GROUP BY hk),
+    keeper AS (
+        SELECT c.hk, min(c.doc_id) AS keeper_id
+        FROM cy c JOIN firstb f ON c.hk = f.hk AND c.b = f.fb
+        GROUP BY c.hk
+    ),
+    kd AS (
+        SELECT c.doc_id, c.b, c.extracted
+        FROM cy c JOIN firstb f USING (hk) JOIN keeper k USING (hk)
+        WHERE c.b = f.fb AND c.doc_id = k.keeper_id
+    ),
+    tw AS (
+        SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+                   AS words
+        FROM documents WHERE lang = 'en'
+    ),
+    tg AS (
+        SELECT unnest(words) AS gram FROM tw
+        UNION ALL
+        SELECT array_to_string(words[i:i+1], ' ') AS gram
+        FROM tw, UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    tcnt AS (
+        SELECT ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS bucket,
+               CAST(count(*) AS DOUBLE) AS ct
+        FROM tg GROUP BY 1
+    ),
+    tt AS (SELECT coalesce(sum(ct), 0) AS tt FROM tcnt),
+    kw AS (
+        SELECT doc_id, b,
+               regexp_extract_all(lower(coalesce(extracted, '')),
+                                  '[a-z0-9]+') AS words
+        FROM kd
+    ),
+    kg AS (
+        SELECT doc_id, b, unnest(words) AS gram FROM kw
+        UNION ALL
+        SELECT doc_id, b, array_to_string(words[i:i+1], ' ') AS gram
+        FROM kw, UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    dcnt AS (
+        SELECT doc_id, b,
+               ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM kg GROUP BY 1, 2, 3
+    ),
+    bcnt AS (
+        SELECT b, bucket, CAST(sum(cnt) AS DOUBLE) AS c
+        FROM dcnt GROUP BY 1, 2
+    ),
+    batches AS (SELECT DISTINCT b FROM dcnt),
+    cum AS (
+        SELECT bb.b, x.bucket, sum(x.c) AS cr
+        FROM batches bb JOIN bcnt x ON x.b <= bb.b
+        GROUP BY 1, 2
+    ),
+    trb AS (SELECT b, sum(cr) AS tr FROM cum GROUP BY 1),
+    ratio AS (
+        SELECT c.b, c.bucket,
+               CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (tt.tt + 4096.0))
+                     - ln((c.cr + 1.0) / (r.tr + 4096.0))) * 1e9)
+                    AS BIGINT) AS lr_nano
+        FROM cum c
+        LEFT JOIN tcnt t ON t.bucket = c.bucket, tt
+        JOIN trb r ON r.b = c.b
+    ),
+    dsir_scored AS (
+        SELECT d.doc_id, d.b, CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+               round(CAST(sum(d.cnt * ra.lr_nano) AS DOUBLE) / 1e9, 6)
+                   AS log_w
+        FROM dcnt d JOIN ratio ra ON ra.b = d.b AND ra.bucket = d.bucket
+        GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT *, round(log_w - ln(-ln(
+            (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::UBIGINT + 0.5) / 4294967296.0)), 6) AS sel_key
+        FROM dsir_scored
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY b
+                                  ORDER BY sel_key DESC, doc_id) AS rank,
+               count(*) OVER (PARTITION BY b) AS nb
+        FROM keyed
+    )
+    SELECT doc_id, b AS batch_id, n_grams, log_w, sel_key,
+           CAST(rank AS BIGINT) AS rank,
+           rank <= ceil(0.25 * nb) AS selected
+    FROM rk ORDER BY doc_id
+""".replace(
+        "{DHASH}",
+        _dhash32_key_ctes(
+            src="(SELECT doc_id, extracted AS text FROM surv)"
+        ).replace("\n    raw AS", "raw AS", 1),
+    )
+
+
+ORACLE_SQL_EXT["curation_pipeline_loop_docs"] = (
+    _curation_pipeline_loop_oracle_sql()
+)

@@ -111,10 +111,20 @@ HEADLINE = [
     "curate_corpus_r8",
     "hard_negatives_docs",
     "dsir_incremental_docs",
+    # round-9 additions
+    "curation_pipeline_loop_docs",
 ]
 
 
 NOTES = {
+    "curation_pipeline_loop_docs": (
+        "The streamed composition run eagerly at build time (three "
+        "crawl batches through the composed media+DSIR foreachBatch "
+        "sink); the audited plan is the verdict-log scan — the "
+        "per-batch plans are the media_intake_loop_docs and "
+        "dsir_incremental_docs families (fingerprint-only shuffles, "
+        "<=4096-row count folds)."
+    ),
     "dsir_incremental_docs": (
         "Same plan family as dsir_select_docs with the count subtrees "
         "replaced by scans of the persisted <=4096-row stores — the "
