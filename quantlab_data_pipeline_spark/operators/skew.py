@@ -109,6 +109,19 @@ def grouped_global_rank(
     ranged = df.repartitionByRange(
         parts, *group_exprs, *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
+    # Freeze the partition ids: the ranked side and the cell-counts
+    # side are two subtrees that would otherwise each re-evaluate the
+    # range exchange, and the two evaluations can disagree on the
+    # SAMPLED boundaries (column pruning gives each subtree a different
+    # scan split layout, so the reservoir samples differ) — rows then
+    # land in cells the offsets side never saw and silently drop out
+    # of the join. Found live: conversation assembly over the events
+    # table lost whole groups nondeterministically. localCheckpoint
+    # materializes the exchange once; both subtrees read the SAME
+    # partitions, which is the premise the whole two-phase composition
+    # rests on. (Small-table callers never tripped this — one scan
+    # split either way — so rounds 6-8 mirrors stayed green.)
+    ranged = ranged.localCheckpoint()
     local = Window.partitionBy(*group_cols, "__pid").orderBy(*order_exprs)
     ranked = ranged.withColumn("__local_rn", F.row_number().over(local))
 
@@ -134,10 +147,30 @@ def grouped_global_rank(
         .alias(n_col),
     )
     return (
-        ranked.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        _join_offsets(ranked, offsets, group_cols)
         .withColumn(rank_col, F.col("__offset") + F.col("__local_rn"))
         .drop("__pid", "__local_rn", "__offset")
     )
+
+
+def _join_offsets(
+    rows: DataFrame, offsets: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join the per-(group, pid) offsets back NULL-SAFELY: a
+    plain USING join silently DROPS null-group rows (SQL null
+    equality), and a null group is legitimate — e.g. the unknown-host
+    queue of a crawl frontier. eqNullSafe keys stay hash-joinable, so
+    the plan is the same BroadcastHashJoin."""
+    off = offsets.select(
+        *[F.col(c).alias(f"__og_{c}") for c in group_cols],
+        F.col("__pid").alias("__opid"),
+        *[c for c in offsets.columns if c not in {*group_cols, "__pid"}],
+    )
+    cond = rows["__pid"] == off["__opid"]
+    for c in group_cols:
+        cond = cond & rows[c].eqNullSafe(off[f"__og_{c}"])
+    joined = rows.join(F.broadcast(off), cond)
+    return joined.drop("__opid", *[f"__og_{c}" for c in group_cols])
 
 
 def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
@@ -215,6 +248,10 @@ def grouped_global_cumsum(
     ranged = df.repartitionByRange(
         parts, *group_exprs, *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
+    # Same partition-id freeze as grouped_global_rank (see the comment
+    # there): the summed and cell_sums subtrees must read ONE physical
+    # evaluation of the range exchange.
+    ranged = ranged.localCheckpoint()
     local = Window.partitionBy(*group_cols, "__pid").orderBy(*order_exprs)
     summed = ranged.withColumn("__local_cum", F.sum(value_col).over(local))
 
@@ -233,7 +270,7 @@ def grouped_global_cumsum(
         ).alias("__offset"),
     )
     return (
-        summed.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        _join_offsets(summed, offsets, group_cols)
         .withColumn(cumsum_col, F.col("__offset") + F.col("__local_cum"))
         .drop("__pid", "__local_cum", "__offset")
     )

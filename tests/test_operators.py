@@ -1086,7 +1086,15 @@ def test_grouped_global_rank_no_group_only_data_sort(spark):
             assert "__cnt" in line, f"group-only window over data: {line}"
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final[:2000]
+    # The range-partitioned input is FROZEN via localCheckpoint (one
+    # materialized evaluation feeds both branches — the pre-freeze
+    # ReusedExchange pin was the weaker version of this guarantee, and
+    # it could silently fail to hold, splitting the branches onto
+    # DIFFERENT sampled boundaries and dropping rows); the audited
+    # plan must read the checkpointed RDD and contain no range
+    # exchange of its own.
+    assert "Scan ExistingRDD" in final, final[:2000]
+    assert "rangepartitioning" not in final, final[:2000]
 
 
 def test_grouped_global_cumsum_equals_naive_window(spark):
@@ -1143,4 +1151,57 @@ def test_grouped_global_cumsum_no_group_only_data_sort(spark):
             assert "__cell" in line, f"group-only window over data: {line}"
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final[:2000]
+    # The range-partitioned input is FROZEN via localCheckpoint (one
+    # materialized evaluation feeds both branches — the pre-freeze
+    # ReusedExchange pin was the weaker version of this guarantee, and
+    # it could silently fail to hold, splitting the branches onto
+    # DIFFERENT sampled boundaries and dropping rows); the audited
+    # plan must read the checkpointed RDD and contain no range
+    # exchange of its own.
+    assert "Scan ExistingRDD" in final, final[:2000]
+    assert "rangepartitioning" not in final, final[:2000]
+
+
+def test_grouped_global_rank_and_cumsum_keep_null_groups(spark):
+    """A NULL group key is one legitimate group (the unknown-host queue
+    of a crawl frontier): the offsets join is null-safe, so null-group
+    rows must come back ranked/cumsummed, equal to the naive window
+    (which also treats NULL as one partition)."""
+    from pyspark.sql import Window
+
+    from quantlab_data_pipeline_spark.operators import (
+        grouped_global_cumsum,
+        grouped_global_rank,
+    )
+
+    df = spark.range(200).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 5).cast("string")))
+        .alias("grp"),
+        (F.col("id") % 11).cast("long").alias("v"),
+        F.col("id"),
+    )
+    order = [F.asc("v"), F.asc("id")]
+    naive = df.select(
+        "id",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy(*order))
+        .alias("rank"),
+        F.sum("v")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cumsum"),
+    )
+    got_rank = grouped_global_rank(df, ["grp"], order, num_partitions=8)
+    got_cum = grouped_global_cumsum(
+        df, ["grp"], order, "v", num_partitions=8
+    )
+    assert got_rank.count() == 200 and got_cum.count() == 200
+    nr = {r.id: (r.rank, r.cumsum) for r in naive.collect()}
+    gr = {r.id: r.rank for r in got_rank.collect()}
+    gc = {r.id: r.cumsum for r in got_cum.collect()}
+    assert all(nr[i][0] == gr[i] for i in nr)
+    assert all(nr[i][1] == gc[i] for i in nr)
