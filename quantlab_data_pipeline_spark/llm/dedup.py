@@ -915,3 +915,64 @@ def boilerplate_lines(
             ).alias("n_lines_dropped"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc n-gram novelty against a reference corpus: how many of a
+    doc's k-gram occurrences were never seen in the reference. The
+    memorization / regurgitation metric of eval pipelines (Carlini et
+    al.'s extraction studies measure exactly this overlap) and the
+    soft sibling of decontamination: instead of a keep/drop verdict, a
+    per-doc (n_grams, n_novel) pair callers can threshold or average.
+
+    Counts are over gram OCCURRENCES (repeats count), so the ratio is
+    a length-weighted overlap, not a set Jaccard. Docs with fewer than
+    ``k`` words have zero grams and report (0, 0) — fully determined,
+    never null. Grams come from :func:`..text.word_grams`, the single
+    shared tokenizer, so novelty and decontamination can never drift.
+
+    Scale shape: one equi-join of exploded (id, gram) pairs against
+    the DISTINCT reference gram set — the reference never self-joins,
+    the corpus shuffles once on the gram key. At reference sets too
+    large even for that shuffle, put :mod:`.bloom` in front: bloom the
+    reference grams once and only join the bloom-positive occurrences
+    (no false negatives means misses are exact; the join then confirms
+    the sliver, same composition as ``bloom_prefilter_anti_join``).
+    """
+    from .text import word_grams
+
+    ref_grams = (
+        reference.select(
+            F.explode(word_grams(text_col, k)).alias("gram")
+        )
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(word_grams(text_col, k)).alias("gram")
+    )
+    counts = (
+        occ.join(ref_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+    )

@@ -176,3 +176,45 @@ def escape_html_text(col: Column) -> Column:
     col = F.replace(col, F.lit("<"), F.lit("&lt;"))
     col = F.replace(col, F.lit(">"), F.lit("&gt;"))
     return col
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Explode every ``<a href="...">anchor</a>`` element into one
+    (id, href, anchor) row — the edge list of the web graph, which is
+    what a crawl pipeline's URL-frontier discovery, anchor-text
+    retrieval signal, and PageRank-style host scoring all consume.
+
+    Matching is a two-stage native-expression parse (same family as
+    the extraction pipeline above, RE2-safe, zero Python): match whole
+    anchor elements with text content, then pull the double-quoted
+    href and the text out of each element. Elements with an empty or
+    missing double-quoted href are dropped; anchor text is
+    whitespace-squashed and entity-decoded like the extraction path's
+    visible text. Per-row expressions only — the explode multiplies
+    rows but nothing shuffles until the caller aggregates.
+    """
+    elems = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?i)<a\\s[^>]*>[^<]*</a>"),
+        0,
+    )
+    out = df.select(
+        F.col(id_col), F.explode(elems).alias("__elem")
+    ).select(
+        id_col,
+        F.regexp_extract(
+            F.col("__elem"), '(?i)href\\s*=\\s*"([^"]*)"', 1
+        ).alias(href_col),
+        squash_ws(
+            decode_entities(
+                F.regexp_extract(F.col("__elem"), ">([^<]*)<", 1)
+            )
+        ).alias(anchor_col),
+    )
+    return out.filter(F.col(href_col) != "")

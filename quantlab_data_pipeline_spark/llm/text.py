@@ -535,3 +535,75 @@ def dataset_card(
                 for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()
             }
     return card
+
+
+def filter_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Filter-ablation funnel: one row per filter stage, reporting what
+    each rule kills in PIPELINE order (``n_killed`` — docs that passed
+    every earlier stage and failed this one), what it would flag in
+    isolation (``n_flagged_solo`` — the ablation number), and the
+    surviving population before/after (``n_in`` / ``n_out``). Every
+    curation team builds exactly this report before touching a filter
+    threshold: marginal-vs-solo divergence is how overlapping rules
+    and dead stages are found.
+
+    ``stages`` is ``[(name, keep_flag_column), ...]`` in pipeline
+    order; a NULL flag counts as a fail (a doc a rule can't evaluate
+    is filtered, both here and in the oracle restatement).
+
+    Scale shape: ONE pass over ``df`` evaluates all flags inside the
+    scan's codegen stage, a single global aggregate reduces to one row
+    of per-stage counters (map-side partial agg — the shuffle carries
+    one row per task), and the per-stage report rows are unpacked from
+    that row with expressions. Nothing is quadratic in stages, nothing
+    shuffles doc-sized data twice.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    passes = [
+        F.coalesce(flag.cast("boolean"), F.lit(False)) for _, flag in stages
+    ]
+    first_fail = F.coalesce(
+        *[F.when(~p, F.lit(i)) for i, p in enumerate(passes)],
+        F.lit(-1),
+    )
+    # sums coalesce to 0: on an EMPTY frame sum() is NULL, and the
+    # funnel of an empty corpus is all-zeros, not all-null
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        *[
+            F.coalesce(
+                F.sum(F.when(first_fail == i, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__killed_{i}")
+            for i in range(len(stages))
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(~p, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__solo_{i}")
+            for i, p in enumerate(passes)
+        ],
+    )
+    rows = []
+    survivors_in: Column = F.col("__n_total")
+    for i, name in enumerate(names):
+        killed = F.col(f"__killed_{i}")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                survivors_in.cast("long").alias("n_in"),
+                killed.cast("long").alias("n_killed"),
+                F.col(f"__solo_{i}").cast("long").alias("n_flagged_solo"),
+                (survivors_in - killed).cast("long").alias("n_out"),
+            )
+        )
+        survivors_in = survivors_in - killed
+    return agg.select(
+        F.inline(F.array(*rows))
+    )

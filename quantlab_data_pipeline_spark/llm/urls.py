@@ -217,3 +217,55 @@ def blocklist_filter(
         df.join(hits, id_col, "left")
         .withColumn("blocked", F.col("matched_domain").isNotNull())
     )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    id_col: str = "url_id",
+    round_col: str = "fetch_round",
+    slot_col: str = "slot_in_round",
+) -> DataFrame:
+    """Politeness-scheduled crawl frontier: assign every candidate URL a
+    ``fetch_round`` such that no host appears twice in a round (the
+    Heritrix/Nutch per-host queue discipline — one in-flight request
+    per host per cycle), higher-priority URLs claiming earlier rounds,
+    plus a deterministic ``slot_in_round`` ordering within each round
+    (priority first, then id — the dispatch order a fetcher drains).
+
+    Scale shape: the per-host ordering is the textbook skew trap — a
+    frontier is dominated by a handful of giant hosts, and a
+    ``row_number() OVER (PARTITION BY host)`` funnels each host's
+    entire queue through one task. Both phases therefore use
+    :func:`~..operators.skew.grouped_global_rank` (range partition +
+    local rank + broadcast offsets, provably equal to the naive
+    window): host-sized AND round-sized groups never serialize.
+    ``fetch_round`` is dense per host by construction (rank 1..n), so
+    round k of the output is exactly the k-th politeness cycle.
+
+    Null hosts are one queue (a fetcher can't parallelize unknowns);
+    null priorities sort last within their host (``desc_nulls_last``).
+    """
+    from ..operators.skew import grouped_global_rank
+
+    ranked = grouped_global_rank(
+        df,
+        [host_col],
+        [F.col(priority_col).desc_nulls_last(), F.col(id_col).asc()],
+        rank_col="__host_seq",
+        n_col="__host_queue_len",
+    )
+    rounds = ranked.withColumn(
+        round_col, (F.col("__host_seq") - 1).cast("long")
+    ).drop("__host_seq", "__host_queue_len")
+    slotted = grouped_global_rank(
+        rounds,
+        [round_col],
+        [F.col(priority_col).desc_nulls_last(), F.col(id_col).asc()],
+        rank_col=slot_col,
+        n_col="__round_size",
+    )
+    return slotted.withColumn(
+        slot_col, F.col(slot_col).cast("long")
+    ).drop("__round_size")

@@ -7736,3 +7736,411 @@ def _curation_pipeline_loop_oracle_sql() -> str:
 ORACLE_SQL_EXT["curation_pipeline_loop_docs"] = (
     _curation_pipeline_loop_oracle_sql()
 )
+
+
+def bloom_prefilter_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered corpus-vs-reference dedup (`llm/bloom.py
+    bloom_prefilter_anti_join`) — the 100 TB shape for "drop every doc
+    already in a reference set" (prior crawl snapshot, takedown list).
+    The exact formulation shuffles BOTH sides; the bloom build is one
+    reference pass whose output is at most num_bits/64 rows, the probe
+    is a map-side expression over the corpus (packed words ride in ONE
+    broadcast row), and only the bloom-positive sliver pays the exact
+    confirm join. No false negatives makes the composition equal the
+    plain anti-join row-for-row. Reference = texts of docs with
+    doc_id % 7 == 0; output = surviving docs with their bloom verdict
+    (a True here is a confirmed false positive — the rows the confirm
+    stage earned its keep on). The oracle replays the md5 double-hash
+    positions and checks membership against the reference position
+    SET — equivalent to bit membership in the packed filter — then
+    applies the naive NOT IN formulation for survivorship.
+    num_bits=8192 keeps the sf0.1 fill realistic (~23%) so false
+    positives actually occur at the top sf."""
+    from .llm.bloom import bloom_prefilter_anti_join
+
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("text").alias("key")
+    )
+    corpus = docs.select("doc_id", F.col("text").alias("key"))
+    out = bloom_prefilter_anti_join(
+        corpus, ref, "key", num_bits=8192, num_hashes=3
+    )
+    return out.select("doc_id", "bloom_hit")
+
+
+SPARK_QUERIES_EXT["bloom_prefilter_docs"] = bloom_prefilter_docs
+
+ORACLE_SQL_EXT["bloom_prefilter_docs"] = """
+    WITH ref AS (
+        SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0
+    ),
+    hs AS (SELECT UNNEST(generate_series(0, 2)) AS i),
+    refpos AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(text), 1, 8))::UBIGINT
+             + i * ((('0x' || substr(md5(text), 9, 8))::UBIGINT | 1))
+            ) % 8192 AS pos
+        FROM ref, hs
+    ),
+    probe AS (
+        SELECT doc_id,
+            (('0x' || substr(md5(text), 1, 8))::UBIGINT
+             + i * ((('0x' || substr(md5(text), 9, 8))::UBIGINT | 1))
+            ) % 8192 AS pos
+        FROM documents, hs
+    ),
+    hit AS (
+        SELECT p.doc_id, bool_and(r.pos IS NOT NULL) AS bloom_hit
+        FROM probe p LEFT JOIN refpos r ON p.pos = r.pos
+        GROUP BY 1
+    )
+    SELECT d.doc_id, h.bloom_hit
+    FROM documents d JOIN hit h ON h.doc_id = d.doc_id
+    WHERE d.text NOT IN (SELECT text FROM ref)
+    ORDER BY d.doc_id
+"""
+
+
+def frontier_schedule_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (`llm/urls.py
+    frontier_schedule`): every crawler between the blocklist and the
+    fetcher needs this assignment — no host fetched twice per round,
+    higher priority first, deterministic dispatch order inside each
+    round. Hosts derive from doc_id with a deliberate hot host
+    ('bighost' takes every 4th row — the skew a real frontier always
+    has); priority is a multiplicative-hash draw mod 100 (dense ties,
+    so the id tie-break is load-bearing). Both orderings run through
+    `grouped_global_rank` (range partition + local rank + broadcast
+    offsets) so neither the hot host nor round 0 (which contains every
+    host) ever serializes through one task; the oracle states the same
+    schedule as two naive row_number windows."""
+    from .llm.urls import frontier_schedule
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("bighost"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        )
+        .alias("host"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 100).alias("priority"),
+    )
+    out = frontier_schedule(
+        base, host_col="host", priority_col="priority", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "host", "priority", "fetch_round", "slot_in_round"
+    )
+
+
+SPARK_QUERIES_EXT["frontier_schedule_docs"] = frontier_schedule_docs
+
+ORACLE_SQL_EXT["frontier_schedule_docs"] = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'bighost'
+                    ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) END AS host,
+               (doc_id * 2654435761) % 100 AS priority
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY priority DESC, doc_id
+               ) - 1 AS BIGINT) AS fetch_round
+        FROM u
+    )
+    SELECT doc_id, host, priority, fetch_round,
+           CAST(row_number() OVER (
+               PARTITION BY fetch_round ORDER BY priority DESC, doc_id
+           ) AS BIGINT) AS slot_in_round
+    FROM r ORDER BY doc_id
+"""
+
+
+def sft_assembly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation / SFT training-example assembly (`llm/sft.py
+    assemble_conversations`): the step between an interaction log and a
+    dialogue-tuning dataset — each user's events become an ordered
+    conversation, events map to (role, content) turns (user actions ->
+    'user', system events -> 'assistant'; content carries the value as
+    exact integer cents via floor(v*100+0.5), never a float format),
+    turns truncate to a 16-turn budget BEFORE any grouped state builds
+    up, and the rendered example is fingerprinted for downstream
+    dedup. Ordering runs through `grouped_global_rank`, so a whale
+    user never sorts through one task; the collect_list state is
+    bounded by max_turns by construction. The oracle restates the
+    assembly as a naive window + ordered string_agg and must reproduce
+    convo_md5 byte-for-byte."""
+    from .llm.sft import assemble_conversations
+
+    ev = load_table(spark, sf, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view", "signup"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    content = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.floor(F.col("value") * 100 + 0.5).cast("string"),
+    )
+    out = assemble_conversations(
+        ev,
+        convo_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        role=role,
+        content=content,
+        max_turns=16,
+    )
+    return out.select(
+        "user_id", "n_turns", "n_events", "truncated", "total_chars",
+        "convo_md5",
+    )
+
+
+SPARK_QUERIES_EXT["sft_assembly_events"] = sft_assembly_events
+
+ORACLE_SQL_EXT["sft_assembly_events"] = """
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role,
+               event_type || ':'
+                   || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR) AS content
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS ne
+        FROM t
+    ),
+    k AS (SELECT * FROM r WHERE rk <= 16)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(max(ne) AS BIGINT) AS n_events,
+           max(ne) > count(*) AS truncated,
+           CAST(sum(length(content)) AS BIGINT) AS total_chars,
+           md5(string_agg(role || '|' || content, chr(10) ORDER BY rk))
+               AS convo_md5
+    FROM k GROUP BY user_id ORDER BY user_id
+"""
+
+
+def filter_funnel_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-ablation funnel (`llm/text.py filter_funnel`) — the
+    report every curation team builds before touching a threshold: per
+    pipeline stage, the docs it kills MARGINALLY (passed all earlier
+    stages, failed here), the docs it would flag SOLO (the ablation
+    number — divergence from marginal exposes overlapping rules), and
+    the surviving population either side. Four real rules over the
+    documents table: min length (chars >= 100), language whitelist,
+    max words (<= 40 — the short-doc budget), and a distinct-word
+    repetition rule (unique*2 >= words, cross-multiplied integers so
+    the cut replays exactly). One pass evaluates all flags in the
+    scan's codegen stage; ONE global aggregate reduces to a single row
+    of counters (map-side partials, the shuffle carries one row per
+    task); the four report rows unpack from that row with expressions
+    — no second scan, nothing stage-quadratic. The oracle restates the
+    funnel as a CASE first-fail + four UNION ALL stage selects."""
+    from .llm.text import filter_funnel
+
+    docs = load_table(spark, sf, "documents")
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+    )
+    nw = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    stages = [
+        ("min_length", F.length("text") >= 100),
+        ("lang_known", F.col("lang").isin("en", "es", "de", "fr")),
+        ("max_words", nw <= 40),
+        ("distinct_words", nd * 2 >= nw),
+    ]
+    return filter_funnel(docs, stages)
+
+
+SPARK_QUERIES_EXT["filter_funnel_docs"] = filter_funnel_docs
+
+ORACLE_SQL_EXT["filter_funnel_docs"] = """
+    WITH t AS (
+        SELECT length(text) >= 100 AS p0,
+               lang IN ('en', 'es', 'de', 'fr') AS p1,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) <= 40
+                   AS p2,
+               len(list_distinct(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'))) * 2
+                   >= len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS p3
+        FROM documents
+    ),
+    f AS (
+        SELECT coalesce(p0, FALSE) AS p0, coalesce(p1, FALSE) AS p1,
+               coalesce(p2, FALSE) AS p2, coalesce(p3, FALSE) AS p3,
+               CASE WHEN NOT coalesce(p0, FALSE) THEN 0
+                    WHEN NOT coalesce(p1, FALSE) THEN 1
+                    WHEN NOT coalesce(p2, FALSE) THEN 2
+                    WHEN NOT coalesce(p3, FALSE) THEN 3
+                    ELSE -1 END AS ff
+        FROM t
+    ),
+    a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+               CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+               CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+               CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+               CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        FROM f
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+           n_total AS n_in, k0 AS n_killed, s0 AS n_flagged_solo,
+           n_total - k0 AS n_out
+    FROM a
+    UNION ALL
+    SELECT 1, 'lang_known', n_total - k0, k1, s1, n_total - k0 - k1 FROM a
+    UNION ALL
+    SELECT 2, 'max_words', n_total - k0 - k1, k2, s2,
+           n_total - k0 - k1 - k2 FROM a
+    UNION ALL
+    SELECT 3, 'distinct_words', n_total - k0 - k1 - k2, k3, s3,
+           n_total - k0 - k1 - k2 - k3 FROM a
+    ORDER BY stage_idx
+"""
+
+
+def link_graph_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-graph edge aggregation (`llm/extract.py extract_links` +
+    `llm/urls.py url_host`): parse every ``<a href>`` element out of
+    the raw HTML, normalize the target host, and aggregate the inbound
+    picture per host — edge count, distinct linking docs, and the
+    deterministic top anchor text. This is the discovery half of a
+    crawler (new frontier URLs), the anchor-text retrieval signal, and
+    the input to host-level PageRank, all from one pass. Each doc is
+    framed in a deterministic page with two links (one mixed-case host
+    that must case-fold, one entity-escaped anchor that must decode);
+    Spark PARSES the HTML with the native-expression element matcher,
+    while the oracle reconstructs the same edges arithmetically from
+    doc_id — an independent formulation, so a parse bug (href capture,
+    entity decode, host folding) mismatches loudly. Per-row expressions
+    until the single host-keyed aggregate; nothing shuffles twice."""
+    from .llm.extract import extract_links
+    from .llm.urls import url_host
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://h'),
+        (did % 13).cast("string"),
+        F.lit('.com/p/'),
+        (did % 5).cast("string"),
+        F.lit('">anchor '),
+        (did % 3).cast("string"),
+        F.lit('</a> <a href="https://H'),
+        ((did + 7) % 13).cast("string"),
+        F.lit('.com/q">&amp;ref '),
+        ((did + 1) % 4).cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    links = extract_links(
+        docs.withColumn("html", html), html_col="html", id_col="doc_id"
+    )
+    return (
+        links.withColumn("host", url_host("href"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+            F.min("anchor").alias("top_anchor"),
+        )
+    )
+
+
+SPARK_QUERIES_EXT["link_graph_docs"] = link_graph_docs
+
+ORACLE_SQL_EXT["link_graph_docs"] = """
+    WITH l AS (
+        SELECT doc_id,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
+               'anchor ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'h' || CAST((doc_id + 7) % 13 AS VARCHAR) || '.com',
+               '&ref ' || CAST((doc_id + 1) % 4 AS VARCHAR)
+        FROM documents
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+           min(anchor) AS top_anchor
+    FROM l GROUP BY host ORDER BY host
+"""
+
+
+def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc n-gram novelty vs a reference corpus (`llm/dedup.py
+    ngram_novelty`) — the memorization/regurgitation measurement of
+    eval pipelines and the soft sibling of decontamination: for each
+    doc, how many of its 3-gram occurrences never appear in the
+    reference (docs with doc_id % 7 == 0, the same reference set the
+    bloom row uses). Occurrence-weighted (repeats count), (0, 0) for
+    sub-k-word docs, grams from the shared `word_grams` tokenizer.
+    One equi-join of exploded (id, gram) pairs against the DISTINCT
+    reference gram set — the corpus shuffles once on the gram key, the
+    reference never self-joins; at reference sets past that shuffle,
+    the documented bloom pre-filter composition applies. The oracle
+    rebuilds both gram sets in SQL with the list-slice idiom and must
+    match the integer pair exactly."""
+    from .llm.dedup import ngram_novelty
+
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    return ngram_novelty(docs, ref, k=3)
+
+
+SPARK_QUERIES_EXT["ngram_novelty_docs"] = ngram_novelty_docs
+
+ORACLE_SQL_EXT["ngram_novelty_docs"] = """
+    WITH g AS (
+        SELECT doc_id,
+               (WITH w AS (SELECT regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+') AS words)
+                SELECT CASE WHEN len(words) >= 3 THEN
+                    list_transform(
+                        generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END FROM w) AS grams
+        FROM documents
+    ),
+    refg AS (
+        SELECT DISTINCT UNNEST(grams) AS gram FROM g
+        WHERE doc_id % 7 = 0
+    ),
+    occ AS (
+        SELECT doc_id, UNNEST(grams) AS gram FROM g
+    ),
+    counts AS (
+        SELECT o.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM occ o LEFT JOIN refg r ON o.gram = r.gram
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_grams, 0) AS n_grams,
+           coalesce(c.n_novel, 0) AS n_novel
+    FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

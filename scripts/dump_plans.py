@@ -113,10 +113,52 @@ HEADLINE = [
     "dsir_incremental_docs",
     # round-9 additions
     "curation_pipeline_loop_docs",
+    "bloom_prefilter_docs",
+    "frontier_schedule_docs",
+    "sft_assembly_events",
+    "filter_funnel_docs",
+    "link_graph_docs",
+    "ngram_novelty_docs",
 ]
 
 
 NOTES = {
+    "bloom_prefilter_docs": (
+        "Reference pass reduces to <=num_bits/64 packed words (bit_or "
+        "groupBy), ONE row of words broadcasts (the whitelisted BNLJ "
+        "cross), the corpus probe is map-side expressions, and only "
+        "the bloom-positive sliver reaches the exact confirm "
+        "anti-join — at production fp rates the big shuffle shrinks "
+        "to fp_rate of the corpus."
+    ),
+    "frontier_schedule_docs": (
+        "Two grouped_global_rank passes (host queues, round slots): "
+        "range exchanges + broadcast offsets — neither the hot host "
+        "nor round 0 (every host) ever sorts through one task."
+    ),
+    "sft_assembly_events": (
+        "grouped_global_rank orders turns (no user-sized window "
+        "task); the turn budget filters BEFORE collect_list, so "
+        "grouped state is bounded by max_turns regardless of "
+        "conversation length."
+    ),
+    "filter_funnel_docs": (
+        "All flags evaluate in the scan's codegen stage; one global "
+        "aggregate reduces to a single counter row (map-side "
+        "partials — the exchange carries one row per task); report "
+        "rows unpack via inline(), no second scan."
+    ),
+    "link_graph_docs": (
+        "Per-row regexp element parse + explode inside the scan "
+        "stage; the only exchange is the host-keyed aggregate "
+        "(countDistinct expands to the usual two-phase)."
+    ),
+    "ngram_novelty_docs": (
+        "Exploded (id, gram) occurrences equi-join the DISTINCT "
+        "reference grams — corpus shuffles once on the gram key, "
+        "reference never self-joins; bloom pre-filter documented for "
+        "references past this shuffle."
+    ),
     "curation_pipeline_loop_docs": (
         "The streamed composition run eagerly at build time (three "
         "crawl batches through the composed media+DSIR foreachBatch "
