@@ -109,6 +109,9 @@ CURATION = [
     "boilerplate_lines_docs",  # round 8: per-domain template-line removal
     "curate_corpus_r8",  # round 8: blocklist+boilerplate+dedup+budget composition
     "dsir_incremental_docs",  # round 8: persisted DSIR count model, fold-forward
+    "bloom_prefilter_docs",  # round 9: bloom-prefiltered reference anti-join
+    "filter_funnel_docs",  # round 9: filter-ablation funnel report
+    "sft_assembly_events",  # round 9: conversation/SFT example assembly
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw
@@ -129,6 +132,9 @@ INTAKE = [
     "corpus_export_manifest_docs",  # round 8: JSONL export + manifest
     "url_blocklist_docs",  # round 8: domain blocklist suffix-chain join
     "curation_pipeline_loop_docs",  # round 9: full streamed-composition loop
+    "frontier_schedule_docs",  # round 9: politeness-scheduled crawl frontier
+    "link_graph_docs",  # round 9: href edge extraction + host aggregation
+    "ngram_novelty_docs",  # round 9: per-doc novelty vs reference corpus
 ]
 
 
