@@ -158,6 +158,17 @@ def bloom_prefilter_anti_join(
     as it must. Output carries ``hit_col`` so callers can audit the
     pruning ratio. Null-keyed corpus rows are never members (SQL
     anti-join NULL semantics would also keep them — same verdict).
+
+    Honest cost, stated plainly: the negatives/survivors union reads
+    the corpus twice in this one-query composition (two cheap scans —
+    the SHUFFLE is what the bloom removes). The production shape
+    amortizes further: build the filter once over the persisted
+    reference (or load the packed words from storage) and run only
+    probe + confirm per incoming batch, which is one scan of the batch
+    and a small join. Spark's own runtime bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects the
+    same idea per-query; this explicit version exists for the
+    persisted, cross-batch reference case it cannot cover.
     """
     bloom = bloom_build(reference, key_col, num_bits, num_hashes)
     probed = bloom_probe(
