@@ -248,3 +248,71 @@ def score_quality_frozen(
         )
         .withColumn("ml_keep", F.col("ml_score_micro") >= 0)
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_micro_col: str = "ml_score_micro",
+    student_keep_col: str = "ml_keep",
+    teacher_keep_col: str = "keep",
+    bucket_micro: int = 2_000_000,
+    clamp_micro: int = 10_000_000,
+) -> DataFrame:
+    """Classifier calibration / agreement audit — the table that
+    answers "where on its own score axis does the deployed quality
+    model disagree with the reference labeler?". Buckets the exact
+    integer logit (micro-units) into fixed-width bands and reports,
+    per band: doc count, student keeps, teacher keeps, and agreements.
+    A well-behaved model agrees at the extremes and disagrees only
+    near the boundary band; drift shows up as disagreement mass
+    migrating outward — caught by diffing this tiny table across
+    corpus versions, not by re-reading scores.
+
+    Exactness: the bucket id is ``(clamped_score + clamp) div bucket``
+    computed on NON-NEGATIVE BIGINTs — truncating division equals
+    floor division on non-negative values, so Spark's ``div`` and
+    DuckDB's ``//`` agree (signed ``div`` would NOT: Spark truncates
+    toward zero, DuckDB floors). ``logit_lo_micro`` gives each band's
+    inclusive lower edge back in score units. Scale shape: per-row
+    codegen expressions into ONE partial-aggregated groupBy over at
+    most ``2 * clamp div bucket + 1`` buckets — the corpus never
+    shuffles, only per-partition partials do.
+    """
+    if bucket_micro < 1 or clamp_micro < bucket_micro:
+        raise ValueError(
+            f"need 1 <= bucket_micro <= clamp_micro, got "
+            f"{bucket_micro}, {clamp_micro}"
+        )
+    clamped = F.least(
+        F.greatest(F.col(score_micro_col), F.lit(-int(clamp_micro))),
+        F.lit(int(clamp_micro)),
+    ).cast("long")
+    bucket = F.expr(
+        f"(({score_micro_col}_clamped) + {int(clamp_micro)}) "
+        f"div {int(bucket_micro)}"
+    )
+    student = F.col(student_keep_col).cast("boolean")
+    teacher = F.col(teacher_keep_col).cast("boolean")
+    return (
+        scored.withColumn(f"{score_micro_col}_clamped", clamped)
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(student, 1).otherwise(0))
+            .cast("long")
+            .alias("n_student_keep"),
+            F.sum(F.when(teacher, 1).otherwise(0))
+            .cast("long")
+            .alias("n_teacher_keep"),
+            F.sum(F.when(student.eqNullSafe(teacher), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .withColumn(
+            "logit_lo_micro",
+            (F.col("bucket") * int(bucket_micro) - int(clamp_micro)).cast(
+                "long"
+            ),
+        )
+    )

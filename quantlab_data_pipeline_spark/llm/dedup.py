@@ -976,3 +976,62 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
         )
     )
+
+
+def dup_attribution(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate attribution matrix: for every unordered
+    pair of sources, how much exact-duplicate mass they share. The
+    curation question this answers is "which of my data vendors /
+    crawl snapshots overlap, and by how much?" — the report that
+    decides whether a source is worth its license fee or is 80%
+    re-crawl of one you already have (the overlap audits in the Pile
+    and RefinedWeb papers are exactly this table).
+
+    One row per source pair (``source_a`` < ``source_b``; null
+    sources drop out of the matrix — a document with no source cannot
+    be attributed to one, and SQL's null comparison removes it from
+    the pair filter in both engines): ``n_groups`` = distinct
+    duplicate-text groups both sources share, ``n_pairs`` = total
+    cross-source doc pairs (a group with 2 copies in A and 3 in B
+    contributes 6), ``n_docs_a`` / ``n_docs_b`` = this pair's doc
+    counts inside those shared groups.
+
+    Scale shape: hash the text once (md5 — the same portable key the
+    exact-dedup row uses), aggregate to the (hash, source) grain
+    FIRST (one corpus-keyed shuffle, output bounded by
+    |distinct texts| x |sources|), then self-join that aggregate on
+    the hash key. Per-hash fan-out is at most the source count — a
+    handful — so the self-join is skew-proof by construction and
+    never touches document rows. The corpus itself shuffles exactly
+    once.
+    """
+    per_source = (
+        df.select(
+            F.md5(F.col(text_col)).alias("__h"), F.col(source_col)
+        )
+        .filter(F.col("__h").isNotNull())
+        .groupBy("__h", source_col)
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    a = per_source.select(
+        F.col("__h"),
+        F.col(source_col).alias("source_a"),
+        F.col("__n").alias("__na"),
+    )
+    b = per_source.select(
+        F.col("__h"),
+        F.col(source_col).alias("source_b"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(b, "__h").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("n_pairs"),
+        F.sum("__na").cast("long").alias("n_docs_a"),
+        F.sum("__nb").cast("long").alias("n_docs_b"),
+    )

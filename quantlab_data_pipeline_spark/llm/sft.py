@@ -91,3 +91,93 @@ def assemble_conversations(
         .withColumn("convo_md5", F.md5(F.col("rendering")))
         .drop("__turns")
     )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str = "event_id",
+    content: Column | None = None,
+    min_margin: int = 0,
+) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF sibling of
+    :func:`assemble_conversations`: within each group (a user session,
+    a prompt id), pick the highest-ordered item as ``chosen`` and the
+    lowest as ``rejected``, emit one training pair per group with an
+    exact integer margin and a stable fingerprint. Every
+    preference-tuning pipeline mines logged feedback exactly this way
+    (best-vs-worst completion per prompt).
+
+    ``order_col`` must be numeric; ties break by ``id_col`` ascending
+    on the chosen side and descending on the rejected side, so the
+    pair is a pure function of the data. Groups with fewer than two
+    items, or whose margin (chosen minus rejected, in exact CENTS —
+    ``floor(v * 100 + 0.5)``, never a float) is <= ``min_margin``,
+    produce no pair: a preference you can't order is not a label.
+    Null ``order_col`` rows are dropped first (they can't rank).
+
+    Scale shape: ONE pass of the skew-safe ``grouped_global_rank``
+    over a composite that makes both extremes rank-1-adjacent — rank
+    ascending once, pick rank 1 (rejected) and rank n (chosen) — so a
+    whale group never funnels through one task and the corpus
+    shuffles once; the per-group pivot then aggregates exactly two
+    rows per group. Pure expressions; replays in SQL as two window
+    picks, which is what the oracle does.
+    """
+    from ..operators.skew import grouped_global_rank
+
+    content = (
+        content if content is not None else F.col(id_col).cast("string")
+    )
+    cents = F.floor(F.col(order_col) * 100 + F.lit(0.5)).cast("long")
+    rows = (
+        df.filter(F.col(order_col).isNotNull())
+        .withColumn("__cents", cents)
+        .withColumn("__content", content.cast("string"))
+    )
+    ranked = grouped_global_rank(
+        rows,
+        group_cols,
+        [F.col("__cents").asc(), F.col(id_col).desc()],
+        rank_col="__r",
+        n_col="__n",
+    )
+    ends = ranked.filter(
+        (F.col("__r") == 1) | (F.col("__r") == F.col("__n"))
+    ).filter(F.col("__n") >= 2)
+    pair = ends.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__r") == F.col("__n"), F.col(id_col))).alias(
+            "chosen_id"
+        ),
+        F.max(
+            F.when(F.col("__r") == F.col("__n"), F.col("__content"))
+        ).alias("chosen"),
+        F.max(
+            F.when(F.col("__r") == F.col("__n"), F.col("__cents"))
+        ).alias("chosen_cents"),
+        F.max(F.when(F.col("__r") == 1, F.col(id_col))).alias(
+            "rejected_id"
+        ),
+        F.max(F.when(F.col("__r") == 1, F.col("__content"))).alias(
+            "rejected"
+        ),
+        F.max(F.when(F.col("__r") == 1, F.col("__cents"))).alias(
+            "rejected_cents"
+        ),
+    )
+    out = pair.withColumn(
+        "margin_cents", F.col("chosen_cents") - F.col("rejected_cents")
+    ).filter(F.col("margin_cents") > int(min_margin))
+    return out.withColumn(
+        "pair_md5",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("chosen_id").cast("string"),
+                F.col("rejected_id").cast("string"),
+                F.col("chosen"),
+                F.col("rejected"),
+            )
+        ),
+    )

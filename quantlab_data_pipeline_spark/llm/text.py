@@ -607,3 +607,116 @@ def filter_funnel(
     return agg.select(
         F.inline(F.array(*rows))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility report — the table a tokenizer
+    evaluation produces per (source, language): how many tokens the
+    tokenizer spends per document / per word / per byte. Fertility
+    (tokens per word) is the standard multilingual-tokenizer metric
+    (high fertility on a language means its text costs more context
+    window per unit of meaning); bytes-per-token is the compression
+    view the scaling-laws literature quotes. Both decide data-mixing
+    budgets, so they belong in the corpus pipeline, not a notebook.
+
+    Tokens are the shared BPE-ish ``TOKEN_PATTERN`` count (the same
+    expression ``with_text_stats`` exposes per-doc), words the shared
+    ``_tokens`` lexer, bytes UTF-8 octets. Null-text docs count in
+    ``n_docs`` but contribute zero to every total (they have no
+    tokens to spend).
+
+    All ratios are exact integer MICRO-units (floor(1e6 * num / den),
+    BIGINT ``div`` — never float division), so the report replays
+    bit-for-bit in any engine: tokens_per_doc_micro,
+    fertility_micro (tokens per word), bytes_per_token_micro (null
+    when the group has zero tokens). Scale shape: per-row codegen
+    expressions folded by ONE partial-aggregated groupBy — the
+    corpus never shuffles, only the per-group partials do.
+    """
+    t = F.col(text_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.regexp_count(t, F.lit(TOKEN_PATTERN))), F.lit(0)
+        ).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.size(_tokens(t))), F.lit(0))
+        .cast("long")
+        .alias("total_words"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0))
+        .cast("long")
+        .alias("total_bytes"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        "total_words",
+        "total_bytes",
+        F.expr("total_tokens * 1000000 div n_docs").alias(
+            "tokens_per_doc_micro"
+        ),
+        F.expr(
+            "CASE WHEN total_words > 0 THEN total_tokens * 1000000 div total_words END"
+        ).alias("fertility_micro"),
+        F.expr(
+            "CASE WHEN total_tokens > 0 THEN total_bytes * 1000000 div total_tokens END"
+        ).alias("bytes_per_token_micro"),
+    )
+
+
+# Normalization map: the unicode variants every crawl corpus carries.
+# Single-char -> single-char pairs ride one translate() call; the
+# multi-char expansions are explicit replaces. Kept deliberately
+# small and ASCII-targeted: real NFKC needs ICU (not a regex), so this
+# is the documented portable subset, not a unicode-compliance claim.
+# Written with explicit codepoint escapes so the
+# table is auditable and the DuckDB oracle restates it char-for-char.
+_NORM_TRANSLATE_SRC = (
+    "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u2212"
+)  # curly quotes, en/em dash, NBSP, minus sign
+_NORM_TRANSLATE_DST = "''\"\"-- -"
+
+
+def normalize_text(col: Column) -> Column:
+    """Portable text-normalization expression: curly quotes/dashes to
+    ASCII, ellipsis expanded, C0/C1 control characters stripped,
+    whitespace runs collapsed to single spaces, trimmed. Idempotent
+    (every output character is a fixed point of every rule — pytest
+    pins it), null-preserving, pure codegen. The step that runs
+    BEFORE any hash-keyed dedup so that byte-level junk doesn't split
+    duplicate groups.
+    """
+    c = F.translate(col, _NORM_TRANSLATE_SRC, _NORM_TRANSLATE_DST)
+    c = F.replace(c, F.lit("…"), F.lit("..."))
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def with_normalized_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Apply :func:`normalize_text` and report what changed: the
+    normalized text, a ``changed`` flag, before/after char counts,
+    and ``norm_md5`` — the dedup key downstream stages should use.
+    Zero-shuffle projection; every expression codegens.
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.withColumn(out_col, norm)
+        .withColumn(
+            "changed",
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("boolean")
+            ).otherwise(F.col(out_col) != F.col(text_col)),
+        )
+        .withColumn("n_chars_before", F.length(text_col).cast("long"))
+        .withColumn("n_chars_after", F.length(out_col).cast("long"))
+        .withColumn("norm_md5", F.md5(F.col(out_col)))
+    )
