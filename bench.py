@@ -112,6 +112,11 @@ CURATION = [
     "bloom_prefilter_docs",  # round 9: bloom-prefiltered reference anti-join
     "filter_funnel_docs",  # round 9: filter-ablation funnel report
     "sft_assembly_events",  # round 9: conversation/SFT example assembly
+    "shard_manifest_docs",  # round 9: size-balanced output sharding+manifest
+    "dup_attribution_docs",  # round 9: cross-source duplicate attribution
+    "tokenizer_fertility_docs",  # round 9: per-(source,lang) fertility table
+    "dpo_pairs_events",  # round 9: preference-pair assembly
+    "quality_calibration_docs",  # round 9: frozen-classifier calibration
 ]
 
 # Round-6 intake family (own section, same reasoning as above): raw
@@ -135,6 +140,7 @@ INTAKE = [
     "frontier_schedule_docs",  # round 9: politeness-scheduled crawl frontier
     "link_graph_docs",  # round 9: href edge extraction + host aggregation
     "ngram_novelty_docs",  # round 9: per-doc novelty vs reference corpus
+    "text_normalize_docs",  # round 9: portable pre-dedup normalization
 ]
 
 

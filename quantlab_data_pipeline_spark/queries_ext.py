@@ -8144,3 +8144,498 @@ ORACLE_SQL_EXT["ngram_novelty_docs"] = """
     FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
     ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Round-9 third wave: output sharding, attribution, fertility,
+# normalization, preference pairs, calibration
+# --------------------------------------------------------------------------
+
+
+def shard_manifest_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic size-balanced output sharding + per-shard manifest
+    (`llm/sharding.py`) — the writer-side layout step every 100 TB
+    corpus needs before training infra can consume it (WebDataset /
+    Megatron-style shard lists). Documents are ordered by a content-
+    independent shuffle key (md5 of doc_id, so shard membership is
+    stable under re-crawls that change text), binned by contiguous
+    first-fit over the skew-safe global byte prefix sum
+    (`operators/skew.py grouped_global_cumsum` — range partition +
+    local cumsum + broadcast offsets; no corpus-sized task anywhere),
+    and manifested: doc count, payload bytes, id range, and an
+    ORDER-INSENSITIVE bit_xor fingerprint of 60-bit md5 slices a
+    reader can verify a downloaded shard against without knowing the
+    writer's task order. Every quantity is exact BIGINT arithmetic;
+    the oracle replays the whole chain as one window cumsum."""
+    from .llm.sharding import (
+        content_fingerprint,
+        shard_assign,
+        shard_manifest,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "text").withColumn(
+        "bytes",
+        (F.coalesce(F.octet_length("text"), F.lit(0)) + F.lit(64)).cast(
+            "long"
+        ),
+    )
+    assigned = shard_assign(
+        d,
+        "bytes",
+        65536,
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+    )
+    return shard_manifest(
+        assigned,
+        content_fingerprint(F.coalesce(F.col("text"), F.lit(""))),
+        "bytes",
+    )
+
+
+SPARK_QUERIES_EXT["shard_manifest_docs"] = shard_manifest_docs
+
+ORACLE_SQL_EXT["shard_manifest_docs"] = """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(coalesce(octet_length(encode(text)), 0) + 64 AS BIGINT)
+                   AS bytes,
+               md5(CAST(doc_id AS VARCHAR)) AS k,
+               CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15))
+                    AS UBIGINT) AS fp
+        FROM documents
+    ), c AS (
+        SELECT doc_id, bytes, fp,
+               sum(bytes) OVER (ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    )
+    SELECT CAST((cum - bytes) // 65536 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           CAST(bit_xor(fp) AS BIGINT) AS content_fp
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def shard_compaction_plan_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-compaction planning (`llm/sharding.py compaction_plan`) —
+    the maintenance half of sharded output: build the manifest at an
+    aggressive 16 KB target (so real payload spread straddles the
+    health threshold and BOTH actions occur), then plan a compaction
+    pass that merges only undersized shards into ~64 KB groups by the
+    same prefix-sum first-fit, in shard order. Healthy shards are
+    never rewritten — the plan's rewrite cost is sum(small shards),
+    which is the property that makes compaction affordable on a
+    petabyte layout. Manifest-scale input, exact integer arithmetic,
+    full SQL replay including the second-level binning."""
+    from .llm.sharding import (
+        compaction_plan,
+        content_fingerprint,
+        shard_assign,
+        shard_manifest,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "text").withColumn(
+        "bytes",
+        (F.coalesce(F.octet_length("text"), F.lit(0)) + F.lit(64)).cast(
+            "long"
+        ),
+    )
+    assigned = shard_assign(
+        d,
+        "bytes",
+        16384,
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+    )
+    manifest = shard_manifest(
+        assigned,
+        content_fingerprint(F.coalesce(F.col("text"), F.lit(""))),
+        "bytes",
+    )
+    return compaction_plan(manifest, target_bytes=65536, min_bytes=16384)
+
+
+SPARK_QUERIES_EXT["shard_compaction_plan_docs"] = shard_compaction_plan_docs
+
+ORACLE_SQL_EXT["shard_compaction_plan_docs"] = """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(coalesce(octet_length(encode(text)), 0) + 64 AS BIGINT)
+                   AS bytes,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), c AS (
+        SELECT doc_id, bytes,
+               sum(bytes) OVER (ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    ), m AS (
+        SELECT CAST((cum - bytes) // 16384 AS BIGINT) AS shard_id,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM c GROUP BY 1
+    ), small AS (
+        SELECT shard_id, total_bytes,
+               sum(total_bytes) OVER (ORDER BY shard_id
+                                      ROWS UNBOUNDED PRECEDING) AS scum
+        FROM m WHERE total_bytes < 16384
+    )
+    SELECT shard_id, total_bytes, 'keep' AS action,
+           CAST(NULL AS BIGINT) AS merge_group
+    FROM m WHERE total_bytes >= 16384
+    UNION ALL
+    SELECT shard_id, total_bytes, 'merge',
+           CAST((scum - total_bytes) // 65536 AS BIGINT)
+    FROM small
+    ORDER BY shard_id
+"""
+
+
+def dup_attribution_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplicate attribution matrix (`llm/dedup.py
+    dup_attribution`) — "which of my sources overlap, and by how
+    much": per unordered source pair, the shared exact-duplicate
+    groups, total cross-source doc pairs, and each side's doc count
+    inside those groups (the license-fee / re-crawl audit of the Pile
+    and RefinedWeb overlap studies). The corpus carries no natural
+    exact dups at mirror sfs, so every third doc's content is replaced
+    by a deterministic recrawl template (`tpl:<doc_id mod 37>`; 37 is coprime to the
+    source-block layout, so groups SPAN sources) — 37 duplicate groups spread across all real sources — while the
+    rest keep their unique text as hard negatives. Aggregates to the
+    (md5, source) grain BEFORE the self-join, so per-key fan-out is
+    bounded by the source count and the corpus shuffles exactly once;
+    the oracle restates the matrix from the same template rule."""
+    from .llm.dedup import dup_attribution
+
+    docs = load_table(spark, sf, "documents")
+    content = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("tpl:"), (F.col("doc_id") % 37).cast("string")),
+    ).otherwise(F.col("text"))
+    d = docs.select("doc_id", "source", "text").withColumn(
+        "content", content
+    )
+    return dup_attribution(d, text_col="content")
+
+
+SPARK_QUERIES_EXT["dup_attribution_docs"] = dup_attribution_docs
+
+ORACLE_SQL_EXT["dup_attribution_docs"] = """
+    WITH h AS (
+        SELECT md5(CASE WHEN doc_id % 3 = 0
+                        THEN 'tpl:' || CAST(doc_id % 37 AS VARCHAR)
+                        ELSE text END) AS hsh,
+               source
+        FROM documents
+    ), per AS (
+        SELECT hsh, source, CAST(count(*) AS BIGINT) AS n
+        FROM h WHERE hsh IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.n AS na, b.n AS nb
+        FROM per a JOIN per b
+          ON a.hsh = b.hsh AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(na * nb) AS BIGINT) AS n_pairs,
+           CAST(sum(na) AS BIGINT) AS n_docs_a,
+           CAST(sum(nb) AS BIGINT) AS n_docs_b
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def tokenizer_fertility_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, language) tokenizer fertility report (`llm/text.py
+    tokenizer_fertility`): tokens / words / UTF-8 bytes totals plus
+    exact integer micro-unit ratios (tokens per doc, tokens per word,
+    bytes per token) — the multilingual-tokenizer cost table that
+    decides mixing budgets (a high-fertility language pays more
+    context window per unit of meaning). Tokens are the shared BPE-ish
+    TOKEN_PATTERN, words the shared lexer — same expressions the
+    text_stats row already oracle-checks, so fertility can never
+    drift from the per-doc stats. All ratios are BIGINT floor
+    divisions (micro-units), bit-exact in any engine. Per-row codegen
+    into ONE partial-aggregated groupBy; the corpus never shuffles."""
+    from .llm.text import tokenizer_fertility
+
+    docs = load_table(spark, sf, "documents")
+    return tokenizer_fertility(docs, ["source", "lang"])
+
+
+SPARK_QUERIES_EXT["tokenizer_fertility_docs"] = tokenizer_fertility_docs
+
+ORACLE_SQL_EXT["tokenizer_fertility_docs"] = r"""
+    WITH s AS (
+        SELECT source, lang,
+               CAST(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   AS toks,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS words,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(toks), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(words), 0) AS BIGINT) AS total_words,
+           CAST(coalesce(sum(bytes), 0) AS BIGINT) AS total_bytes,
+           CAST(coalesce(sum(toks), 0) * 1000000 // count(*) AS BIGINT)
+               AS tokens_per_doc_micro,
+           CASE WHEN coalesce(sum(words), 0) > 0 THEN
+               CAST(coalesce(sum(toks), 0) * 1000000 // sum(words)
+                    AS BIGINT) END AS fertility_micro,
+           CASE WHEN coalesce(sum(toks), 0) > 0 THEN
+               CAST(coalesce(sum(bytes), 0) * 1000000 // sum(toks)
+                    AS BIGINT) END AS bytes_per_token_micro
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def text_normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable text normalization (`llm/text.py with_normalized_text`)
+    — the pre-dedup cleanup pass: curly quotes / en-em dashes / minus
+    to ASCII, NBSP to space, ellipsis expanded, C0 controls stripped,
+    whitespace runs collapsed, trimmed. Rule ORDER is load-bearing
+    (controls strip before the whitespace collapse, so the Java-vs-RE2
+    \\s disagreement on \\x0b can never be observed — both engines
+    remove it first). Each doc gets a deterministic dirty prefix
+    containing every rule's trigger, so the chain fires on EVERY row;
+    the oracle replays the identical translate/replace/regexp chain in
+    DuckDB (chr()-composed, auditable codepoint by codepoint) and the
+    md5 of the normalized text must match byte-for-byte. Zero-shuffle
+    codegen projection."""
+    from .llm.text import with_normalized_text
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    junk = F.concat(
+        F.lit(
+            "‘q’ “w” –—−… "
+            "\x07\t"
+        ),
+        (did % 7).cast("string"),
+        F.lit("  "),
+    )
+    dirty = F.concat(junk, F.coalesce(F.col("text"), F.lit("")))
+    out = with_normalized_text(
+        docs.withColumn("dirty", dirty), text_col="dirty"
+    )
+    return out.select(
+        "doc_id", "changed", "n_chars_before", "n_chars_after", "norm_md5"
+    )
+
+
+SPARK_QUERIES_EXT["text_normalize_docs"] = text_normalize_docs
+
+ORACLE_SQL_EXT["text_normalize_docs"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               chr(8216) || 'q' || chr(8217) || ' ' || chr(8220) || 'w' ||
+               chr(8221) || chr(160) || chr(8211) || chr(8212) ||
+               chr(8722) || chr(8230) || ' ' || chr(7) || chr(9) ||
+               CAST(doc_id % 7 AS VARCHAR) || '  ' || coalesce(text, '')
+                   AS dirty
+        FROM documents
+    ), n AS (
+        SELECT doc_id, dirty,
+               trim(regexp_replace(regexp_replace(
+                   replace(
+                       translate(dirty,
+                           chr(8216) || chr(8217) || chr(8220) ||
+                           chr(8221) || chr(8211) || chr(8212) ||
+                           chr(160) || chr(8722),
+                           chr(39) || chr(39) || '""-- -'),
+                       chr(8230), '...'),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+        FROM d
+    )
+    SELECT doc_id,
+           norm <> dirty AS changed,
+           CAST(length(dirty) AS BIGINT) AS n_chars_before,
+           CAST(length(norm) AS BIGINT) AS n_chars_after,
+           md5(norm) AS norm_md5
+    FROM n ORDER BY doc_id
+"""
+
+
+def dpo_pairs_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Preference-pair assembly (`llm/sft.py dpo_pairs`) — the
+    DPO/RLHF sibling of sft_assembly_events: per (user, day), the
+    highest-valued event becomes ``chosen`` and the lowest
+    ``rejected`` (best-vs-worst completion mining), with
+    deterministic id tie-breaks, exact integer cent margins
+    (floor(v*100+0.5), the shared money idiom), a zero-margin drop
+    (an unorderable preference is not a label), and a stable pair
+    fingerprint. ONE skew-safe rank pass (`operators/skew.py
+    grouped_global_rank`) finds both extremes — rank 1 and rank n of
+    the same ordering — so a whale user never funnels through one
+    task and the log shuffles once. The oracle restates it as two
+    window picks joined per group and must reproduce pair_md5
+    byte-for-byte."""
+    from .llm.sft import dpo_pairs
+
+    ev = load_table(spark, sf, "events")
+    df = ev.withColumn("day", F.to_date("ts"))
+    return dpo_pairs(
+        df,
+        ["user_id", "day"],
+        "value",
+        content=F.concat_ws(
+            ":", F.col("event_type"), F.col("event_id").cast("string")
+        ),
+    )
+
+
+SPARK_QUERIES_EXT["dpo_pairs_events"] = dpo_pairs_events
+
+ORACLE_SQL_EXT["dpo_pairs_events"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               event_type || ':' || CAST(event_id AS VARCHAR) AS content
+        FROM events WHERE value IS NOT NULL
+    ), c AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY cents DESC, event_id ASC) AS rc,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY cents ASC, event_id DESC) AS rr,
+               count(*) OVER (PARTITION BY user_id, day) AS n
+        FROM e
+    ), ch AS (
+        SELECT user_id, day, event_id AS chosen_id, content AS chosen,
+               cents AS chosen_cents
+        FROM c WHERE rc = 1 AND n >= 2
+    ), rj AS (
+        SELECT user_id, day, event_id AS rejected_id, content AS rejected,
+               cents AS rejected_cents
+        FROM c WHERE rr = 1 AND n >= 2
+    )
+    SELECT user_id, day, chosen_id, chosen, chosen_cents,
+           rejected_id, rejected, rejected_cents,
+           chosen_cents - rejected_cents AS margin_cents,
+           md5(CAST(chosen_id AS VARCHAR) || '|' ||
+               CAST(rejected_id AS VARCHAR) || '|' ||
+               chosen || '|' || rejected) AS pair_md5
+    FROM ch JOIN rj USING (user_id, day)
+    WHERE chosen_cents - rejected_cents > 0
+    ORDER BY user_id, day
+"""
+
+
+def quality_calibration_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frozen-classifier calibration audit (`llm/classifier.py
+    calibration_report`) — per exact integer logit band of the frozen
+    quality model (`llm/frozen_quality.py` v1 artifact), how often the
+    student's keep decision agrees with the rule-based teacher
+    (`llm/text.py with_quality_score` keep, the oracle-checked
+    heuristic the model was distilled from). The table that catches
+    classifier drift across corpus versions: disagreement mass
+    migrating away from the decision boundary is a retrain signal,
+    and diffing this ~11-row report is free where re-reading scores
+    is not. The bucket id is a SHIFTED NON-NEGATIVE floor division
+    ((clamp(score) + 10M) div 2M) so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` provably agree; every output is an exact
+    BIGINT. One corpus scan, pure codegen expressions, ONE
+    partial-aggregated groupBy over <= 11 buckets."""
+    from .llm.classifier import calibration_report, score_quality_frozen
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    from .llm.text import with_quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = score_quality_frozen(
+        with_quality_score(docs),
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+    return calibration_report(scored)
+
+
+SPARK_QUERIES_EXT["quality_calibration_docs"] = quality_calibration_docs
+
+
+def _quality_calibration_oracle_sql() -> str:
+    """Compose the calibration oracle from the same frozen artifact the
+    Spark side loads (weights rendered into the SQL, not copied by
+    hand) plus a restatement of the oracle-checked rule-teacher SQL —
+    the two scoring formulas join per doc and aggregate per band."""
+    from .llm.frozen_quality import (
+        FROZEN_QUALITY_V1_BIAS,
+        FROZEN_QUALITY_V1_WEIGHTS,
+    )
+
+    w = ", ".join(str(int(x)) for x in FROZEN_QUALITY_V1_WEIGHTS)
+    return rf"""
+    WITH fro AS (
+        SELECT doc_id,
+               CAST({int(FROZEN_QUALITY_V1_BIAS)} + coalesce(list_sum(
+                   list_transform(
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+'),
+                       t -> [{w}][CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                                       % 64 AS INT) + 1]
+                   )), 0) AS BIGINT) AS score
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+               text
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CASE WHEN len(words) > 0 THEN
+                   list_sum(list_transform(words, w -> length(w)))
+                       / len(words)
+               END, 4) AS avg_word_len,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter(words, w -> list_contains(
+                         ['the','and','of','to','a','in','is','that'], w)))
+                     / greatest(len(words), 1), 6) AS stopword_ratio
+        FROM t
+    ), tq AS (
+        SELECT doc_id,
+               round(
+                   (CASE WHEN n_words >= 20 THEN 0.25
+                         ELSE n_words / 80.0 END)
+                 + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12
+                         THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.1 THEN 0.25
+                         ELSE greatest(0.0, 0.25 - punct_ratio) END)
+                 + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25
+                         ELSE 0.0 END)
+               , 6) >= 0.5 AS teacher
+        FROM s
+    ), j AS (
+        SELECT f.score, f.score >= 0 AS student, q.teacher
+        FROM fro f JOIN tq q USING (doc_id)
+    ), b AS (
+        SELECT (least(greatest(score, -10000000), 10000000) + 10000000)
+                   // 2000000 AS bucket,
+               student, teacher
+        FROM j
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN student THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_student_keep,
+           CAST(sum(CASE WHEN teacher THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_teacher_keep,
+           CAST(sum(CASE WHEN student IS NOT DISTINCT FROM teacher
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(bucket * 2000000 - 10000000 AS BIGINT) AS logit_lo_micro
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLE_SQL_EXT["quality_calibration_docs"] = _quality_calibration_oracle_sql()
