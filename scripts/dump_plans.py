@@ -119,10 +119,59 @@ HEADLINE = [
     "filter_funnel_docs",
     "link_graph_docs",
     "ngram_novelty_docs",
+    # round-9 third wave
+    "shard_manifest_docs",
+    "shard_compaction_plan_docs",
+    "dup_attribution_docs",
+    "tokenizer_fertility_docs",
+    "text_normalize_docs",
+    "dpo_pairs_events",
+    "quality_calibration_docs",
 ]
 
 
 NOTES = {
+    "shard_manifest_docs": (
+        "grouped_global_cumsum over the byte column (range exchange "
+        "on the md5 shuffle key, local cumsums, broadcast subtotal "
+        "offsets — frozen by localCheckpoint, so the audited plan is "
+        "the post-freeze manifest aggregate); shard ids are integer "
+        "div of the prefix sum, manifest is one shard-keyed agg with "
+        "map-side partials and a bit_xor fingerprint fold."
+    ),
+    "shard_compaction_plan_docs": (
+        "Manifest prefix (same shape as shard_manifest_docs at 16KB) "
+        "then a SECOND metadata-scale prefix-sum binning over only "
+        "the undersized shards — the union of keep/merge branches "
+        "reads the tiny manifest twice, never the corpus."
+    ),
+    "dup_attribution_docs": (
+        "md5 per doc in the scan stage, ONE corpus shuffle to the "
+        "(hash, source) grain, then a self-join whose per-key fan-out "
+        "is bounded by the source count (AQE broadcasts the smaller "
+        "side at this sf); the pair aggregate is source-pair-sized."
+    ),
+    "tokenizer_fertility_docs": (
+        "All token/word/byte counters evaluate in the scan's codegen "
+        "stage; ONE partial-aggregated groupBy on (source, lang); "
+        "ratios are post-aggregate integer div projections."
+    ),
+    "text_normalize_docs": (
+        "Zero exchanges: the whole translate/replace/regexp chain is "
+        "one codegen projection over the scan — the plan a 100 TB "
+        "normalization pass must have."
+    ),
+    "dpo_pairs_events": (
+        "ONE grouped_global_rank pass (range exchange on (group, "
+        "cents, id), frozen by localCheckpoint) finds rank 1 and "
+        "rank n together; the two-row-per-group pivot aggregates on "
+        "the group key — no second ordering pass, no whale-user task."
+    ),
+    "quality_calibration_docs": (
+        "Frozen integer scoring + rule teacher evaluate per-row in "
+        "the scan stage; ONE groupBy over <= 11 buckets with map-side "
+        "partials — the corpus never shuffles."
+    ),
     "bloom_prefilter_docs": (
         "Reference pass reduces to <=num_bits/64 packed words (bit_or "
         "groupBy), ONE row of words broadcasts (the whitelisted BNLJ "

@@ -23,6 +23,8 @@ STORE_MODULES = [
     "streaming/media_intake.py",
     "streaming/dsir_intake.py",
     "streaming/rollup_sink.py",
+    "streaming/shard_sink.py",
+    "streaming/ann_intake.py",
     "llm/media_index.py",
     "llm/dedup_index.py",
     "llm/ann_index.py",
@@ -45,6 +47,8 @@ def test_fsutil_used_by_all_sinks():
         "streaming/media_intake.py",
         "streaming/dsir_intake.py",
         "streaming/rollup_sink.py",
+        "streaming/shard_sink.py",
+        "streaming/ann_intake.py",
     ]:
         src = (PKG / rel).read_text()
         assert "fsutil" in src, f"{rel} does not import fsutil"
