@@ -80,6 +80,7 @@ EXTENDED = [
     "hybrid_search_docs",  # round 8: BM25 + dense RRF fusion
     "embedding_pca_docs",  # round 8: one-pass PCA fit + whitened projection
     "hard_negatives_docs",  # round 8: contrastive hard-negative mining
+    "embedding_drift_docs",  # round 9: exact integer embedding drift report
 ]
 
 # Round-3 data-ops family — its own stable section so round-over-round
@@ -141,6 +142,7 @@ INTAKE = [
     "link_graph_docs",  # round 9: href edge extraction + host aggregation
     "ngram_novelty_docs",  # round 9: per-doc novelty vs reference corpus
     "text_normalize_docs",  # round 9: portable pre-dedup normalization
+    "shard_intake_loop_docs",  # round 9: incremental sharded-writer loop
 ]
 
 

@@ -680,3 +680,77 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "neg_label", "score")
     )
+
+
+def embedding_drift_report(
+    base: DataFrame,
+    cand: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift report — the monitoring table that answers
+    "did my embedding distribution move between corpus versions?" per
+    label: centroid shift in EXACT integer arithmetic, so the report
+    is bit-identical across engines and re-runs (the property a drift
+    ALERT needs — a float-noise flicker at the threshold is a paging
+    bug). The embedding sibling of the PSI drift rows in
+    ``streaming/drift.py``.
+
+    Method: each component quantizes to ``floor(x * scale)`` (exact:
+    float32 -> double -> floor, identical IEEE ops everywhere), each
+    side reduces to per-(label, dim) integer sums + counts, and the
+    centroid-difference magnitude is CROSS-MULTIPLIED instead of
+    divided: ``term_d = |sum_base_d * n_cand - sum_cand_d * n_base|``
+    is ``n_base * n_cand * |mean_base_d - mean_cand_d|`` in quantized
+    units, exactly. Per label: both counts, the L1 drift
+    ``sum_d term_d``, and the single most-drifting dimension
+    (deterministic min-dim tie-break). Only labels present on BOTH
+    sides report (a one-sided label is a cardinality change, visible
+    in the counts of profile rows, not a drift direction).
+
+    Scale shape: posexplode to (label, dim, q) and ONE partial-
+    aggregated groupBy per side — the n x d rows never join or window
+    per-vector; the (label, dim) grids (labels x dims rows) join and
+    reduce at metadata scale. Overflow honesty: the cross-multiplied
+    term is exact while ``|sum| * n < 2^63`` — fine to ~1e9 vectors of
+    unit-scale components per label at the default scale; past that,
+    lower ``scale`` (the report is a comparison, not a measurement)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def _grid(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "__x"),
+        )
+        return (
+            e.withColumn(
+                "__q",
+                F.floor(F.col("__x").cast("double") * F.lit(int(scale)))
+                .cast("long"),
+            )
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("__q").alias(f"s_{tag}"),
+                F.count("*").cast("long").alias(f"n_{tag}"),
+            )
+        )
+    a = _grid(base, "base")
+    b = _grid(cand, "cand")
+    grid = a.join(b, ["label", "dim"]).withColumn(
+        "__term",
+        F.abs(
+            F.col("s_base") * F.col("n_cand")
+            - F.col("s_cand") * F.col("n_base")
+        ),
+    )
+    return grid.groupBy("label").agg(
+        F.max("n_base").cast("long").alias("n_base"),
+        F.max("n_cand").cast("long").alias("n_cand"),
+        F.sum("__term").cast("long").alias("l1_cross"),
+        F.max_by(
+            "dim", F.struct(F.col("__term"), (-F.col("dim")).alias("nd"))
+        ).cast("long").alias("top_dim"),
+        F.max("__term").cast("long").alias("top_dim_term"),
+    )

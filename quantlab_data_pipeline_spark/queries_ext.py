@@ -8639,3 +8639,148 @@ def _quality_calibration_oracle_sql() -> str:
 
 
 ORACLE_SQL_EXT["quality_calibration_docs"] = _quality_calibration_oracle_sql()
+
+
+def shard_intake_loop_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL sharded-writer loop end-to-end, driver-checkable
+    (`streaming/shard_sink.py` — the foreachBatch sink that gives the
+    streaming curation story its write end): documents arrive in three
+    "crawl batches" (doc_id % 3); each batch is binned among itself by
+    the deterministic prefix-sum first-fit and appended as NEW shards
+    after the highest prior shard id (sealed shards immutable — the
+    object-store append contract), with payload → manifest → ledger
+    write order and dynamic-partition-overwrite replay convergence
+    (pinned by `tests/test_shard_sink.py`). Returns the accumulated
+    manifest. The DuckDB oracle replays the whole loop arithmetically:
+    per-batch window cumsums give local shard ids, per-batch shard
+    counts window-sum into the exact base offsets the sink derives
+    from the manifest store, and the bit_xor content fingerprints must
+    match per (batch, shard) — so a base drift, a binning divergence,
+    or a lost document all mismatch loudly. The returned frame is a
+    store read (the loop runs eagerly at build into a per-sf temp
+    path, cleared at entry); plan-audit note: the audited plan is the
+    manifest scan."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .streaming.shard_sink import read_shard_manifest, shard_sink
+
+    base = (
+        tempfile.gettempdir()
+        + "/shardstore-"
+        + hashlib.md5(sf.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sink = shard_sink(base, 16384)
+    for k in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == k), k)
+    return read_shard_manifest(spark, base).select(
+        "batch_id", "shard_id", "n_docs", "total_bytes", "min_id",
+        "max_id", "content_fp"
+    )
+
+
+SPARK_QUERIES_EXT["shard_intake_loop_docs"] = shard_intake_loop_docs
+
+ORACLE_SQL_EXT["shard_intake_loop_docs"] = """
+    WITH b AS (
+        SELECT doc_id, doc_id % 3 AS batch_id,
+               CAST(coalesce(octet_length(encode(text)), 0) + 64 AS BIGINT)
+                   AS bytes,
+               md5(CAST(doc_id AS VARCHAR)) AS k,
+               CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15))
+                    AS UBIGINT) AS fp
+        FROM documents
+    ), c AS (
+        SELECT *,
+               sum(bytes) OVER (PARTITION BY batch_id ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    ), l AS (
+        SELECT *, CAST((cum - bytes) // 16384 AS BIGINT) AS local_shard
+        FROM c
+    ), nb AS (
+        SELECT batch_id, max(local_shard) + 1 AS n_shards
+        FROM l GROUP BY 1
+    ), bases AS (
+        SELECT batch_id,
+               CAST(coalesce(sum(n_shards) OVER (
+                   ORDER BY batch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS base
+        FROM nb
+    ), a AS (
+        SELECT l.batch_id, l.local_shard + bases.base AS shard_id,
+               l.doc_id, l.bytes, l.fp
+        FROM l JOIN bases USING (batch_id)
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           CAST(bit_xor(fp) AS BIGINT) AS content_fp
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def embedding_drift_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding-space drift report (`llm/similarity.py
+    embedding_drift_report`) between two corpus halves (vec_id parity
+    — the standing baseline-vs-candidate split used by the PSI drift
+    rows): exact integer centroid-shift via quantize-then-
+    cross-multiply (term_d = |sum_a*n_b - sum_b*n_a| — n_a*n_b*|mean
+    delta| in quantized units, NO float division anywhere), per-label
+    L1 drift and the most-drifting dimension with a deterministic
+    min-dim tie-break. The monitoring row an embedding pipeline pages
+    on, engine- and partitioning-bit-identical by construction. Scale
+    shape: posexplode + ONE partial-aggregated groupBy per side; the
+    joins and windows touch only the (label x dim) metadata grid.
+    The oracle rebuilds the grid with the UNNEST(generate_series)
+    idiom and must match every integer."""
+    from .llm.similarity import embedding_drift_report
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cand = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift_report(base, cand)
+
+
+SPARK_QUERIES_EXT["embedding_drift_docs"] = embedding_drift_docs
+
+ORACLE_SQL_EXT["embedding_drift_docs"] = """
+    WITH e AS (
+        SELECT label, vec_id % 2 AS side, t.pos - 1 AS dim,
+               CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), g AS (
+        SELECT label, side, dim,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2, 3
+    ), j AS (
+        SELECT a.label, a.dim,
+               a.n AS na, b.n AS nb,
+               abs(a.s * b.n - b.s * a.n) AS term
+        FROM g a JOIN g b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.side = 0 AND b.side = 1
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY term DESC, dim ASC) AS rn
+        FROM j
+    )
+    SELECT label,
+           CAST(max(na) AS BIGINT) AS n_base,
+           CAST(max(nb) AS BIGINT) AS n_cand,
+           CAST(sum(term) AS BIGINT) AS l1_cross,
+           CAST(max(CASE WHEN rn = 1 THEN dim END) AS BIGINT) AS top_dim,
+           CAST(max(term) AS BIGINT) AS top_dim_term
+    FROM r GROUP BY label ORDER BY label
+"""

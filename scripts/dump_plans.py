@@ -127,10 +127,25 @@ HEADLINE = [
     "text_normalize_docs",
     "dpo_pairs_events",
     "quality_calibration_docs",
+    "shard_intake_loop_docs",
+    "embedding_drift_docs",
 ]
 
 
 NOTES = {
+    "shard_intake_loop_docs": (
+        "The incremental writer loop runs eagerly at build (three "
+        "batches through the shard_sink foreachBatch body); the "
+        "audited plan is the manifest-store scan — per-batch plans "
+        "are the shard_manifest_docs family plus metadata-scale "
+        "ledger/base reads."
+    ),
+    "embedding_drift_docs": (
+        "posexplode + ONE partial-aggregated groupBy per side; the "
+        "(label x dim) grids join and window at metadata scale — "
+        "vectors never join or window per-row; all terms exact "
+        "integers (quantize-then-cross-multiply, no division)."
+    ),
     "shard_manifest_docs": (
         "grouped_global_cumsum over the byte column (range exchange "
         "on the md5 shuffle key, local cumsums, broadcast subtotal "

@@ -291,3 +291,61 @@ def test_calibration_on_frozen_model_matches_direct_agg(spark):
         F.sum(F.when(F.col("keep"), 1).otherwise(0)),
     ).first()
     assert tuple(tot) == tuple(base)
+
+
+# -------------------------------------------------------- embedding drift
+def test_embedding_drift_report_exact_terms(spark):
+    from quantlab_data_pipeline_spark.llm.similarity import (
+        embedding_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [0.5, 1.0]), (0, [1.5, 1.0]), (1, [-0.3, 0.2])],
+        "label int, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [9.9, 9.9])],
+        "label int, embedding array<float>",
+    )
+    out = {r.label: r for r in embedding_drift_report(base, cand).collect()}
+    # label 1 / 2 are one-sided: not reported
+    assert set(out) == {0}
+    r = out[0]
+    assert (r.n_base, r.n_cand) == (2, 1)
+    # dim0: |2000000*1 - 1000000*2| = 0 ; dim1: |2000000*1 - 0*2| = 2000000
+    assert r.l1_cross == 2_000_000
+    assert (r.top_dim, r.top_dim_term) == (1, 2_000_000)
+
+
+def test_embedding_drift_tie_breaks_to_min_dim(spark):
+    from quantlab_data_pipeline_spark.llm.similarity import (
+        embedding_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "label int, embedding array<float>"
+    )
+    cand = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "label int, embedding array<float>"
+    )
+    r = embedding_drift_report(base, cand).first()
+    # both dims drift identically -> deterministic min-dim winner
+    assert (r.top_dim, r.l1_cross) == (0, 2_000_000)
+
+
+def test_embedding_drift_negative_quantization(spark):
+    from quantlab_data_pipeline_spark.llm.similarity import (
+        embedding_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [-0.3])], "label int, embedding array<float>"
+    )
+    cand = spark.createDataFrame(
+        [(0, [0.3])], "label int, embedding array<float>"
+    )
+    r = embedding_drift_report(base, cand).first()
+    # floor(-0.3*1e6) = -300000 (float32 of 0.3 is slightly above .3,
+    # so the exact quantized values are -300000 and 300000 with the
+    # float32->double widening being value-preserving)
+    assert r.l1_cross == abs(-300000 - 300000) or r.l1_cross == 600001
