@@ -83,9 +83,14 @@ def _next_base(spark: SparkSession, path: str, batch_id: int) -> int:
     the base of its own replay."""
     if not is_dir(spark, f"{path}/manifest"):
         return 0
+    try:
+        manifest = read_shard_manifest(spark, path)
+    except Exception:  # noqa: BLE001 — a crashed FIRST attempt can leave
+        # a file-less manifest directory (partition dir created, no
+        # committed parquet); that store has no sealed shards yet.
+        return 0
     row = (
-        read_shard_manifest(spark, path)
-        .filter(F.col("batch_id") != int(batch_id))
+        manifest.filter(F.col("batch_id") != int(batch_id))
         .agg(F.max("shard_id").alias("m"))
         .first()
     )
