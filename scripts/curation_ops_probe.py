@@ -137,6 +137,61 @@ def main() -> None:
             lambda: noop(blocklist_filter(with_urls, bl).filter("blocked"))
         )
 
+        # Round-9 third wave: output sharding, attribution, fertility,
+        # normalization — all bounded-shuffle or shuffle-free plans.
+        from quantlab_data_pipeline_spark.llm.dedup import dup_attribution
+        from quantlab_data_pipeline_spark.llm.sharding import (
+            content_fingerprint,
+            shard_assign,
+            shard_manifest,
+        )
+        from quantlab_data_pipeline_spark.llm.text import (
+            tokenizer_fertility,
+            with_normalized_text,
+        )
+
+        sized = docs.withColumn(
+            "bytes",
+            (F.coalesce(F.octet_length("text"), F.lit(0)) + F.lit(64)).cast(
+                "long"
+            ),
+        )
+        t_shard = timed(
+            lambda: noop(
+                shard_manifest(
+                    shard_assign(
+                        sized,
+                        "bytes",
+                        1 << 20,
+                        [
+                            F.md5(F.col("doc_id").cast("string")).asc(),
+                            F.col("doc_id").asc(),
+                        ],
+                    ),
+                    content_fingerprint(
+                        F.coalesce(F.col("text"), F.lit(""))
+                    ),
+                    "bytes",
+                )
+            )
+        )
+        attrib = docs.withColumn(
+            "content",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("tpl:"), (F.col("doc_id") % 9973).cast("string")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        t_attr = timed(
+            lambda: noop(dup_attribution(attrib, text_col="content"))
+        )
+        t_fert = timed(
+            lambda: noop(tokenizer_fertility(docs, ["source", "lang"]))
+        )
+        t_norm = timed(lambda: noop(with_normalized_text(docs)))
+
         row = {
             "mult": m,
             "n_docs": n_docs,
@@ -145,6 +200,10 @@ def main() -> None:
             "token_budget_mix": t_budget,
             "boilerplate_lines": t_bp,
             "blocklist_filter": t_bl,
+            "shard_manifest": t_shard,
+            "dup_attribution": t_attr,
+            "tokenizer_fertility": t_fert,
+            "text_normalize": t_norm,
         }
         results.append(row)
         print(json.dumps(row))
