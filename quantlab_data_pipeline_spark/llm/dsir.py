@@ -334,6 +334,7 @@ def dsir_select_stored(
     frac: float | None = None,
     k: int | None = None,
     salt: str = "dsir",
+    batch_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score/select a batch against PERSISTED target and raw count
     models — the production intake shape: the target model is built
@@ -341,7 +342,15 @@ def dsir_select_stored(
     :func:`update_dsir_counts`, and each new batch scores without
     re-tokenizing anything but itself. Both stores must pin the same
     feature space. Output contract identical to :func:`dsir_select`
-    (ranks and the cut apply within the scored batch)."""
+    (ranks and the cut apply within the scored batch).
+
+    ``batch_counts``: precomputed ``hashed_ngram_counts(batch, …)``
+    under the stores' PINNED feature space — the same escape hatch
+    :func:`dsir_select` offers via ``raw_counts=``. The intake sink
+    tokenizes each batch once, folds the totals into the raw store,
+    and passes the per-doc counts here, instead of paying the
+    md5-per-gram explode a second time (guide §1.2). The caller owns
+    materialization and feature-space agreement."""
     spark = batch.sparkSession
     b_t, ns_t = read_dsir_meta(spark, target_path)
     b_r, ns_r = read_dsir_meta(spark, raw_path)
@@ -354,7 +363,8 @@ def dsir_select_stored(
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank
 
-    batch_counts = hashed_ngram_counts(batch, text_col, id_col, b_t, ns_t)
+    if batch_counts is None:
+        batch_counts = hashed_ngram_counts(batch, text_col, id_col, b_t, ns_t)
     ratio = dsir_log_ratio(
         load_dsir_counts(spark, target_path).select("bucket", "cnt"),
         load_dsir_counts(spark, raw_path).select("bucket", "cnt"),

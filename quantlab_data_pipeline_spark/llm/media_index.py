@@ -120,8 +120,18 @@ def build_media_index(
     max_hamming: int = 6,
     bands: int | None = None,
     bucket_n: int = 8,
+    precomputed_fp: DataFrame | None = None,
 ) -> None:
-    """Create the index at ``path`` from the current corpus (overwrite)."""
+    """Create the index at ``path`` from the current corpus (overwrite).
+
+    ``precomputed_fp`` — an already-MATERIALIZED (persisted or
+    localCheckpointed) (asset_id, fp) frame for exactly ``media``'s
+    assets — skips the decode+fingerprint pass entirely (guide §1.2:
+    don't recompute what a caller already holds; the intake sink
+    fingerprints each batch once and reuses the 16-byte rows for flag,
+    winner, and append). The caller owns materialization; an
+    un-materialized frame would be evaluated once per write below.
+    """
     spark = media.sparkSession
     if bands is None:
         bands = max_hamming + 1
@@ -130,7 +140,11 @@ def build_media_index(
             f"bands={bands} breaks pigeonhole recall for "
             f"max_hamming={max_hamming}"
         )
-    fp = _fingerprint(media, modality).persist()
+    fp = (
+        precomputed_fp
+        if precomputed_fp is not None
+        else _fingerprint(media, modality).persist()
+    )
     try:
         fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
         name = _bucket_table_name(path)
@@ -153,7 +167,8 @@ def build_media_index(
             .saveAsTable(name)
         )
     finally:
-        fp.unpersist()
+        if precomputed_fp is None:
+            fp.unpersist()
     spark.createDataFrame(
         [(modality, max_hamming, bands, bucket_n)],
         "modality string, max_hamming int, bands int, bucket_n int",
@@ -165,7 +180,9 @@ def _read_meta(spark: SparkSession, path: str) -> tuple[str, int, int, int]:
     return r["modality"], int(r["max_hamming"]), int(r["bands"]), int(r["bucket_n"])
 
 
-def append_to_media_index(media: DataFrame, path: str) -> None:
+def append_to_media_index(
+    media: DataFrame, path: str, precomputed_fp: DataFrame | None = None
+) -> None:
     """Add an accepted batch with the build-time band structure.
 
     Write order is load-bearing: BANDS first, fingerprints last. An
@@ -176,8 +193,15 @@ def append_to_media_index(media: DataFrame, path: str) -> None:
     were written first, the bands action would re-evaluate ``media``
     against the POST-append file list and silently drop every asset
     it just admitted. With the self-referential write last, both
-    actions see the pre-append index."""
-    spark = media.sparkSession
+    actions see the pre-append index.
+
+    ``precomputed_fp`` (optional): a (asset_id, fp) frame for exactly
+    the batch's assets, computed by a caller that already paid the
+    decode+fingerprint pass (the intake sink). It is localCheckpointed
+    here regardless — the freeze below is this function's invariant,
+    not the caller's. With ``precomputed_fp``, ``media`` may be None
+    (nothing else is read from it)."""
+    spark = (media if precomputed_fp is None else precomputed_fp).sparkSession
     modality, _mh, bands, bucket_n = _read_meta(spark, path)
     # localCheckpoint, not persist: persist is NOT a freeze — Spark
     # re-caches (re-executes) cached plans whose input paths are
@@ -186,7 +210,11 @@ def append_to_media_index(media: DataFrame, path: str) -> None:
     # have no lineage to re-execute. Batch-sized, so the
     # materialization is cheap; blocks are freed when the frame is
     # garbage-collected.
-    fp = _fingerprint(media, modality).localCheckpoint()
+    fp = (
+        precomputed_fp
+        if precomputed_fp is not None
+        else _fingerprint(media, modality)
+    ).localCheckpoint()
     _register_bucketed(spark, path, bucket_n)  # fresh-session safe
     (
         _bands(fp, bands)
@@ -199,7 +227,9 @@ def append_to_media_index(media: DataFrame, path: str) -> None:
     fp.write.mode("append").parquet(f"{path}/fingerprints")
 
 
-def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
+def query_media_index(
+    new_media: DataFrame, path: str, precomputed_fp: DataFrame | None = None
+) -> DataFrame:
     """(new_id, indexed_id, hamming) for every probe asset within the
     index's ``max_hamming`` of a stored fingerprint. Candidates come
     from the banded equi-join against the bucketed layout (pigeonhole-
@@ -208,10 +238,18 @@ def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
     (``keep_fp`` — 8 extra bytes per band row), so the probe batch is
     decoded and fingerprinted exactly once per action with NO cached
     state left behind (the r7 ``persist`` leak is gone by design: the
-    second probe-side join it was caching no longer exists)."""
-    spark = new_media.sparkSession
+    second probe-side join it was caching no longer exists).
+
+    ``precomputed_fp``: a materialized (asset_id, fp) frame for the
+    probe batch, for callers that already fingerprinted it (the intake
+    sink) — skips the decode+hash entirely."""
+    spark = (new_media if precomputed_fp is None else precomputed_fp).sparkSession
     modality, max_hamming, bands, bucket_n = _read_meta(spark, path)
-    new_fp = _fingerprint(new_media, modality)
+    new_fp = (
+        precomputed_fp
+        if precomputed_fp is not None
+        else _fingerprint(new_media, modality)
+    )
     idx_buckets = _register_bucketed(spark, path, bucket_n)
     idx_fp = spark.read.parquet(f"{path}/fingerprints")
     ts = _tombstones(spark, path)
@@ -255,11 +293,16 @@ def query_media_index(new_media: DataFrame, path: str) -> DataFrame:
     )
 
 
-def flag_new_media(new_media: DataFrame, path: str) -> DataFrame:
+def flag_new_media(
+    new_media: DataFrame, path: str, precomputed_fp: DataFrame | None = None
+) -> DataFrame:
     """Annotate a probe batch: (asset_id, is_dup, best_match_id,
     best_hamming, n_matches) — best match = lowest hamming, then lowest
-    indexed id (deterministic)."""
-    pairs = query_media_index(new_media, path)
+    indexed id (deterministic). ``precomputed_fp`` as in
+    :func:`query_media_index`; the asset universe is then read off the
+    fingerprint frame (1:1 with the batch), so the media frame is never
+    touched at all."""
+    pairs = query_media_index(new_media, path, precomputed_fp=precomputed_fp)
     best = (
         pairs.groupBy("new_id")
         .agg(
@@ -273,7 +316,9 @@ def flag_new_media(new_media: DataFrame, path: str) -> DataFrame:
             "n_matches",
         )
     )
-    ids = new_media.select("asset_id").distinct()
+    ids = (
+        new_media if precomputed_fp is None else precomputed_fp
+    ).select("asset_id").distinct()
     return (
         ids.join(best, ids["asset_id"] == best["new_id"], "left")
         .drop("new_id")

@@ -6574,6 +6574,7 @@ def media_index_takedown_docs(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from .llm.media_index import (
+        _fingerprint,
         build_media_index,
         compact_media_index,
         flag_new_media,
@@ -6604,11 +6605,20 @@ def media_index_takedown_docs(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, indexed.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     )
     probe_media = media_from_text(probe, dims=(32, 32))
+    # r9 optimization (guide §1.2/§4): the probe is flagged in BOTH
+    # phases, and the only probe-side input either flag needs is the
+    # 16-byte (asset_id, fp) rows — render + dHash the probe ONCE and
+    # hand the checkpointed fingerprints to both calls instead of
+    # paying the PNG pipeline twice. Values unchanged (equivalence
+    # pinned by tests/test_media_index.py).
+    probe_fp = _fingerprint(probe_media, "image").localCheckpoint()
     # Checkpoint pins the tombstone-masked answers before the
     # compaction below mutates the stores the lazy plan would re-read.
-    masked = flag_new_media(probe_media, path).localCheckpoint()
+    masked = flag_new_media(
+        probe_media, path, precomputed_fp=probe_fp
+    ).localCheckpoint()
     compact_media_index(spark, path)
-    compacted = flag_new_media(probe_media, path)
+    compacted = flag_new_media(probe_media, path, precomputed_fp=probe_fp)
     return (
         masked.select(F.lit("masked").alias("phase"), "*")
         .unionByName(compacted.select(F.lit("compacted").alias("phase"), "*"))

@@ -89,11 +89,22 @@ def dsir_intake_sink(
                 [(int(buckets), ",".join(str(n) for n in ns))],
                 "buckets int, ns string",
             ).coalesce(1).write.mode("overwrite").parquet(f"{raw_path}/meta")
+        # ONE tokenize pass per batch (guide §1.2): the md5-per-gram
+        # explode is the dominant per-batch cost, and both the fold
+        # (step 1) and the scoring join (step 2) consume exactly the
+        # per-doc bucket counts. localCheckpoint materializes them
+        # once — counts rows are (id, bucket, cnt), far smaller than
+        # the text — and cuts lineage, so the scoring subtree cannot
+        # re-evaluate against the just-appended raw store either.
+        # Losing the blocks mid-batch replays the batch (idempotent by
+        # the partition-overwrite design), so durability is unchanged.
+        counts = hashed_ngram_counts(
+            batch_df, buckets=buckets, ns=ns
+        ).localCheckpoint()
         # Step 1: fold — partition overwrite keyed on batch_id makes a
         # crash-replay rewrite its own delta, never double-count it.
         (
-            hashed_ngram_counts(batch_df, buckets=buckets, ns=ns)
-            .groupBy("bucket")
+            counts.groupBy("bucket")
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -104,7 +115,13 @@ def dsir_intake_sink(
         # Step 2+3: score under the just-folded model, verdicts out.
         (
             dsir_select_stored(
-                batch_df, target_path, raw_path, frac=frac, k=k, salt=salt
+                batch_df,
+                target_path,
+                raw_path,
+                frac=frac,
+                k=k,
+                salt=salt,
+                batch_counts=counts,
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

@@ -65,11 +65,14 @@ def _index_exists(spark: SparkSession, index_path: str) -> bool:
     return path_exists(spark, f"{index_path}/meta")
 
 
-def _with_kept(flagged: DataFrame, media: DataFrame, modality: str) -> DataFrame:
+def _with_kept(flagged: DataFrame, fp: DataFrame) -> DataFrame:
     """Verdicts + ``kept``: non-duplicate AND min-asset_id per exact
     fingerprint (the intra-batch exact-dedup winner). Fingerprints are
-    8 bytes, so the winner join is on batch-sized narrow rows."""
-    fp = _fingerprint(media, modality)
+    8 bytes, so the winner join is on batch-sized narrow rows. ``fp``
+    is the batch's (asset_id, fp) frame — the sink computes it ONCE
+    per batch and reuses it here (guide §1.2: the old signature took
+    the media frame and re-decoded + re-hashed every asset a second
+    time inside the verdict write)."""
     winners = (
         fp.join(flagged.filter(~F.col("is_dup")).select("asset_id"), "asset_id")
         .groupBy("fp")
@@ -112,8 +115,19 @@ def media_intake_sink(
         if batch_df.isEmpty():
             return
         first = not _index_exists(spark, index_path)
+        # ONE decode+fingerprint pass per batch (guide §1.2/§4): every
+        # decision below — flag, intra-batch winner, accepted set,
+        # index append — needs only the 16-byte (asset_id, fp) rows,
+        # never the pixels again. The old flow re-rendered and
+        # re-hashed the batch for the winner join and a third time for
+        # the append. localCheckpoint materializes it once and cuts
+        # lineage, so the self-referential index append below stays
+        # frozen for free. Losing the blocks mid-batch just replays
+        # the batch, which is convergent by construction (module
+        # docstring), so no durability is given up.
+        fp = _fingerprint(batch_df, modality).localCheckpoint()
         if first:
-            flagged = batch_df.select(
+            flagged = fp.select(
                 "asset_id",
                 F.lit(False).alias("is_dup"),
                 F.lit(None).cast("long").alias("best_match_id"),
@@ -121,12 +135,12 @@ def media_intake_sink(
                 F.lit(0).cast("long").alias("n_matches"),
             )
         else:
-            flagged = flag_new_media(batch_df, index_path)
+            flagged = flag_new_media(batch_df, index_path, precomputed_fp=fp)
         # Step 2: verdicts to stable storage BEFORE the index mutates
         # (see module docstring); dynamic overwrite of this batch's
         # partition makes a crash-replay rewrite, not duplicate.
         (
-            _with_kept(flagged, batch_df, modality)
+            _with_kept(flagged, fp)
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -139,20 +153,21 @@ def media_intake_sink(
             .filter("kept")
             .select("asset_id")
         )
-        accepted = batch_df.join(kept_ids, "asset_id")
+        accepted_fp = fp.join(kept_ids, "asset_id")
         if first:
             build_media_index(
-                accepted,
+                batch_df,
                 index_path,
                 modality=modality,
                 max_hamming=max_hamming,
                 bands=bands,
                 bucket_n=bucket_n,
+                precomputed_fp=accepted_fp,
             )
         else:
             # Anti-join against stored fingerprints: a replay of this
             # batch after a crash between steps 3 and 4 appends nothing.
-            novel = accepted.join(
+            novel = accepted_fp.join(
                 spark.read.parquet(f"{index_path}/fingerprints").select(
                     "asset_id"
                 ),
@@ -160,7 +175,9 @@ def media_intake_sink(
                 "left_anti",
             )
             if not novel.isEmpty():
-                append_to_media_index(novel, index_path)
+                append_to_media_index(
+                    None, index_path, precomputed_fp=novel
+                )
         spark.createDataFrame(
             [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{index_path}/_applied_batch")

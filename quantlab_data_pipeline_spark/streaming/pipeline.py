@@ -85,12 +85,23 @@ def curation_intake_sink(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
+        # Materialize the batch ONCE (guide §1.2): the two sub-sinks
+        # run ~8 actions per micro-batch between them (existence
+        # probes, fingerprint pass, verdict write, index append, DSIR
+        # fold + score), and each action would otherwise re-evaluate
+        # the ENTIRE upstream plan feeding this sink — for the batch
+        # registry row that is the blocklist→extract→quality→URL-dedup
+        # chain over the full corpus, re-run per action. A real
+        # foreachBatch source hands the sink materialized batch data;
+        # localCheckpoint restores exactly that property in the batch-
+        # twin path, and block loss mid-batch just replays the batch
+        # (both sub-sinks are replay-convergent by construction).
         docs = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        )
+        ).localCheckpoint()
+        if docs.isEmpty():
+            return
         media_apply(media_from_text(docs, dims=dims), batch_id)
         # The kept set is read back from the PERSISTED verdicts, not
         # held in memory: on a replay where the media ledger skips, the

@@ -304,3 +304,32 @@ def test_dsir_select_stored_unfolded_batch_unseen_buckets(spark, tmp_path):
         assert out[i]["n_grams"] == sum(c.values())  # nothing dropped
         logw = round(sum(n * ratio[b] for b, n in c.items()) / 1e9, 6)
         assert out[i]["log_w"] == pytest.approx(logw, abs=0)
+
+
+def test_dsir_select_stored_batch_counts_equal_default(spark, tmp_path):
+    """``batch_counts=`` (the r9-optimization tokenize-once escape
+    hatch the intake sink uses) must reproduce the default path
+    bit-for-bit."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        dsir_select_stored,
+    )
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    build_dsir_counts(target, str(tmp_path / "t"), buckets=BUCKETS)
+    build_dsir_counts(raw, str(tmp_path / "r"), buckets=BUCKETS)
+    base = dsir_select_stored(
+        raw, str(tmp_path / "t"), str(tmp_path / "r"), frac=0.5
+    )
+    counts = hashed_ngram_counts(raw, buckets=BUCKETS).localCheckpoint()
+    got = dsir_select_stored(
+        raw,
+        str(tmp_path / "t"),
+        str(tmp_path / "r"),
+        frac=0.5,
+        batch_counts=counts,
+    )
+    a = {r["doc_id"]: r.asDict() for r in base.collect()}
+    b = {r["doc_id"]: r.asDict() for r in got.collect()}
+    assert a == b

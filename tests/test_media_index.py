@@ -368,3 +368,61 @@ def test_rebuild_clears_stale_tombstones(spark, index_path):
     probe = _media(spark, {101: corpus[1].copy()})
     r = flag_new_media(probe, index_path).collect()[0]
     assert r["is_dup"] is True and r["best_match_id"] == 1
+
+
+def test_precomputed_fp_paths_equal_recompute(spark, index_path, tmp_path):
+    """The r9-optimization precomputed-fingerprint entry points
+    (build/flag/append with ``precomputed_fp=``) must produce the same
+    stored index and the same verdicts as the decode-inside paths —
+    the intake sink relies on this equivalence to fingerprint each
+    batch exactly once."""
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        _fingerprint,
+        append_to_media_index,
+        build_media_index,
+        flag_new_media,
+    )
+
+    corpus = _media(spark, {i: _img(i) for i in range(1, 5)})
+    probe = _media(spark, {101: _img(1), 150: _img(50)})
+    extra = _media(spark, {7: _img(7)})
+
+    # reference: the decode-inside paths
+    ref_path = str(tmp_path / "ref_idx")
+    build_media_index(corpus, ref_path, modality="image", max_hamming=0)
+    ref = {
+        r["asset_id"]: r for r in flag_new_media(probe, ref_path).collect()
+    }
+    append_to_media_index(extra, ref_path)
+    ref2 = {
+        r["asset_id"]: r
+        for r in flag_new_media(_media(spark, {207: _img(7)}), ref_path).collect()
+    }
+
+    # precomputed-fp paths, same inputs
+    corpus_fp = _fingerprint(corpus, "image").localCheckpoint()
+    build_media_index(
+        corpus, index_path, modality="image", max_hamming=0,
+        precomputed_fp=corpus_fp,
+    )
+    probe_fp = _fingerprint(probe, "image").localCheckpoint()
+    got = {
+        r["asset_id"]: r
+        for r in flag_new_media(
+            probe, index_path, precomputed_fp=probe_fp
+        ).collect()
+    }
+    extra_fp = _fingerprint(extra, "image").localCheckpoint()
+    append_to_media_index(None, index_path, precomputed_fp=extra_fp)
+    got2 = {
+        r["asset_id"]: r
+        for r in flag_new_media(
+            _media(spark, {207: _img(7)}), index_path
+        ).collect()
+    }
+
+    for a, b in ((ref, got), (ref2, got2)):
+        assert set(a) == set(b)
+        for k in a:
+            for c in ("is_dup", "best_match_id", "best_hamming", "n_matches"):
+                assert a[k][c] == b[k][c], (k, c)
