@@ -152,12 +152,21 @@ def build_dedup_index(
     # One lineage feeds both tables; persist so shingling runs once.
     sigs = sigs.persist()
     try:
-        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        # AQE-rebalanced writes (guide §6): without the hint every
+        # upstream partition writes one signature file and one file per
+        # bucket it touches (partitions x bucket_n tiny band files per
+        # write) — every later candidate join re-lists and re-opens all
+        # of them. Rebalance sizes the files to the data and stays
+        # scale-adaptive (a big build splits at AQE's advisory size).
+        sigs.hint("rebalance").write.mode("overwrite").parquet(
+            f"{path}/signatures"
+        )
         if bucket_n:
             table = _bucket_table_name(path)
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             (
-                buckets.write.mode("overwrite")
+                buckets.hint("rebalance", "band_idx", "band_hash")
+                .write.mode("overwrite")
                 .format("parquet")
                 .option("path", f"{path}/buckets")
                 .bucketBy(bucket_n, "band_idx", "band_hash")
@@ -165,12 +174,14 @@ def build_dedup_index(
                 .saveAsTable(table)
             )
         else:
-            buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+            buckets.hint("rebalance").write.mode("overwrite").parquet(
+                f"{path}/buckets"
+            )
     finally:
         sigs.unpersist()
-    _exact_hashes(docs, id_col, text_col).write.mode("overwrite").parquet(
-        f"{path}/exact"
-    )
+    _exact_hashes(docs, id_col, text_col).hint(
+        "rebalance"
+    ).write.mode("overwrite").parquet(f"{path}/exact")
     spark.createDataFrame(
         [(num_hashes, bands, shingle_k, bucket_n or 0, HASH_FAMILY)],
         "num_hashes int, bands int, shingle_k int, bucket_n int, "
@@ -283,13 +294,16 @@ def compact_dedup_index(
         .join(ts_ids, id_col, "left_anti")
         .localCheckpoint()
     )
-    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    sigs.hint("rebalance").write.mode("overwrite").parquet(
+        f"{path}/signatures"
+    )
     if bucket_n:
         table = _bucket_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         _delete_path(spark, f"{path}/buckets")
         (
-            buckets.write.mode("overwrite")
+            buckets.hint("rebalance", "band_idx", "band_hash")
+            .write.mode("overwrite")
             .format("parquet")
             .option("path", f"{path}/buckets")
             .bucketBy(bucket_n, "band_idx", "band_hash")
@@ -297,8 +311,10 @@ def compact_dedup_index(
             .saveAsTable(table)
         )
     else:
-        buckets.write.mode("overwrite").parquet(f"{path}/buckets")
-    exact.write.mode("overwrite").parquet(f"{path}/exact")
+        buckets.hint("rebalance").write.mode("overwrite").parquet(
+            f"{path}/buckets"
+        )
+    exact.hint("rebalance").write.mode("overwrite").parquet(f"{path}/exact")
     _delete_path(spark, f"{path}/tombstones")
 
 
@@ -330,19 +346,24 @@ def append_to_index(
     ).select(id_col, "signature").localCheckpoint()
     buckets = band_buckets(sigs, id_col=id_col, bands=bands)
     exact = _exact_hashes(docs, id_col, text_col).localCheckpoint()
-    sigs.write.mode("append").parquet(f"{path}/signatures")
+    sigs.hint("rebalance").write.mode("append").parquet(
+        f"{path}/signatures"
+    )
     if bucket_n:
         _register_bucketed(spark, path, bucket_n)  # fresh-session safe
         (
-            buckets.write.mode("append")
+            buckets.hint("rebalance", "band_idx", "band_hash")
+            .write.mode("append")
             .format("parquet")
             .bucketBy(bucket_n, "band_idx", "band_hash")
             .sortBy("band_idx", "band_hash")
             .saveAsTable(_bucket_table_name(path))
         )
     else:
-        buckets.write.mode("append").parquet(f"{path}/buckets")
-    exact.write.mode("append").parquet(f"{path}/exact")
+        buckets.hint("rebalance").write.mode("append").parquet(
+            f"{path}/buckets"
+        )
+    exact.hint("rebalance").write.mode("append").parquet(f"{path}/exact")
 
 
 def query_dedup_index(

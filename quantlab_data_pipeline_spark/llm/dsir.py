@@ -252,6 +252,7 @@ def build_dsir_counts(
     ns: tuple[int, ...] = (1, 2),
     text_col: str = "text",
     id_col: str = "doc_id",
+    precomputed_counts: DataFrame | None = None,
 ) -> None:
     """Persist a corpus's hashed-n-gram bucket totals at ``path`` — the
     DSIR model store. Totals are ADDITIVE integer counts, so the store
@@ -262,13 +263,23 @@ def build_dsir_counts(
     ``counts/`` (bucket, cnt) parquet — delta rows append, totals are
     a sum on read — and ``meta`` pinning (buckets, ns) so batches
     cannot drift the feature space (the media index's band-pinning
-    contract)."""
-    spark = docs.sparkSession
-    counts = (
-        hashed_ngram_counts(docs, text_col, id_col, buckets, ns)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+    contract).
+
+    ``precomputed_counts``: an already-computed per-doc
+    ``hashed_ngram_counts(docs, …)`` frame under the SAME
+    (buckets, ns) — the guide §1.2 escape hatch for a caller that
+    needs the per-doc counts anyway (building a store AND scoring with
+    ``batch_counts=``): the md5-per-gram explode then runs once, not
+    once per consumer. The caller owns feature-space agreement."""
+    spark = (
+        docs if precomputed_counts is None else precomputed_counts
+    ).sparkSession
+    per_doc = (
+        precomputed_counts
+        if precomputed_counts is not None
+        else hashed_ngram_counts(docs, text_col, id_col, buckets, ns)
     )
+    counts = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     counts.write.mode("overwrite").parquet(f"{path}/counts")
     spark.createDataFrame(
         [(int(buckets), ",".join(str(n) for n in ns))],
@@ -286,17 +297,29 @@ def update_dsir_counts(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    precomputed_counts: DataFrame | None = None,
 ) -> None:
     """Fold a new batch into the stored totals with the PINNED feature
     space — appends batch-sized delta rows; exact additivity means the
     store equals a from-scratch rebuild over everything ever folded in
     (pytest-pinned). Run :func:`compact_dsir_counts` on a cadence to
-    merge deltas back to one row per bucket."""
-    spark = new_docs.sparkSession
+    merge deltas back to one row per bucket.
+
+    ``precomputed_counts``: per-doc counts as in
+    :func:`build_dsir_counts` — must be computed under the store's
+    pinned (buckets, ns); the tokenize pass then runs once for a
+    caller that also scores the batch."""
+    spark = (
+        new_docs if precomputed_counts is None else precomputed_counts
+    ).sparkSession
     buckets, ns = read_dsir_meta(spark, path)
+    per_doc = (
+        precomputed_counts
+        if precomputed_counts is not None
+        else hashed_ngram_counts(new_docs, text_col, id_col, buckets, ns)
+    )
     delta = (
-        hashed_ngram_counts(new_docs, text_col, id_col, buckets, ns)
-        .groupBy("bucket")
+        per_doc.groupBy("bucket")
         .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint()  # freeze before the self-referential append
     )

@@ -146,7 +146,18 @@ def build_media_index(
         else _fingerprint(media, modality).persist()
     )
     try:
-        fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+        # AQE-rebalanced writes (guide §6 — small files hurt twice):
+        # without the hint every upstream partition writes its own
+        # fingerprint file and one file PER BUCKET it touches in the
+        # band table (32 partitions x 8 buckets = 256 files per
+        # batch-sized append; every subsequent flag re-lists and
+        # re-opens all of them). Rebalance sizes the write to the
+        # data: a small batch collapses to one task (1 fingerprint
+        # file, bucket_n band files), a huge build splits at AQE's
+        # advisory size — scale-adaptive, not a local[32] constant.
+        fp.hint("rebalance").write.mode("overwrite").parquet(
+            f"{path}/fingerprints"
+        )
         name = _bucket_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         # The bucket table is EXTERNAL (CREATE ... LOCATION), so DROP
@@ -160,6 +171,7 @@ def build_media_index(
         _register_bucketed(spark, path, bucket_n)
         (
             _bands(fp, bands)
+            .hint("rebalance", "band_idx", "band_val")
             .write.mode("append")
             .format("parquet")
             .bucketBy(bucket_n, "band_idx", "band_val")
@@ -216,15 +228,19 @@ def append_to_media_index(
         else _fingerprint(media, modality)
     ).localCheckpoint()
     _register_bucketed(spark, path, bucket_n)  # fresh-session safe
+    # Rebalance both appends (see build_media_index): an un-hinted
+    # batch append writes partitions x buckets tiny band files that
+    # every later flag pays to list and open.
     (
         _bands(fp, bands)
+        .hint("rebalance", "band_idx", "band_val")
         .write.mode("append")
         .format("parquet")
         .bucketBy(bucket_n, "band_idx", "band_val")
         .sortBy("band_idx", "band_val")
         .saveAsTable(_bucket_table_name(path))
     )
-    fp.write.mode("append").parquet(f"{path}/fingerprints")
+    fp.hint("rebalance").write.mode("append").parquet(f"{path}/fingerprints")
 
 
 def query_media_index(
@@ -382,12 +398,15 @@ def compact_media_index(spark: SparkSession, path: str) -> None:
         .join(ts_ids, "asset_id", "left_anti")
         .localCheckpoint()
     )
-    fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    fp.hint("rebalance").write.mode("overwrite").parquet(
+        f"{path}/fingerprints"
+    )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     _delete_path(spark, f"{path}/buckets")
     _register_bucketed(spark, path, bucket_n)
     (
-        kept.write.mode("append")
+        kept.hint("rebalance", "band_idx", "band_val")
+        .write.mode("append")
         .format("parquet")
         .bucketBy(bucket_n, "band_idx", "band_val")
         .sortBy("band_idx", "band_val")

@@ -708,14 +708,17 @@ def with_normalized_text(
     Zero-shuffle projection; every expression codegens.
     """
     norm = normalize_text(F.col(text_col))
+    # ``changed`` is a plain inequality, NOT when(isNull, ...): ``!=``
+    # already yields NULL for a null input (every normalize_text rule
+    # is null-preserving, so out is null iff text is null — identical
+    # semantics, pytest-pinned), and the conditional form wrapped the
+    # whole normalize chain inside a CASE branch, which blocks
+    # whole-stage codegen's common-subexpression elimination — the
+    # translate+regex chain then ran once extra per row (guide §1.2:
+    # don't compute things twice).
     return (
         df.withColumn(out_col, norm)
-        .withColumn(
-            "changed",
-            F.when(
-                F.col(text_col).isNull(), F.lit(None).cast("boolean")
-            ).otherwise(F.col(out_col) != F.col(text_col)),
-        )
+        .withColumn("changed", F.col(out_col) != F.col(text_col))
         .withColumn("n_chars_before", F.length(text_col).cast("long"))
         .withColumn("n_chars_after", F.length(out_col).cast("long"))
         .withColumn("norm_md5", F.md5(F.col(out_col)))

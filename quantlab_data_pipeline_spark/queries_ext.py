@@ -7446,6 +7446,7 @@ def dsir_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     from .llm.dsir import (
         build_dsir_counts,
         dsir_select_stored,
+        hashed_ngram_counts,
         update_dsir_counts,
     )
 
@@ -7458,11 +7459,29 @@ def dsir_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
         + hashlib.md5(sf.encode()).hexdigest()[:10]
     )
     build_dsir_counts(target, base + "/target", buckets=4096)
-    build_dsir_counts(raw.filter(F.col("doc_id") % 2 == 0), base + "/raw",
-                      buckets=4096)
-    update_dsir_counts(raw.filter(F.col("doc_id") % 2 == 1), base + "/raw")
+    # Tokenize each raw doc ONCE (guide §1.2): the per-doc counts feed
+    # the initial build, the fold-forward delta, AND the scoring join
+    # (totals are sums over exactly these rows, so the stores and the
+    # result are bit-identical to the recompute path — pytest-pinned).
+    # Before, the raw pool paid the md5-per-gram explode twice: once
+    # split across build+update, once again inside the scorer.
+    even = hashed_ngram_counts(
+        raw.filter(F.col("doc_id") % 2 == 0), buckets=4096
+    ).localCheckpoint()
+    odd = hashed_ngram_counts(
+        raw.filter(F.col("doc_id") % 2 == 1), buckets=4096
+    ).localCheckpoint()
+    build_dsir_counts(
+        None, base + "/raw", buckets=4096, precomputed_counts=even
+    )
+    update_dsir_counts(None, base + "/raw", precomputed_counts=odd)
     return dsir_select_stored(
-        raw, base + "/target", base + "/raw", frac=0.25, salt="dsir"
+        raw,
+        base + "/target",
+        base + "/raw",
+        frac=0.25,
+        salt="dsir",
+        batch_counts=even.unionByName(odd),
     )
 
 
@@ -7560,10 +7579,20 @@ def curation_pipeline_loop_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ml_keep") & (F.length("text") >= 1)
     ).withColumn("norm_url", normalize_url("url"))
     uwin = passed.groupBy("norm_url").agg(F.min("doc_id").alias("__ukeep"))
+    # Materialize the upstream chain ONCE (guide §1.2): the three
+    # batch slices below each fed the sink a plan containing the whole
+    # blocklist -> extract -> quality -> URL-dedup chain over the full
+    # corpus, so the chain ran three times per execution (~75-105 s of
+    # executor CPU each at sf0.1, measured via the event log). A real
+    # stream computes each arriving row's upstream exactly once;
+    # checkpointing the survivor rows restores that property in the
+    # batch-twin, and the narrow (doc_id, text) rows are what a
+    # foreachBatch source would hand the sink anyway.
     surv = (
         passed.join(uwin, "norm_url")
         .filter(F.col("doc_id") == F.col("__ukeep"))
         .select("doc_id", "text")
+        .localCheckpoint()
     )
 
     sink = curation_intake_sink(

@@ -146,9 +146,17 @@ def shard_sink(
         # Payload first, manifest second, ledger LAST — each a dynamic
         # overwrite of exactly this batch's partitions, so any crash
         # point replays to the identical store.
+        # Rebalance on shard_id before the partitioned write (guide
+        # §6): the assignment frame arrives in ~shuffle-partition-many
+        # pieces, and without the hint each task writes one file per
+        # shard it touches — tasks x shards tiny payload files. A
+        # shard IS the file-sizing unit (target_bytes), so colocating
+        # each shard's rows yields one ~target-sized file per shard;
+        # AQE still splits a genuinely oversized partition.
         (
             assigned.drop("__local_shard")
             .withColumnRenamed("__bytes", "payload_bytes")
+            .hint("rebalance", "shard_id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard_id")

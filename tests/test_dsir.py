@@ -333,3 +333,38 @@ def test_dsir_select_stored_batch_counts_equal_default(spark, tmp_path):
     a = {r["doc_id"]: r.asDict() for r in base.collect()}
     b = {r["doc_id"]: r.asDict() for r in got.collect()}
     assert a == b
+
+
+def test_dsir_store_precomputed_counts_equal_default(spark, tmp_path):
+    """``precomputed_counts=`` on build/update (the r9-optimization
+    tokenize-once escape hatch: one md5-per-gram explode feeds build,
+    fold, and scoring) must leave the store bit-identical to the
+    recompute path."""
+    from quantlab_data_pipeline_spark.llm.dsir import (
+        build_dsir_counts,
+        load_dsir_counts,
+        update_dsir_counts,
+    )
+
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    b0 = raw.filter("doc_id <= 3")
+    b1 = raw.filter("doc_id > 3")
+    plain = str(tmp_path / "plain")
+    pre = str(tmp_path / "pre")
+    build_dsir_counts(b0, plain, buckets=BUCKETS)
+    update_dsir_counts(b1, plain)
+    c0 = hashed_ngram_counts(b0, buckets=BUCKETS).localCheckpoint()
+    c1 = hashed_ngram_counts(b1, buckets=BUCKETS).localCheckpoint()
+    build_dsir_counts(None, pre, buckets=BUCKETS, precomputed_counts=c0)
+    update_dsir_counts(None, pre, precomputed_counts=c1)
+
+    def totals(p):
+        return {
+            r["bucket"]: r["cnt"] for r in load_dsir_counts(spark, p).collect()
+        }
+
+    assert totals(pre) == totals(plain)
+    # meta pinned identically (feature-space contract intact)
+    a = spark.read.parquet(f"{plain}/meta").collect()[0].asDict()
+    b = spark.read.parquet(f"{pre}/meta").collect()[0].asDict()
+    assert a == b

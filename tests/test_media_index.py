@@ -426,3 +426,34 @@ def test_precomputed_fp_paths_equal_recompute(spark, index_path, tmp_path):
         for k in a:
             for c in ("is_dup", "best_match_id", "best_hamming", "n_matches"):
                 assert a[k][c] == b[k][c], (k, c)
+
+
+def test_writes_are_rebalanced_to_few_files(spark, index_path):
+    """Guide §6 regression pin for the r9 optimization: build and
+    append size their output files with an AQE rebalance instead of
+    writing one file per (upstream partition x bucket). A small batch
+    must land in at most bucket_n band files and a handful of
+    fingerprint files per write — NOT partitions x bucket_n — or every
+    later flag pays to list and open hundreds of tiny files."""
+    import glob
+
+    from quantlab_data_pipeline_spark.llm.media_index import (
+        append_to_media_index,
+        build_media_index,
+    )
+
+    corpus = _media(spark, {i: _img(i) for i in range(1, 9)}).repartition(16)
+    build_media_index(
+        corpus, index_path, modality="image", max_hamming=0, bands=4,
+        bucket_n=8,
+    )
+    batch = _media(spark, {100 + i: _img(100 + i) for i in range(8)}).repartition(16)
+    append_to_media_index(batch, index_path)
+
+    bucket_files = glob.glob(f"{index_path}/buckets/part-*")
+    fp_files = glob.glob(f"{index_path}/fingerprints/part-*")
+    # 2 writes x <= bucket_n files each (one per bucket, tiny data ->
+    # one rebalanced task); the old layout wrote 16 x 8 = 128 per write
+    assert len(bucket_files) <= 16, bucket_files
+    # tiny fingerprint frames rebalance to ~1 file per write
+    assert len(fp_files) <= 4, fp_files
