@@ -71,6 +71,23 @@ def _bucket(col, buckets: int):
     ).alias("bucket")
 
 
+def _gram_buckets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """(id, bucket) — ONE ROW PER GRAM occurrence (duplicates kept):
+    the un-aggregated explode both count shapes derive from."""
+    grams = F.concat(
+        *[word_grams(text_col, n, short_doc="empty") for n in ns]
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram")).select(
+        id_col, _bucket(F.col("gram"), buckets)
+    )
+
+
 def hashed_ngram_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -81,13 +98,31 @@ def hashed_ngram_counts(
     """(id, bucket, cnt): the doc's hashed-n-gram feature vector in
     sparse form. Explode is map-side; the count combines partially
     before its one shuffle on (id, bucket)."""
-    grams = F.concat(
-        *[word_grams(text_col, n, short_doc="empty") for n in ns]
-    )
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .select(id_col, _bucket(F.col("gram"), buckets))
+        _gram_buckets(docs, text_col, id_col, buckets, ns)
         .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_totals(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """(bucket, cnt) corpus totals WITHOUT the per-doc key: when a
+    consumer needs only bucket totals (the ratio side of DSIR), keying
+    the pre-shuffle aggregate by bucket alone lets the map-side partial
+    combine collapse each task's grams to <= ``buckets`` rows — the
+    exchange carries bucket partials instead of every (doc, bucket)
+    pair (guide §2.3 "aggregate before you shuffle"). Equals
+    ``hashed_ngram_counts(...).groupBy(bucket).sum(cnt)`` exactly
+    (integer count of gram occurrences per bucket)."""
+    return (
+        _gram_buckets(docs, text_col, id_col, buckets, ns)
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -110,23 +145,29 @@ def dsir_log_ratio(
     arithmetic: engine- and summation-order-independent (|lr| < ~25
     -> |lr_nano| < 2.5e10; times per-doc gram counts it stays far
     inside a long)."""
+    from pyspark.sql import Window
+
     a = float(alpha)
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    # sum() over an EMPTY count table is null, not 0 — a target corpus
-    # whose every doc tokenizes to nothing would otherwise null every
-    # ratio and every score (hypothesis-found edge); 0 gives the
-    # uniform smoothed model, which is the right degenerate answer.
-    tt = t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    tr = r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
     all_buckets = target_counts.sparkSession.range(buckets).select(
         F.col("id").alias("bucket")
     )
+    # Corpus totals via an unpartitioned window over the dense
+    # ``buckets``-row frame, NOT separate ``t.agg(sum)`` branches: the
+    # agg branches re-evaluate the t/r subtrees — for in-query callers
+    # that is a second full corpus explode+hash per side (guide §1.2) —
+    # while the window reduces the already-joined 4096 rows (one tiny
+    # single-partition pass). sum() over a window skips nulls, and an
+    # EMPTY count table leaves every ct/cr null -> total null, so the
+    # coalesce keeps the degenerate all-empty corpus at total 0 (the
+    # uniform smoothed model), exactly as the old agg branches did.
+    w_all = Window.partitionBy()
     joined = (
         all_buckets.join(t, "bucket", "left")
         .join(r, "bucket", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
+        .withColumn("tt", F.coalesce(F.sum("ct").over(w_all), F.lit(0)))
+        .withColumn("tr", F.coalesce(F.sum("cr").over(w_all), F.lit(0)))
     )
     lp_t = F.log(
         (F.coalesce("ct", F.lit(0)) + F.lit(a))
@@ -204,23 +245,52 @@ def dsir_select(
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank
 
-    if raw_counts is None:
-        raw_counts = hashed_ngram_counts(raw, text_col, id_col, buckets, ns)
-    if target_counts is None:
-        target_counts = hashed_ngram_counts(target, text_col, id_col, buckets, ns)
-    ratio = dsir_log_ratio(target_counts, raw_counts, buckets, alpha)
-    scored = (
-        raw_counts.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
-            ).alias("log_w"),
+    # Ratio sides need only BUCKET totals: when this call computes the
+    # counts itself, aggregate to bucket before the exchange
+    # (_bucket_totals — guide §2.3) instead of shuffling every (doc,
+    # bucket) pair twice. A caller-supplied per-doc frame is used
+    # as-is (dsir_log_ratio's groupBy reduces it identically).
+    ratio = dsir_log_ratio(
+        target_counts
+        if target_counts is not None
+        else _bucket_totals(target, text_col, id_col, buckets, ns),
+        raw_counts
+        if raw_counts is not None
+        else _bucket_totals(raw, text_col, id_col, buckets, ns),
+        buckets,
+        alpha,
+    )
+    if raw_counts is not None:
+        scored = (
+            raw_counts.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_grams"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
+                ).alias("log_w"),
+            )
         )
-        .withColumn(
-            "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
+    else:
+        # Score at GRAM level: join the broadcast ratio onto the raw
+        # explode directly and aggregate once by doc — sum(lr_nano)
+        # over a doc's gram rows == sum(cnt * lr_nano) over its
+        # (bucket, cnt) rows, exact 64-bit integer adds either way.
+        # Drops the (doc, bucket) pre-aggregate AND its exchange: the
+        # one shuffle left on the scoring side carries ~one row per
+        # doc (map-side partial agg keyed by id), not every (doc,
+        # bucket) pair (guide §2.3/§2.4).
+        scored = (
+            _gram_buckets(raw, text_col, id_col, buckets, ns)
+            .join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.round(F.sum("lr_nano") / F.lit(1e9), 6).alias("log_w"),
+            )
         )
+    scored = scored.withColumn(
+        "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
     )
     ranked = grouped_global_rank(
         scored,
@@ -246,7 +316,7 @@ def dsir_select(
 
 
 def build_dsir_counts(
-    docs: DataFrame,
+    docs: DataFrame | None,
     path: str,
     buckets: int = 4096,
     ns: tuple[int, ...] = (1, 2),
@@ -293,7 +363,7 @@ def read_dsir_meta(spark: SparkSession, path: str) -> tuple[int, tuple[int, ...]
 
 
 def update_dsir_counts(
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -386,26 +456,38 @@ def dsir_select_stored(
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank
 
-    if batch_counts is None:
-        batch_counts = hashed_ngram_counts(batch, text_col, id_col, b_t, ns_t)
     ratio = dsir_log_ratio(
         load_dsir_counts(spark, target_path).select("bucket", "cnt"),
         load_dsir_counts(spark, raw_path).select("bucket", "cnt"),
         b_t,
         alpha,
     )
-    scored = (
-        batch_counts.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
-            ).alias("log_w"),
+    if batch_counts is not None:
+        scored = (
+            batch_counts.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_grams"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
+                ).alias("log_w"),
+            )
         )
-        .withColumn(
-            "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
+    else:
+        # Gram-level scoring, as in dsir_select: skip the (doc, bucket)
+        # pre-aggregate + exchange; sum(lr_nano) over gram rows equals
+        # sum(cnt * lr_nano) exactly (64-bit integer adds).
+        scored = (
+            _gram_buckets(batch, text_col, id_col, b_t, ns_t)
+            .join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.round(F.sum("lr_nano") / F.lit(1e9), 6).alias("log_w"),
+            )
         )
+    scored = scored.withColumn(
+        "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
     )
     ranked = grouped_global_rank(
         scored,

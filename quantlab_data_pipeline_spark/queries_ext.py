@@ -5914,32 +5914,45 @@ def curate_corpus_full(spark: SparkSession, sf: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     eligible = scored.filter("url_ok AND long_ok AND qual_ok")
 
-    # stage 4: exact text dedup among eligible
+    # stage 4: exact text dedup among eligible. t_flag feeds two
+    # consumers (the image-stage survivors and the final verdict join);
+    # localCheckpoint materializes the narrow (doc_id, bool) rows once
+    # instead of re-running the md5 window join per consumer (§1.2).
     t_win = eligible.groupBy(F.md5("extracted").alias("__h")).agg(
         F.min("doc_id").alias("__tkeep")
     )
     t_flag = eligible.join(
         t_win, F.md5(eligible["extracted"]) == t_win["__h"]
-    ).select("doc_id", (F.col("doc_id") == F.col("__tkeep")).alias("text_win"))
+    ).select(
+        "doc_id", (F.col("doc_id") == F.col("__tkeep")).alias("text_win")
+    ).localCheckpoint()
 
-    # stage 5: perceptual image dedup over text-dedup survivors
+    # stage 5: perceptual image dedup over text-dedup survivors.
+    # Fingerprint ONCE (guide §1.2/§4 — the wave-1 intake-sink
+    # pattern): fp feeds both the winner aggregate and the flag join,
+    # and Catalyst evaluated the PNG-render + decode+dHash MapInPandas
+    # chain once PER CONSUMER (the r10 before-plan shows two distinct
+    # render+hash chains per modality). localCheckpoint pins the
+    # 16-byte (asset_id, dhash) rows; the pixels are decoded exactly
+    # once per execution.
     survivors = eligible.join(t_flag.filter("text_win"), "doc_id").select(
         "doc_id", "extracted"
     )
     fp = image_dhash(
         media_from_text(survivors, text_col="extracted", dims=(32, 32))
-    )
+    ).localCheckpoint()
     i_win = fp.groupBy("dhash").agg(F.min("asset_id").alias("__ikeep"))
     i_flag = fp.join(i_win, "dhash").select(
         F.col("asset_id").alias("doc_id"),
         (F.col("asset_id") == F.col("__ikeep")).alias("image_win"),
     )
 
-    # stage 6: audio twin flag over eligible (twins still present)
+    # stage 6: audio twin flag over eligible (twins still present) —
+    # fingerprint once, as stage 5.
     afp = audio_fingerprint(
         audio_from_text(eligible.select("doc_id", "extracted"),
                         text_col="extracted")
-    )
+    ).localCheckpoint()
     a_win = afp.groupBy("afp").agg(F.count("*").alias("__an"))
     a_flag = afp.join(a_win, "afp").select(
         F.col("asset_id").alias("doc_id"),

@@ -16,14 +16,18 @@ Per micro-batch, IN THIS ORDER (the order is load-bearing):
    per exact fingerprint (micro-batch-internal exact recrawls never
    both enter the index);
 2. WRITE the verdicts to ``out_path`` — before the index mutates.
-   A Spark-cached flag frame would not survive step 3: appending to
+   A Spark-CACHED flag frame would not survive step 3: appending to
    the bucketed catalog table re-caches dependent plans against the
-   NEW index (every accepted asset suddenly "matches itself"), so the
-   verdicts go to stable storage first and everything downstream
-   reads them back, never the flag plan;
-3. append the keepers (read back from the verdict files) to the
-   index, anti-joined against the fingerprints already stored so a
-   crash-replay of the same batch appends nothing twice;
+   NEW index (every accepted asset suddenly "matches itself"). The
+   verdict frame is therefore localCheckpointed — materialized,
+   lineage-free blocks that CANNOT re-evaluate against the mutated
+   index — written to stable storage, and reused in memory for every
+   downstream step (the old flow re-read the verdict files per batch
+   to get the same guarantee; the checkpoint gives it without the
+   read-back scan);
+3. append the keepers to the index, anti-joined against the
+   fingerprints already stored so a crash-replay of the same batch
+   appends nothing twice;
 4. record the batch id in the ledger (fast-path skip for the ordinary
    Structured Streaming replay-after-commit).
 
@@ -108,13 +112,10 @@ def media_intake_sink(
     intra-batch exact dedup; only kept assets enter the index.
     """
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> DataFrame | None:
         spark = batch_df.sparkSession
         if batch_id <= last_applied_batch(spark, index_path):
-            return  # replayed after commit: already folded in, skip
-        if batch_df.isEmpty():
-            return
-        first = not _index_exists(spark, index_path)
+            return None  # replayed after commit: already folded in, skip
         # ONE decode+fingerprint pass per batch (guide §1.2/§4): every
         # decision below — flag, intra-batch winner, accepted set,
         # index append — needs only the 16-byte (asset_id, fp) rows,
@@ -124,8 +125,14 @@ def media_intake_sink(
         # lineage, so the self-referential index append below stays
         # frozen for free. Losing the blocks mid-batch just replays
         # the batch, which is convergent by construction (module
-        # docstring), so no durability is given up.
+        # docstring), so no durability is given up. Emptiness is read
+        # off the checkpointed 16-byte rows (the fingerprinter emits
+        # one row per asset) instead of paying a separate limit-1
+        # decode job against the raw batch plan first.
         fp = _fingerprint(batch_df, modality).localCheckpoint()
+        if fp.isEmpty():
+            return None
+        first = not _index_exists(spark, index_path)
         if first:
             flagged = fp.select(
                 "asset_id",
@@ -138,21 +145,26 @@ def media_intake_sink(
             flagged = flag_new_media(batch_df, index_path, precomputed_fp=fp)
         # Step 2: verdicts to stable storage BEFORE the index mutates
         # (see module docstring); dynamic overwrite of this batch's
-        # partition makes a crash-replay rewrite, not duplicate.
-        (
+        # partition makes a crash-replay rewrite, not duplicate. The
+        # verdict frame is localCheckpointed ONCE: the write, the kept
+        # set, and the index append all read the same materialized
+        # lineage-free blocks, so nothing downstream can re-evaluate
+        # the flag plan against the post-append index (the hazard the
+        # old flow paid a storage read-back per batch to avoid — a
+        # checkpoint has no lineage to re-cache, so the read-back job
+        # and its out_path listing are gone; guide §1.2/§5).
+        verdicts = (
             _with_kept(flagged, fp)
             .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
+            .localCheckpoint()
+        )
+        (
+            verdicts.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_path)
         )
-        kept_ids = (
-            spark.read.parquet(out_path)
-            .filter(F.col("batch_id") == int(batch_id))
-            .filter("kept")
-            .select("asset_id")
-        )
+        kept_ids = verdicts.filter("kept").select("asset_id")
         accepted_fp = fp.join(kept_ids, "asset_id")
         if first:
             build_media_index(
@@ -167,13 +179,16 @@ def media_intake_sink(
         else:
             # Anti-join against stored fingerprints: a replay of this
             # batch after a crash between steps 3 and 4 appends nothing.
+            # Checkpointed so the emptiness probe and the append read
+            # one materialization (the probe used to run the anti-join
+            # once for limit-1 and the append a second time in full).
             novel = accepted_fp.join(
                 spark.read.parquet(f"{index_path}/fingerprints").select(
                     "asset_id"
                 ),
                 "asset_id",
                 "left_anti",
-            )
+            ).localCheckpoint()
             if not novel.isEmpty():
                 append_to_media_index(
                     None, index_path, precomputed_fp=novel
@@ -181,6 +196,12 @@ def media_intake_sink(
         spark.createDataFrame(
             [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{index_path}/_applied_batch")
+        # The kept set, handed back so a composing sink (the curation
+        # pipeline) can feed its next stage without re-reading the
+        # verdict log it just wrote. Derived from the checkpointed
+        # verdict frame — byte-equal to reading the persisted verdicts
+        # back. foreachBatch itself ignores the return value.
+        return kept_ids
 
     return _apply
 

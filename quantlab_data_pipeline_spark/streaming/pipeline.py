@@ -102,16 +102,25 @@ def curation_intake_sink(
         ).localCheckpoint()
         if docs.isEmpty():
             return
-        media_apply(media_from_text(docs, dims=dims), batch_id)
-        # The kept set is read back from the PERSISTED verdicts, not
-        # held in memory: on a replay where the media ledger skips, the
-        # DSIR stage still sees exactly the same keeper set.
-        kept = (
-            read_intake_verdicts(spark, media_out)
-            .filter(F.col("batch_id") == int(batch_id))
-            .filter("kept")
-            .select(F.col("asset_id").alias("doc_id"))
-        )
+        kept_ids = media_apply(media_from_text(docs, dims=dims), batch_id)
+        if kept_ids is not None:
+            # Normal path: the media sink hands back its kept set,
+            # derived from the localCheckpointed verdict frame it just
+            # persisted — byte-equal to re-reading the verdict log,
+            # without the per-batch listing+scan of ``media_out``
+            # (guide §1.2).
+            kept = kept_ids.select(F.col("asset_id").alias("doc_id"))
+        else:
+            # Replay where the media ledger skips (verdicts already
+            # persisted by a previous attempt): read the keeper set
+            # back from the PERSISTED verdicts — identical input to
+            # the DSIR stage as the original attempt saw.
+            kept = (
+                read_intake_verdicts(spark, media_out)
+                .filter(F.col("batch_id") == int(batch_id))
+                .filter("kept")
+                .select(F.col("asset_id").alias("doc_id"))
+            )
         dsir_apply(docs.join(kept, "doc_id"), batch_id)
 
     return _apply
