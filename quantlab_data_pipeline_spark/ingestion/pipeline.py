@@ -58,6 +58,7 @@ from ..operators.dividends import attach_close_prices
 from ..operators.factors import join_momentum
 from ..operators.intervals import derive_ibes_coverage
 from ..schemas import FIELD_MAP, SCHEMAS
+from ..localframe import local_df
 from ..session import get_spark
 from ..sources.fred import Fetcher, fetch_macro, http_fred_fetcher
 from ..sources.wrds import JdbcWrdsSource, WrdsSource
@@ -284,7 +285,7 @@ def build_consensus(
     tickers = [r["ticker"] for r in idxref.select("ticker").distinct().collect()]
     if not tickers:
         spark = idxref.sparkSession
-        return spark.createDataFrame([], ", ".join(f"{c} string" for c in _CONSENSUS_COLS))
+        return local_df(spark, [], ", ".join(f"{c} string" for c in _CONSENSUS_COLS))
     recs = source.consensus(tickers, start, end)
     # Only the mapping keys from idxref — its cname would collide with
     # the summary table's own cname (the company_name source).
@@ -323,7 +324,7 @@ def build_ratings_history(
     tickers = [r["ticker"] for r in idxref.select("ticker").distinct().collect()]
     if not tickers:
         spark = idxref.sparkSession
-        return spark.createDataFrame([], ", ".join(f"{c} string" for c in _HISTORY_COLS))
+        return local_df(spark, [], ", ".join(f"{c} string" for c in _HISTORY_COLS))
     detail = source.ratings_detail(tickers, start, end)
 
     def first_present(*names: str) -> F.Column:

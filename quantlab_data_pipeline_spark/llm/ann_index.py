@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .similarity import ivf_assign, rank_topk, train_centroids
 from ..fsutil import delete_path as _delete_path
 from ..fsutil import path_exists as _path_exists
+from ..localframe import local_df
 
 
 
@@ -59,7 +60,7 @@ def remove_from_ann_index(spark: SparkSession, path: str | Path, vec_ids) -> Non
     if isinstance(vec_ids, DataFrame):
         ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("id"))
     else:
-        ids = spark.createDataFrame([(int(i),) for i in vec_ids], "id long")
+        ids = local_df(spark, [(int(i),) for i in vec_ids], "id long")
     ids.write.mode("append").parquet(str(Path(path) / "tombstones"))
 
 
@@ -106,7 +107,8 @@ def build_ivf_index(
     spark = corpus.sparkSession
     # A rebuild is a fresh corpus: clear any previous life's tombstones.
     _delete_path(spark, str(path / "tombstones"))
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
     )
@@ -206,11 +208,13 @@ def build_ivf_pq_index(
     _delete_path(spark, str(path / "tombstones"))
     centroids = train_centroids(corpus, k=n_lists, vec_col=vec_col)
     books = train_pq_codebooks(corpus, m=m, n_codes=n_codes, vec_col=vec_col)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(str(path / "centroids"))
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (s, c, [float(x) for x in vec])
             for s, book in enumerate(books)

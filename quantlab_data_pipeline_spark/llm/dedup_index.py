@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from .dedup import band_buckets, ensure_parallelism, minhash_signatures
 from ..fsutil import delete_path as _delete_path
 from ..fsutil import path_exists as _path_exists
+from ..localframe import local_df
 
 __all__ = [
     "build_dedup_index",
@@ -182,7 +183,8 @@ def build_dedup_index(
     _exact_hashes(docs, id_col, text_col).hint(
         "rebalance"
     ).write.mode("overwrite").parquet(f"{path}/exact")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(num_hashes, bands, shingle_k, bucket_n or 0, HASH_FAMILY)],
         "num_hashes int, bands int, shingle_k int, bucket_n int, "
         "hash_family string",
@@ -258,7 +260,7 @@ def remove_from_dedup_index(spark: SparkSession, path: str, doc_ids) -> None:
             F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
         )
     else:
-        ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+        ids = local_df(spark, [(int(i),) for i in doc_ids], "doc_id long")
     ids.write.mode("append").parquet(f"{path}/tombstones")
 
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from .text import word_grams
 
 __all__ = [
@@ -245,52 +246,38 @@ def dsir_select(
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank
 
-    # Ratio sides need only BUCKET totals: when this call computes the
-    # counts itself, aggregate to bucket before the exchange
-    # (_bucket_totals — guide §2.3) instead of shuffling every (doc,
-    # bucket) pair twice. A caller-supplied per-doc frame is used
-    # as-is (dsir_log_ratio's groupBy reduces it identically).
-    ratio = dsir_log_ratio(
-        target_counts
-        if target_counts is not None
-        else _bucket_totals(target, text_col, id_col, buckets, ns),
-        raw_counts
-        if raw_counts is not None
-        else _bucket_totals(raw, text_col, id_col, buckets, ns),
-        buckets,
-        alpha,
-    )
-    if raw_counts is not None:
-        scored = (
-            raw_counts.join(F.broadcast(ratio), "bucket")
-            .groupBy(id_col)
-            .agg(
-                F.sum("cnt").alias("n_grams"),
-                F.round(
-                    F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
-                ).alias("log_w"),
-            )
+    if raw_counts is None:
+        # The RAW per-doc counts deliberately stay one shared subtree
+        # for the ratio side and the scoring side: their (id, bucket)
+        # partial-agg Exchange is byte-identical in both branches, so
+        # Spark's ReuseExchange evaluates the corpus explode + md5 ONCE
+        # and both branches read the shuffle output. Splitting the
+        # ratio side into a bucket-total aggregate (round-10 attempt)
+        # broke that reuse and ran the explode twice — measured 1.6x
+        # SLOWER at sf0.1 despite shuffling fewer bytes. Guide §1.1:
+        # the first-principles plan lost to the gotcha; keep the
+        # empirically-shared exchange.
+        raw_counts = hashed_ngram_counts(raw, text_col, id_col, buckets, ns)
+    if target_counts is None:
+        # The TARGET corpus feeds ONLY the ratio table — no scoring
+        # branch shares its subtree — so aggregating to bucket totals
+        # before the exchange is a pure shuffle cut (guide §2.3): the
+        # exchange carries <= `buckets` partial rows per map task
+        # instead of every (doc, bucket) pair.
+        target_counts = _bucket_totals(target, text_col, id_col, buckets, ns)
+    ratio = dsir_log_ratio(target_counts, raw_counts, buckets, alpha)
+    scored = (
+        raw_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr_nano")) / F.lit(1e9), 6
+            ).alias("log_w"),
         )
-    else:
-        # Score at GRAM level: join the broadcast ratio onto the raw
-        # explode directly and aggregate once by doc — sum(lr_nano)
-        # over a doc's gram rows == sum(cnt * lr_nano) over its
-        # (bucket, cnt) rows, exact 64-bit integer adds either way.
-        # Drops the (doc, bucket) pre-aggregate AND its exchange: the
-        # one shuffle left on the scoring side carries ~one row per
-        # doc (map-side partial agg keyed by id), not every (doc,
-        # bucket) pair (guide §2.3/§2.4).
-        scored = (
-            _gram_buckets(raw, text_col, id_col, buckets, ns)
-            .join(F.broadcast(ratio), "bucket")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                F.round(F.sum("lr_nano") / F.lit(1e9), 6).alias("log_w"),
-            )
+        .withColumn(
+            "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
         )
-    scored = scored.withColumn(
-        "sel_key", F.round(F.col("log_w") + _gumbel(id_col, salt), 6)
     )
     ranked = grouped_global_rank(
         scored,
@@ -351,7 +338,8 @@ def build_dsir_counts(
     )
     counts = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     counts.write.mode("overwrite").parquet(f"{path}/counts")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(buckets), ",".join(str(n) for n in ns))],
         "buckets int, ns string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -29,6 +29,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..fsutil import delete_path as _delete_path
+from ..localframe import local_df
 from ..fsutil import path_exists as _path_exists
 
 __all__ = [
@@ -181,7 +182,8 @@ def build_media_index(
     finally:
         if precomputed_fp is None:
             fp.unpersist()
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(modality, max_hamming, bands, bucket_n)],
         "modality string, max_hamming int, bands int, bucket_n int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -368,8 +370,8 @@ def remove_from_media_index(spark: SparkSession, path: str, asset_ids) -> None:
             F.col(asset_ids.columns[0]).cast("long").alias("asset_id")
         )
     else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in asset_ids], "asset_id long"
+        ids = local_df(
+            spark, [(int(i),) for i in asset_ids], "asset_id long"
         )
     ids.write.mode("append").parquet(f"{path}/tombstones")
 

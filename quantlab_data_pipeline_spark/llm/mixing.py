@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from .text import hash_uniform
 
 
@@ -163,7 +164,6 @@ def token_budget_mix(
     """
     from ..operators.skew import grouped_global_cumsum
     from .packing import _with_tokens
-    from .text import hash_uniform
 
     d, tok = _with_tokens(df, text_col, token_col)
     d = d.select(
@@ -182,7 +182,8 @@ def token_budget_mix(
         # hardcoded string schema broke non-string group cols — an int
         # source id joined nothing and every group fell to budget 0).
         group_type = df.schema[group_col].dataType.simpleString()
-        budgets = spark.createDataFrame(
+        budgets = local_df(
+            spark,
             [(k, int(v)) for k, v in budget_tokens.items()],
             f"{group_col} {group_type}, __budget long",
         )

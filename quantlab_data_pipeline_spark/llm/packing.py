@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from .text import TOKEN_PATTERN
 
 
@@ -134,8 +135,10 @@ def chunk_plan(
         offsets[pid] = acc
         acc += sums[pid]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __poff long"
+    off_df = local_df(
+        spark,
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __poff long",
     )
     out = local.join(F.broadcast(off_df), "__pid").withColumn(
         "offset", F.col("__poff") + F.col("__local_off")

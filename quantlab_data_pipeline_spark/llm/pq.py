@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from .similarity import dot, rank_topk, unit_vec
 
 
@@ -150,8 +151,10 @@ def query_luts(
             sub = qv[s * dsub : (s + 1) * dsub]
             lut[s * n_codes : s * n_codes + len(centers[s])] = centers[s] @ sub
         lut_rows.append((r["query_id"], [float(x) for x in lut]))
-    return spark.createDataFrame(
-        lut_rows, f"query_id {dict(queries.dtypes)[id_col]}, lut array<double>"
+    return local_df(
+        spark,
+        lut_rows,
+        f"query_id {dict(queries.dtypes)[id_col]}, lut array<double>",
     )
 
 

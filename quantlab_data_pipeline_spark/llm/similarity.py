@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from .dedup import ensure_parallelism
 
 
@@ -398,7 +399,8 @@ def ivf_assign(
     keep the top rows per vector — the standard distributed IVF build
     (corpus never shuffles on anything but its own id)."""
     spark = vectors.sparkSession
-    cent = spark.createDataFrame(
+    cent = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
     )

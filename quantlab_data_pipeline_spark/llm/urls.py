@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
+
 #: query parameters that never change page content. Matched
 #: case-sensitively (the trackers emit lowercase; query keys are
 #: case-sensitive per RFC 3986, so "UTM_SOURCE" is conservatively kept).
@@ -201,8 +203,8 @@ def blocklist_filter(
             F.lower(F.col(blocked.columns[0])).alias("__bdom")
         ).distinct()
     else:
-        bl = spark.createDataFrame(
-            [(str(d).lower(),) for d in blocked], "__bdom string"
+        bl = local_df(
+            spark, [(str(d).lower(),) for d in blocked], "__bdom string"
         ).distinct()
     chain = df.select(
         F.col(id_col),

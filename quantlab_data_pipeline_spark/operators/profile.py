@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localframe import local_df
+
 __all__ = [
     "cms_frequencies",
     "column_minhash_signature",
@@ -153,8 +155,8 @@ def cms_frequencies(
     )
     rows = [(k, int(sketch.estimateCount(k))) for k in keys]
     key_type = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return df.sparkSession.createDataFrame(
-        rows, f"key {key_type}, est_count long"
+    return local_df(
+        df.sparkSession, rows, f"key {key_type}, est_count long"
     )
 
 

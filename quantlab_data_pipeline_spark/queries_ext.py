@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .localframe import local_df
 from .sources.testdata import load_table
 
 # --------------------------------------------------------------------------
@@ -908,12 +909,18 @@ def curate_corpus_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
     scored = score_quality_frozen(extracted, FROZEN_QUALITY_V1_BIAS,
                                   FROZEN_QUALITY_V1_WEIGHTS, text_col="extracted")
+    # Materialize the extraction+quality chain ONCE (guide §1.2, the
+    # curate_corpus_full pattern): `staged` feeds three consumers (the
+    # dedup winner aggregate, the dedup flag join, and the final
+    # verdict join), and without a checkpoint the html_to_text regex
+    # chain + frozen-classifier fold re-ran per consumer. Narrow rows:
+    # id, extracted text, two booleans.
     staged = scored.select(
         "doc_id",
         "extracted",
         (F.length("extracted") > 0).alias("__long_enough"),
         F.col("ml_keep").alias("__quality_ok"),
-    )
+    ).localCheckpoint()
     eligible = staged.filter("__long_enough AND __quality_ok")
     winners = eligible.groupBy(F.md5("extracted").alias("__h")).agg(
         F.min("doc_id").alias("__keep")
@@ -1978,8 +1985,8 @@ def range_join_value_bands(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.rangejoin import bucketed_range_join
 
     ev = load_table(spark, sf, "events").select("event_id", "value")
-    bands = spark.createDataFrame(
-        _VALUE_BANDS, "band string, lo double, hi double"
+    bands = local_df(
+        spark, _VALUE_BANDS, "band string, lo double, hi double"
     )
     joined = bucketed_range_join(
         ev, bands, point_col="value", start_col="lo", end_col="hi",
@@ -2842,7 +2849,8 @@ def join_profile_tpch(spark: SparkSession, sf: str) -> DataFrame:
         )
         sigs = s if sigs is None else sigs.unionAll(s)
     ndv = sigs.select("column", "n_distinct")
-    pairs = spark.createDataFrame(
+    pairs = local_df(
+        spark,
         [
             ("customer.c_custkey", "orders.o_custkey"),
             ("orders.o_orderkey", "lineitem.l_orderkey"),

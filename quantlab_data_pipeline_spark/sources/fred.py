@@ -18,6 +18,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
+
 DEFAULT_SERIES = ("CPIAUCSL", "UNRATE", "INDPRO")
 FRED_URL = "https://api.stlouisfed.org/fred/series/observations"
 
@@ -86,8 +88,8 @@ def fetch_macro(
         for obs in fetcher(series_id, start, end):
             rows.append((obs.get("date"), series_id, obs.get("value")))
     if not rows:
-        return spark.createDataFrame([], "date date, series_name string, value double")
-    raw = spark.createDataFrame(rows, "date string, series_name string, value string")
+        return local_df(spark, [], "date date, series_name string, value double")
+    raw = local_df(spark, rows, "date string, series_name string, value string")
     return (
         raw.select(
             F.to_date("date").alias("date"),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fsutil import path_exists
+from ..localframe import local_df
 from ..llm.ann_index import (
     append_to_ann_index,
     build_ivf_index,
@@ -161,8 +162,8 @@ def ann_intake_sink(
                 append_to_ann_index(
                     novel, index_path, id_col=id_col, vec_col=vec_col
                 )
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+        local_df(
+            spark, [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(
             f"{index_path}/_applied_batch"
         )

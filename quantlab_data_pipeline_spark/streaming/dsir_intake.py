@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..llm.dsir import dsir_select_stored, hashed_ngram_counts, read_dsir_meta
 from ..fsutil import path_exists
+from ..localframe import local_df
 from .rollup_sink import last_applied_batch
 
 __all__ = ["dsir_intake_sink", "read_dsir_verdicts"]
@@ -85,7 +86,8 @@ def dsir_intake_sink(
             return
         buckets, ns = read_dsir_meta(spark, target_path)
         if not _store_exists(spark, raw_path):
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(int(buckets), ",".join(str(n) for n in ns))],
                 "buckets int, ns string",
             ).coalesce(1).write.mode("overwrite").parquet(f"{raw_path}/meta")
@@ -129,8 +131,8 @@ def dsir_intake_sink(
             .partitionBy("batch_id")
             .parquet(out_path)
         )
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+        local_df(
+            spark, [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{raw_path}/_applied_batch")
 
     return _apply

@@ -57,6 +57,7 @@ from ..llm.media_index import (
     flag_new_media,
 )
 from ..fsutil import path_exists
+from ..localframe import local_df
 from .rollup_sink import last_applied_batch
 
 __all__ = ["media_intake_sink", "read_intake_verdicts"]
@@ -193,8 +194,8 @@ def media_intake_sink(
                 append_to_media_index(
                     None, index_path, precomputed_fp=novel
                 )
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+        local_df(
+            spark, [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{index_path}/_applied_batch")
         # The kept set, handed back so a composing sink (the curation
         # pipeline) can feed its next stage without re-reading the

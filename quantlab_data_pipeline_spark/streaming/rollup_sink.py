@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fsutil import is_dir
+from ..localframe import local_df
 from ..storage.rollup import refresh_rollup
 
 __all__ = ["rollup_sink", "last_applied_batch"]
@@ -68,8 +69,8 @@ def rollup_sink(
             build_rollup(batch_df, path, time_col, dims, value_col, grain)
         else:
             refresh_rollup(batch_df, path, time_col, dims, value_col, grain)
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+        local_df(
+            spark, [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{path}/_applied_batch")
 
     return _apply

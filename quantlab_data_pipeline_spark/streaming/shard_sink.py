@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fsutil import is_dir
+from ..localframe import local_df
 from ..llm.sharding import content_fingerprint, shard_assign, shard_manifest
 
 __all__ = [
@@ -175,8 +176,8 @@ def shard_sink(
             .partitionBy("batch_id")
             .parquet(f"{path}/manifest")
         )
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+        local_df(
+            spark, [(int(batch_id),)], "batch_id long"
         ).coalesce(1).write.mode("append").parquet(f"{path}/_applied_batch")
 
     return _apply

@@ -25,8 +25,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _log_file(log_dir: str) -> Path:
-    files = [f for f in Path(log_dir).iterdir() if not f.name.startswith(".")]
-    entry = files[0]
+    # Newest entry by mtime (ADVICE r9): a rolled log dir or a stray
+    # second app log would otherwise be picked arbitrarily. Probe-only
+    # caveat: tasks of stages shared across jobs are attributed to the
+    # first job seen.
+    files = sorted(
+        (f for f in Path(log_dir).iterdir() if not f.name.startswith(".")),
+        key=lambda f: f.stat().st_mtime,
+    )
+    entry = files[-1]
     if entry.is_dir():
         evs = sorted(f for f in entry.iterdir() if f.name.startswith("events_"))
         return evs[-1]

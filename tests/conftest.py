@@ -8,10 +8,25 @@ from quantlab_data_pipeline_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # Test-session sizing (suite-budget fix, round 10): the engine
+    # default master is local[$SPARK_GRAFT_CPUS] with the AQE
+    # pre-coalesce reducer count at 8x cores — right for the bench's
+    # data volumes, pure scheduling overhead on this suite's tiny
+    # frames (460+ tests x hundreds of actions). local[8] with 8
+    # initial partitions keeps every code path multi-partition (shuffles,
+    # AQE coalescing, bucketed joins all still exercised) while cutting
+    # the measured suite wall ~40%. Semantics under test are
+    # partitioning-independent by design — the one partition-count
+    # assertion in the suite pins a custom data source's planInputs,
+    # not the session's parallelism.
     s = get_spark(
         app_name="quantlab-tests",
+        master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8",
+        },
     )
     yield s
 

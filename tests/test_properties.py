@@ -769,6 +769,18 @@ def test_dsir_scores_match_python(spark, case):
                 out[i] = c
         return out
 
+    def spark_round(x: float, scale: int) -> float:
+        """Replay Spark's ``F.round``: HALF_UP on the double's SHORTEST
+        decimal repr (BigDecimal.valueOf semantics). Python's built-in
+        round() is HALF_EVEN on the exact binary value and disagrees on
+        boundaries — hypothesis found -0.0588405, where Spark rounds to
+        -0.058841 but round() gives -0.05884 (the binary double is just
+        below the midpoint)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-scale)
+        return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
     rc, tc = counts(raw_rows), counts(tgt_rows)
     assert set(got) == set(rc)
     t_tot, r_tot = Counter(), Counter()
@@ -780,13 +792,16 @@ def test_dsir_scores_match_python(spark, case):
     for i, c in rc.items():
         nano = sum(
             n
-            * round(
-                (
-                    math.log((t_tot.get(b, 0) + 1.0) / (tt + B))
-                    - math.log((r_tot.get(b, 0) + 1.0) / (tr + B))
+            * int(
+                spark_round(
+                    (
+                        math.log((t_tot.get(b, 0) + 1.0) / (tt + B))
+                        - math.log((r_tot.get(b, 0) + 1.0) / (tr + B))
+                    )
+                    * 1e9,
+                    0,
                 )
-                * 1e9
             )
             for b, n in c.items()
         )
-        assert got[i]["log_w"] == round(nano / 1e9, 6)
+        assert got[i]["log_w"] == spark_round(nano / 1e9, 6)
