@@ -416,6 +416,7 @@ def dsir_select_stored(
     k: int | None = None,
     salt: str = "dsir",
     batch_counts: DataFrame | None = None,
+    known_meta: tuple[int, tuple[int, ...]] | None = None,
 ) -> DataFrame:
     """Score/select a batch against PERSISTED target and raw count
     models — the production intake shape: the target model is built
@@ -431,15 +432,25 @@ def dsir_select_stored(
     tokenizes each batch once, folds the totals into the raw store,
     and passes the per-doc counts here, instead of paying the
     md5-per-gram explode a second time (guide §1.2). The caller owns
-    materialization and feature-space agreement."""
+    materialization and feature-space agreement.
+
+    ``known_meta``: the (buckets, ns) BOTH stores are pinned to, for a
+    caller that already read it and owns the agreement (the intake
+    sink reads the target meta per batch anyway and creates the raw
+    store's meta as a copy of it) — skips this function's two
+    meta-read jobs and the redundant cross-store equality check.
+    Default None keeps the reads + check for independent callers."""
     spark = batch.sparkSession
-    b_t, ns_t = read_dsir_meta(spark, target_path)
-    b_r, ns_r = read_dsir_meta(spark, raw_path)
-    if (b_t, ns_t) != (b_r, ns_r):
-        raise ValueError(
-            f"feature spaces differ: target (buckets={b_t}, ns={ns_t}) "
-            f"vs raw (buckets={b_r}, ns={ns_r})"
-        )
+    if known_meta is not None:
+        b_t, ns_t = int(known_meta[0]), tuple(known_meta[1])
+    else:
+        b_t, ns_t = read_dsir_meta(spark, target_path)
+        b_r, ns_r = read_dsir_meta(spark, raw_path)
+        if (b_t, ns_t) != (b_r, ns_r):
+            raise ValueError(
+                f"feature spaces differ: target (buckets={b_t}, ns={ns_t}) "
+                f"vs raw (buckets={b_r}, ns={ns_r})"
+            )
     if (frac is None) == (k is None):
         raise ValueError("pass exactly one of frac= or k=")
     from ..operators.skew import grouped_global_rank

@@ -68,20 +68,26 @@ def connected_components_two_phase(
     optimizer/scheduler constant on that growing plan — not the data —
     dominated the 100k-chain probe.
     """
-    sym = (
+    # One materialization of the caller's pair subtree (guide §1.2):
+    # sym's two union branches and nodes' two would otherwise evaluate
+    # it four times.
+    e0 = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym = (
+        e0.filter(F.col("u") != F.col("v"))
         .unionByName(
-            edges.select(
-                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
-            ).filter(F.col("u") != F.col("v"))
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -146,6 +152,7 @@ def connected_components_two_phase(
                 )
             )
             sym.unpersist()
+            e0.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components_two_phase did not converge in {max_rounds} rounds"
@@ -180,12 +187,18 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "star":
         return connected_components_two_phase(edges, src_col, dst_col)
-    sym = (
+    # Materialize the edge list ONCE before symmetrizing (guide §1.2):
+    # the union's two branches are different projections, so without
+    # this the caller's whole pair-generation subtree (for the dedup
+    # rows: the n-gram explode + Jaccard join over the corpus) was
+    # evaluated once per branch. Narrow (src, dst) rows.
+    e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -226,6 +239,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             sym.unpersist()
+            e.unpersist()
             return labels
         if algorithm == "auto" and it + 1 >= switch_after:
             # Still moving after `switch_after` rounds: the diameter is
@@ -233,6 +247,7 @@ def connected_components(
             # from here on. Restart on the raw edges — the two-phase
             # pass is O(log d) rounds total, cheaper than resuming.
             sym.unpersist()
+            e.unpersist()
             labels.unpersist()
             return connected_components_two_phase(edges, src_col, dst_col)
     raise RuntimeError(

@@ -7503,6 +7503,10 @@ def dsir_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
         frac=0.25,
         salt="dsir",
         batch_counts=even.unionByName(odd),
+        # this row just built BOTH stores at buckets=4096 with the
+        # default ns — the scorer's meta reads would re-verify what
+        # the two lines above pinned
+        known_meta=(4096, (1, 2)),
     )
 
 

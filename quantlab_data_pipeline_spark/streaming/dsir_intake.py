@@ -124,6 +124,10 @@ def dsir_intake_sink(
                 k=k,
                 salt=salt,
                 batch_counts=counts,
+                # this sink read the target meta above and created the
+                # raw store's meta as a copy of it — the scorer's two
+                # meta reads + equality check are redundant per batch
+                known_meta=(buckets, ns),
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

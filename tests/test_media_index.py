@@ -442,13 +442,29 @@ def test_writes_are_rebalanced_to_few_files(spark, index_path):
         build_media_index,
     )
 
-    corpus = _media(spark, {i: _img(i) for i in range(1, 9)}).repartition(16)
-    build_media_index(
-        corpus, index_path, modality="image", max_hamming=0, bands=4,
-        bucket_n=8,
-    )
-    batch = _media(spark, {100 + i: _img(100 + i) for i in range(8)}).repartition(16)
-    append_to_media_index(batch, index_path)
+    # Pin the AQE advisory size for the duration (ADVICE r9): the
+    # file-count thresholds below assume the rebalance collapses tiny
+    # data to one task, which holds at the default 64m advisory but
+    # would flake under a benign session-conf change to a tiny value.
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    try:
+        corpus = _media(spark, {i: _img(i) for i in range(1, 9)}).repartition(16)
+        build_media_index(
+            corpus, index_path, modality="image", max_hamming=0, bands=4,
+            bucket_n=8,
+        )
+        batch = _media(
+            spark, {100 + i: _img(100 + i) for i in range(8)}
+        ).repartition(16)
+        append_to_media_index(batch, index_path)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", old
+            )
 
     bucket_files = glob.glob(f"{index_path}/buckets/part-*")
     fp_files = glob.glob(f"{index_path}/fingerprints/part-*")
